@@ -1,0 +1,95 @@
+"""Scalar expression builders — the reference's inline formula idioms as
+reusable Catalyst Column expressions (SURVEY.md §2.8).
+
+Everything here is a pure Column-in / Column-out builder: JVM-side,
+whole-stage-codegen friendly, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def stable_round(col: Column, digits: int) -> Column:
+    """Engine-portable rounding: ``floor(x*10^d + 0.5)/10^d``.
+
+    ``round()`` half-way semantics differ across engines (Spark rounds the
+    double's shortest decimal representation HALF_UP; DuckDB rounds the
+    binary expansion), so values landing exactly on a .5 boundary — which
+    decimal-exact quotients do systematically — flip between engines.
+    This form is a pure double computation: identical inputs → identical
+    outputs on any IEEE-754 engine. Use it whenever the pre-rounding
+    value is bit-identical across engines.
+    """
+    p = float(10**digits)
+    return F.floor(col * p + F.lit(0.5)) / F.lit(p)
+
+
+#: DuckDB SQL mirror of stable_round.
+def stable_round_sql(expr: str, digits: int) -> str:
+    p = 10**digits
+    return f"floor(({expr}) * {p} + 0.5) / {p}"
+
+
+def pct_change(cur: Column, prev: Column) -> Column:
+    """``(cur - prev) / prev * 100`` with the reference's zero/NULL guard
+    (0.0 when prev is 0 or missing).
+
+    Ref parity: producer.py:169-171, producer.py:231-233, main.py:241-244
+    (reference repeats this formula inline 4×; here it is one builder).
+    """
+    return (
+        F.when(prev.isNull() | (prev == 0), F.lit(0.0))
+        .otherwise((cur - prev) / prev * 100.0)
+    )
+
+
+def time_decay(ts: Column, now: Column, tau_seconds: float = 14400.0) -> Column:
+    """Exponential freshness decay ``exp(-age/tau)``.
+
+    Ref parity: rag_engine.py:159-162 (tau = 14400 s = 4 h).
+    """
+    return F.exp(-(now - ts) / F.lit(tau_seconds))
+
+
+def composite_relevance(
+    sim: Column,
+    decay: Column,
+    intent: Column,
+    w_sim: float = 0.6,
+    w_decay: float = 0.4,
+) -> Column:
+    """Re-rank score: ``0.6*sim + 0.4*decay``; HISTORICAL intent → sim only.
+
+    Ref parity: rag_engine.py:147-163.
+    """
+    blended = F.lit(w_sim) * sim + F.lit(w_decay) * decay
+    return F.when(intent == "HISTORICAL", sim).otherwise(blended)
+
+
+def humanize_number(v: Column) -> Column:
+    """1_234_567 → ``1.2M`` (K/M/B ladder).
+
+    Ref parity: main.py:21-33.
+    """
+    return (
+        F.when(v >= 1e9, F.concat(F.format_number(v / 1e9, 1), F.lit("B")))
+        .when(v >= 1e6, F.concat(F.format_number(v / 1e6, 1), F.lit("M")))
+        .when(v >= 1e3, F.concat(F.format_number(v / 1e3, 1), F.lit("K")))
+        .otherwise(F.format_number(v, 2))
+    )
+
+
+def relative_time(ts_epoch: Column, now_epoch: Column) -> Column:
+    """Epoch-seconds age → ``"5m ago"`` / ``"2h ago"`` / ``"3d ago"``.
+
+    Ref parity: main.py:36-50.
+    """
+    age = now_epoch - ts_epoch
+    return (
+        F.when(age < 60, F.lit("just now"))
+        .when(age < 3600, F.concat(F.floor(age / 60).cast("string"), F.lit("m ago")))
+        .when(age < 86400, F.concat(F.floor(age / 3600).cast("string"), F.lit("h ago")))
+        .otherwise(F.concat(F.floor(age / 86400).cast("string"), F.lit("d ago")))
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis scalar expressions (LLM-training-pipeline operators):
+tokenization stats, quality scoring, language-ID heuristic, document
+fingerprinting, shingling. All pure Catalyst expressions — they run in
+whole-stage codegen, no Python in the hot path, so a 100 TB documents
+scan is embarrassingly parallel with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny embedded stopword lists for the language-ID heuristic.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in|that|it|for|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|pas|pour|que|dans)\b",
+    "es": r"\b(el|los|las|es|una|por|para|con|del|como)\b",
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def marker_hits(text: Column, pattern: str) -> Column:
+    """Count of regex marker-word hits in text."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/stopword language-ID heuristic: most-hit marker list wins;
+    ties broken by fixed language order (en > de > fr > es); no hits →
+    'unknown'. Deterministic and SQL-expressible for the oracle."""
+    hits = {lang: marker_hits(text, pat) for lang, pat in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:  # fixed insertion order = tiebreak order
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] after lowercasing."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[a-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    return marker_hits(text, LANG_MARKERS["en"]) / F.greatest(token_count(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic doc-quality score in [0,1]: rewards stopword density and
+    a sane length, penalizes punctuation noise (the classic C4/Gopher-style
+    filters, reduced to deterministic expressions)."""
+    n_tok = token_count(text)
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+        + F.lit(0.3) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio(text) * 10.0, F.lit(1.0)))
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, r" +", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint = md5 of the normalized text (U7/F9 generalized;
+    md5 not Python hash() — stable across runs and engines)."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>); requires ≥n tokens."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )

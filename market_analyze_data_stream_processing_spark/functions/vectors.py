@@ -1,0 +1,40 @@
+"""Vector scalar expressions — JVM-side array math, no Python UDFs.
+
+The reference stores 384-dim MiniLM embeddings in ChromaDB and queries
+by cosine (rag_engine.py:154, 212-217). Here vectors are plain
+``array<float>`` columns and similarity is a Catalyst expression:
+``aggregate(zip_with(a, b, *), 0.0, +)`` — a sequential left fold, which
+keeps the float semantics deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def lit_vector(values: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """cosine = dot/(||a||*||b||) — matches DuckDB's list_inner_product
+    composition so the oracle can mirror it exactly."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,206 @@
+"""Market-analytics operators (SURVEY.md §2.4 A1–A9, §2.5 W1–W5).
+
+The reference computes these with pandas positional idioms inside the
+producer (rolling means, iloc lags, keep-last dedup); here each is a
+DataFrame-in → DataFrame-out transform built on Spark Window specs, so
+the same function serves batch tables and foreachBatch micro-batches.
+
+Scale: all windows partition by the series key (ticker), so a series
+never crosses executors and the only shuffle is the hash partition on
+key. Frames are row-bounded (`rowsBetween`) — no unbounded state growth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..functions.scalars import pct_change, stable_round
+
+
+def _series_window(key: str | Sequence[str], order: str | Sequence[str]) -> WindowSpec:
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [order] if isinstance(order, str) else list(order)
+    return Window.partitionBy(*keys).orderBy(*orders)
+
+
+def with_moving_averages(
+    df: DataFrame,
+    value_col: str = "Close",
+    key: str | Sequence[str] = "ticker",
+    order: str | Sequence[str] = "date",
+    windows: Sequence[int] = (10, 50, 200),
+    round_to: int | None = None,
+    min_fill: bool = False,
+    exact: bool = False,
+) -> DataFrame:
+    """Trailing moving averages MA{n} (A3/W3: rolling(n).mean()).
+
+    ``min_fill=True`` reproduces the reference's NaN→0.0 coercion for
+    unfilled windows (producer.py:297-299, 325-327): emit 0.0 until the
+    window has n rows. Default emits the partial-window mean (Spark
+    natural semantics).
+
+    ``exact=True`` computes the mean as an exact DECIMAL(18,4) windowed
+    sum divided by the window count instead of a float avg. Windowed
+    float avgs are accumulation-order-dependent (sliding-frame engines
+    use subtract-on-evict / segment trees), so two engines can disagree
+    in the low bits; the decimal-sum formulation is bit-identical across
+    engines — required for oracle differential checks.
+    """
+    base = _series_window(key, order)
+    out = df
+    for n in windows:
+        frame = base.rowsBetween(-(n - 1), 0)
+        if exact:
+            ma = (
+                F.sum(F.col(value_col).cast("decimal(18,4)")).over(frame).cast("double")
+                / F.count(value_col).over(frame)
+            )
+        else:
+            ma = F.avg(value_col).over(frame)
+        if round_to is not None:
+            # exact mode: inputs are bit-identical across engines, so use
+            # the portable floor-form rounding (see stable_round).
+            ma = stable_round(ma, round_to) if exact else F.round(ma, round_to)
+        if min_fill:
+            cnt = F.count(value_col).over(frame)
+            ma = F.when(cnt < n, F.lit(0.0)).otherwise(ma)
+        out = out.withColumn(f"ma{n}", ma)
+    return out
+
+
+def with_lag_variation(
+    df: DataFrame,
+    value_col: str = "Close",
+    key: str | Sequence[str] = "ticker",
+    order: str | Sequence[str] = "date",
+    out_col: str = "variation_pct",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Day-over-day variation % with zero/missing guard → 0.0.
+
+    Ref parity: A2 (producer.py:161-171) — prev close via lag(1); 0.0 when
+    the previous close is 0 or absent.
+    """
+    prev = F.lag(value_col, 1).over(_series_window(key, order))
+    var = pct_change(F.col(value_col), prev)
+    if round_to is not None:
+        var = F.round(var, round_to)
+    return df.withColumn("prev_value", prev).withColumn(out_col, var)
+
+
+#: Intraday momentum lookbacks in 5-minute-bar offsets (producer.py:225).
+MOMENTUM_LAGS = {"10min": 2, "30min": 6, "1h": 12, "3h": 36, "6h": 72}
+
+
+def with_momentum_lags(
+    df: DataFrame,
+    value_col: str = "Close",
+    key: str | Sequence[str] = "ticker",
+    order: str | Sequence[str] = "bar_ts",
+    lags: dict[str, int] = MOMENTUM_LAGS,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Multi-lag momentum (A6): price_{label}_ago columns + var_{label} pct
+    change vs each, 0.0 when insufficient history (producer.py:255-264).
+    """
+    w = _series_window(key, order)
+    out = df
+    for label, n in lags.items():
+        lagged = F.coalesce(F.lag(value_col, n).over(w), F.lit(0.0))
+        price = F.round(lagged, round_to) if round_to is not None else lagged
+        var = pct_change(F.col(value_col), lagged)
+        if round_to is not None:
+            var = F.round(var, round_to)
+        out = out.withColumn(f"price_{label}_ago", price).withColumn(f"var_{label}", var)
+    return out
+
+
+def with_trend(
+    df: DataFrame,
+    value_col: str = "Close",
+    ma_col: str = "ma50",
+    out_col: str = "trend",
+) -> DataFrame:
+    """Trend classification (A5, producer.py:301-305): BULLISH if price>MA,
+    BEARISH if <, NEUTRAL only on exact equality."""
+    return df.withColumn(
+        out_col,
+        F.when(F.col(value_col) > F.col(ma_col), "BULLISH")
+        .when(F.col(value_col) < F.col(ma_col), "BEARISH")
+        .otherwise("NEUTRAL"),
+    )
+
+
+def daily_summary(
+    df: DataFrame,
+    value_col: str = "Close",
+    volume_col: str | None = "Volume",
+    key: str = "ticker",
+    ts_col: str = "ts",
+    seq_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key daily OHLC+volume rollup (A1: producer.py:154-199).
+
+    open/close = first/last value in the day by (ts, seq) — deterministic
+    even with duplicate timestamps thanks to the seq tiebreak. Implemented
+    as min_by/max_by over a composite sort key: single shuffle on
+    (key, day), no window pass needed.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    orders = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    sort_key = F.struct(*orders)
+    aggs = [
+        F.round(F.min_by(F.col(value_col), sort_key), round_to).alias("open_px"),
+        F.round(F.max_by(F.col(value_col), sort_key), round_to).alias("close_px"),
+        F.round(F.max(value_col), round_to).alias("high_px"),
+        F.round(F.min(value_col), round_to).alias("low_px"),
+        F.count(F.lit(1)).alias("n_bars"),
+    ]
+    if volume_col:
+        aggs.append(F.round(F.sum(volume_col), round_to).alias("volume"))
+    out = (
+        df.groupBy(F.col(key), day.alias("day"))
+        .agg(*aggs)
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    )
+    # Variation % close vs open, reference zero-guard semantics (A2).
+    return out.withColumn(
+        "variation_pct", F.round(pct_change(F.col("close_px"), F.col("open_px")), round_to)
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: str | Sequence[str],
+    n: int = 1,
+) -> DataFrame:
+    """Keep the latest n rows per key (A8/T5/S7: LATEST_* upsert reads,
+    n_results=1 lookups, head-N per feed T2).
+
+    row_number over (key ORDER BY order DESC); at scale this is the
+    standard single-shuffle pattern and prunes before any downstream join.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [order] if isinstance(order, str) else list(order)
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in orders])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def keep_last(
+    df: DataFrame,
+    key: str | Sequence[str],
+    order: str | Sequence[str],
+) -> DataFrame:
+    """Keep-last-on-collision dedup (W5/S4: the reference's CSV upsert
+    `~index.duplicated(keep='last')`, consumer.py:102-104)."""
+    return latest_per_key(df, key, order, n=1)

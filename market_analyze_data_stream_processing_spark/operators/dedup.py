@@ -1,0 +1,192 @@
+"""Deduplication operators for the LLM-training-data pipeline family:
+exact (hash), MinHash signatures + LSH banding, SimHash, and n-gram
+Jaccard near-dup pairs.
+
+Design for 100 TB:
+- Exact dedup is a hash + groupBy — one shuffle on a 16-byte key.
+- MinHash signatures are computed per-row with array expressions (zero
+  shuffle, whole-stage codegen); only the LSH band join shuffles, and it
+  shuffles on short band keys, not documents.
+- Jaccard pairs go through an inverted shingle index (explode → join on
+  shingle) — this is the standard candidate-pair generation; frequent
+  shingles are the skew risk, so `max_shingle_df` drops shingles that
+  occur in more than N docs (stopword-shingle suppression), which bounds
+  the join fan-out exactly like minhash banding does probabilistically.
+
+MinHash here uses min(md5(seed || shingle)) over the *hex string* order —
+a valid min-wise hash family that both Spark and DuckDB can evaluate
+identically (no engine-specific 64-bit hash needed for the oracle).
+xxhash64-based signatures (cheaper at scale) are provided for the
+engine path; the md5 family is the oracle-checkable one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-identity dedup: group by normalized-content fingerprint,
+    keep the lowest id (U7 generalized: the reference's hash(link)/hash(title)
+    id discipline, producer.py:98, consumer.py:153-154)."""
+    return (
+        df.withColumn("content_hash", fingerprint(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = 8, shingle_n: int = 3
+) -> list[Column]:
+    """MinHash signature as ``n_hashes`` min-of-keyed-md5 columns.
+
+    Per-row array expressions only — at 100 TB this is a pure map stage.
+    """
+    sh = shingles(text, shingle_n)
+
+    # NB: bind the seed via a factory, NOT a `lambda s, i=i:` default — a
+    # 2-parameter lambda is interpreted by F.transform as (element, index).
+    def keyed_md5(seed: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    return [
+        F.array_min(F.transform(sh, keyed_md5(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_signature_fast(
+    text: Column, n_hashes: int = 8, shingle_n: int = 3
+) -> Column:
+    """Engine-path signature: array<long> of min xxhash64(seed, shingle).
+    ~10× cheaper than md5; use for production LSH banding."""
+    sh = shingles(text, shingle_n)
+
+    def keyed_xxhash(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, keyed_xxhash(i))) for i in range(n_hashes)]
+    )
+
+
+def lsh_band_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents agreeing on any band of
+    ``n_hashes/bands`` consecutive signature slots. Returns (id_a, id_b)
+    with id_a < id_b. Join key = (band_idx, band_hash) — short keys, and
+    the shuffle is on candidate buckets, never all-pairs."""
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature_fast(F.col(text_col), n_hashes, shingle_n).alias("sig")
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("h"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, "bk.band", "bk.h"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
+    """SimHash: sign-aggregate of per-shingle xxhash64 bits → 64-bit long.
+
+    For each bit b: +1 if hash bit set else -1, summed over shingles; the
+    fingerprint bit is the sign. Pure array expressions (map-only stage).
+    """
+    sh = shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bit_vote(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), bit_vote(b))
+        bit_exprs.append(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out.bitwiseOR(e)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all candidate pairs sharing ≥1
+    shingle, via an inverted index (explode → self-join on shingle).
+
+    ``max_shingle_df`` drops shingles occurring in more than N documents
+    before the join — the skew guard that keeps the candidate fan-out
+    bounded at scale (same role as document-frequency pruning in dedup
+    literature)."""
+    sh = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"))
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
+            .where(F.col("df_cnt") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

@@ -1,0 +1,408 @@
+"""Market-analytics queries (SURVEY.md §2.4/2.5/2.6/2.9 [D] operators)
+replayed over the synthetic ``events`` stream table, prices-shaped:
+ticker ≈ event_type, price ≈ value, seq = event_id (deterministic
+tiebreak for duplicate timestamps).
+
+These are the reference's producer/consumer computations — rolling MAs,
+lag variation, multi-lag momentum, trend, daily OHLC summary, latest-per-
+key, keep-last dedup — as declarative window/agg plans. Batch-over-stream
+equivalence: the same operator functions are reused by streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import pct_change, stable_round
+from ..operators.analytics import (
+    daily_summary,
+    keep_last,
+    latest_per_key,
+    with_lag_variation,
+    with_momentum_lags,
+    with_moving_averages,
+    with_trend,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+#: DuckDB CTE mirroring _bars() below.
+_BARS_CTE = """
+WITH bars AS (
+    SELECT event_type AS ticker, ts, value AS price, event_id AS seq
+    FROM events
+)
+"""
+
+
+def _bars(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("ticker"),
+        "ts",
+        F.col("value").alias("price"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+@register(
+    "q_ma_rolling",
+    _BARS_CTE
+    + """
+    SELECT ticker, seq,
+           floor(CAST(sum(CAST(price AS DECIMAL(18,4))) OVER w10  AS DOUBLE) / count(price) OVER w10  * 10000 + 0.5) / 10000 AS ma10,
+           floor(CAST(sum(CAST(price AS DECIMAL(18,4))) OVER w50  AS DOUBLE) / count(price) OVER w50  * 10000 + 0.5) / 10000 AS ma50,
+           floor(CAST(sum(CAST(price AS DECIMAL(18,4))) OVER w200 AS DOUBLE) / count(price) OVER w200 * 10000 + 0.5) / 10000 AS ma200,
+           CASE WHEN count(price) OVER w50 < 50 THEN 0.0
+                ELSE floor(CAST(sum(CAST(price AS DECIMAL(18,4))) OVER w50 AS DOUBLE) / count(price) OVER w50 * 10000 + 0.5) / 10000 END AS ma50_gated
+    FROM bars
+    WINDOW w10  AS (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+           w50  AS (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+           w200 AS (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+    """,
+    doc="A3/W3 rolling MA10/50/200 + A4 gated emission (0.0 until window fills).",
+)
+def q_ma_rolling(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    out = with_moving_averages(
+        bars, value_col="price", key="ticker", order=["ts", "seq"],
+        windows=(10, 50, 200), round_to=4, exact=True,
+    )
+    gated = with_moving_averages(
+        bars, value_col="price", key="ticker", order=["ts", "seq"],
+        windows=(50,), round_to=4, min_fill=True, exact=True,
+    ).select("seq", F.col("ma50").alias("ma50_gated"))
+    return out.join(gated, "seq").select("ticker", "seq", "ma10", "ma50", "ma200", "ma50_gated")
+
+
+@register(
+    "q_lag_variation",
+    _BARS_CTE
+    + """
+    SELECT ticker, seq, round(price, 6) AS price,
+           round(coalesce(lag(price) OVER w, 0.0), 6) AS prev_price,
+           round(CASE WHEN lag(price) OVER w IS NULL OR lag(price) OVER w = 0 THEN 0.0
+                      ELSE (price - lag(price) OVER w) / lag(price) OVER w * 100 END, 6) AS variation_pct
+    FROM bars
+    WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq)
+    """,
+    doc="A2/F15: day-over-day variation %% with the reference's zero/missing → 0.0 guard.",
+)
+def q_lag_variation(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    out = with_lag_variation(
+        bars, value_col="price", key="ticker", order=["ts", "seq"], round_to=6
+    )
+    return out.select(
+        "ticker",
+        "seq",
+        F.round("price", 6).alias("price"),
+        F.round(F.coalesce("prev_value", F.lit(0.0)), 6).alias("prev_price"),
+        "variation_pct",
+    )
+
+
+@register(
+    "q_momentum_multilag",
+    _BARS_CTE
+    + """
+    SELECT ticker, seq,
+           round(coalesce(lag(price, 2)  OVER w, 0.0), 6) AS price_10min_ago,
+           round(coalesce(lag(price, 6)  OVER w, 0.0), 6) AS price_30min_ago,
+           round(coalesce(lag(price, 12) OVER w, 0.0), 6) AS price_1h_ago,
+           round(coalesce(lag(price, 36) OVER w, 0.0), 6) AS price_3h_ago,
+           round(coalesce(lag(price, 72) OVER w, 0.0), 6) AS price_6h_ago,
+           round(CASE WHEN coalesce(lag(price, 12) OVER w, 0.0) = 0 THEN 0.0
+                      ELSE (price - lag(price, 12) OVER w) / lag(price, 12) OVER w * 100
+                 END, 6) AS var_1h
+    FROM bars
+    WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq)
+    """,
+    doc="A6/X3: intraday momentum — 2/6/12/36/72-bar lags (10m/30m/1h/3h/6h), "
+    "0.0 fallback when insufficient history (producer.py:255-264).",
+)
+def q_momentum_multilag(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    out = with_momentum_lags(
+        bars, value_col="price", key="ticker", order=["ts", "seq"], round_to=6
+    )
+    return out.select(
+        "ticker", "seq",
+        "price_10min_ago", "price_30min_ago", "price_1h_ago",
+        "price_3h_ago", "price_6h_ago", "var_1h",
+    )
+
+
+@register(
+    "q_trend_classify",
+    _BARS_CTE
+    + """
+    SELECT ticker, seq, round(price, 6) AS price, floor(ma50 * 10000 + 0.5) / 10000 AS ma50,
+           CASE WHEN price > ma50 THEN 'BULLISH'
+                WHEN price < ma50 THEN 'BEARISH'
+                ELSE 'NEUTRAL' END AS trend
+    FROM (
+        SELECT ticker, seq, price,
+               CAST(sum(CAST(price AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                   / count(price) OVER w AS ma50
+        FROM bars
+        WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq
+                     ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    )
+    """,
+    doc="A5: BULLISH/BEARISH/NEUTRAL vs MA50; NEUTRAL only on exact tie "
+    "(single-row window ⇒ first bar of each series is NEUTRAL).",
+)
+def q_trend_classify(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    out = with_moving_averages(
+        bars, value_col="price", key="ticker", order=["ts", "seq"], windows=(50,),
+        exact=True,
+    )
+    out = with_trend(out, value_col="price", ma_col="ma50")
+    return out.select(
+        "ticker", "seq",
+        F.round("price", 6).alias("price"),
+        stable_round(F.col("ma50"), 4).alias("ma50"),
+        "trend",
+    )
+
+
+@register(
+    "q_daily_summary",
+    _BARS_CTE
+    + """
+    , ranked AS (
+        SELECT ticker, date_trunc('day', ts) AS day, price,
+               row_number() OVER (PARTITION BY ticker, date_trunc('day', ts)
+                                  ORDER BY ts, seq) AS rn_a,
+               row_number() OVER (PARTITION BY ticker, date_trunc('day', ts)
+                                  ORDER BY ts DESC, seq DESC) AS rn_d
+        FROM bars
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           round(max(CASE WHEN rn_a = 1 THEN price END), 6) AS open_px,
+           round(max(CASE WHEN rn_d = 1 THEN price END), 6) AS close_px,
+           round(max(price), 6) AS high_px,
+           round(min(price), 6) AS low_px,
+           count(*) AS n_bars,
+           round(CASE WHEN max(CASE WHEN rn_a = 1 THEN price END) = 0 THEN 0.0
+                      ELSE (max(CASE WHEN rn_d = 1 THEN price END)
+                            - max(CASE WHEN rn_a = 1 THEN price END))
+                           / max(CASE WHEN rn_a = 1 THEN price END) * 100 END, 6) AS variation_pct
+    FROM ranked
+    GROUP BY ticker, day
+    """,
+    doc="A1/X2: per ticker-day OHLC summary (open=first, close=last by (ts,seq)) "
+    "+ A2 variation. Spark side: min_by/max_by on composite sort key — one "
+    "shuffle, no window pass.",
+)
+def q_daily_summary(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    return daily_summary(
+        bars, value_col="price", volume_col=None, key="ticker", ts_col="ts", seq_col="seq"
+    )
+
+
+@register(
+    "q_latest_per_key",
+    _BARS_CTE
+    + """
+    SELECT ticker, seq, round(price, 6) AS price,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY ticker ORDER BY ts DESC, seq DESC) AS rn
+        FROM bars
+    ) WHERE rn = 1
+    """,
+    doc="A8/T5/S7: latest row per key (the reference's LATEST_* upsert reads).",
+)
+def q_latest_per_key(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    out = latest_per_key(bars, key="ticker", order=["ts", "seq"])
+    return out.select(
+        "ticker", "seq",
+        F.round("price", 6).alias("price"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+@register(
+    "q_keep_last_dedup",
+    """
+    SELECT user_id, event_type, event_id, round(value, 6) AS value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W5/S4/X7: keep-last-on-collision upsert dedup (consumer.py:102-104 "
+    "CSV keep-last; Chroma upsert-by-id).",
+)
+def q_keep_last_dedup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    out = keep_last(e, key=["user_id", "event_type"], order=["ts", "event_id"])
+    return out.select("user_id", "event_type", "event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "q_tumbling_hourly",
+    _BARS_CTE
+    + """
+    SELECT ticker, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           count(*) AS n_events,
+           round(sum(price), 6) AS sum_value,
+           round(min(price), 6) AS min_value,
+           round(max(price), 6) AS max_value
+    FROM bars
+    GROUP BY ticker, date_trunc('hour', ts)
+    """,
+    doc="X2 batch equivalence: tumbling hourly window aggregate per ticker.",
+)
+def q_tumbling_hourly(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    return (
+        bars.groupBy("ticker", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("price"), 6).alias("sum_value"),
+            F.round(F.min("price"), 6).alias("min_value"),
+            F.round(F.max("price"), 6).alias("max_value"),
+        )
+        .withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:00"))
+    )
+
+
+@register(
+    "q_topn_per_feed",
+    _BARS_CTE
+    + """
+    SELECT ticker, seq, round(price, 6) AS price, rn
+    FROM (
+        SELECT ticker, seq, price,
+               row_number() OVER (PARTITION BY ticker ORDER BY ts DESC, seq DESC) AS rn
+        FROM bars
+    ) WHERE rn <= 3
+    """,
+    doc="T2: head-N per feed (first 3 RSS entries per ticker, producer.py:97).",
+)
+def q_topn_per_feed(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy(F.desc("ts"), F.desc("seq"))
+    return (
+        bars.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("ticker", "seq", F.round("price", 6).alias("price"), "rn")
+    )
+
+
+@register(
+    "q_asof_last_value",
+    """
+    SELECT event_id, user_id, round(value, 6) AS value, round(last_click_value, 6) AS last_click_value
+    FROM (
+        SELECT event_id, user_id, event_type, value,
+               last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+        FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    doc="J1 generalized as-of join: for each purchase, the user's most recent "
+    "prior click value — windowed last_value(ignore nulls), no physical join.",
+)
+def q_asof_last_value(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    return (
+        e.withColumn("last_click_value", F.last(click_val, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.round("value", 6).alias("value"),
+            F.round("last_click_value", 6).alias("last_click_value"),
+        )
+    )
+
+
+@register(
+    "q_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE event_type = 'error'
+    """,
+    doc="F16: JSON payload field extraction (the topic-payload decode path).",
+)
+def q_json_extract(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "error")
+        .select("event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+    )
+
+
+@register(
+    "q_decay_score",
+    """
+    WITH x AS (
+        SELECT event_id, value,
+               epoch_us(ts) AS ts_us,
+               max(epoch_us(ts)) OVER () AS now_us
+        FROM events
+    )
+    SELECT event_id,
+           round(exp(-((now_us - ts_us) / 1000000.0) / 14400.0), 6) AS decay,
+           round(0.6 * (value / 100.0) + 0.4 * exp(-((now_us - ts_us) / 1000000.0) / 14400.0), 6) AS score
+    FROM x
+    """,
+    doc="F12/F13: exponential time-decay freshness + 0.6*sim + 0.4*decay "
+    "composite re-rank score (rag_engine.py:147-163); 'now' = max event time.",
+)
+def q_decay_score(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    now_us = F.max(F.unix_micros("ts")).over(Window.partitionBy())
+    age_sec = (now_us - F.unix_micros("ts")) / 1e6
+    decay = F.exp(-age_sec / 14400.0)
+    sim = F.col("value") / 100.0
+    return e.select(
+        "event_id",
+        F.round(decay, 6).alias("decay"),
+        F.round(F.lit(0.6) * sim + F.lit(0.4) * decay, 6).alias("score"),
+    )
+
+
+@register(
+    "q_humanize_fmt",
+    """
+    SELECT event_id,
+           CASE WHEN value * 1000000 >= 1000000000 THEN printf('%.2fB', value * 1000000 / 1000000000)
+                WHEN value * 1000000 >= 1000000    THEN printf('%.2fM', value * 1000000 / 1000000)
+                WHEN value * 1000000 >= 1000       THEN printf('%.2fK', value * 1000000 / 1000)
+                ELSE printf('%.2f', value * 1000000) END AS human,
+           CASE WHEN value < 5 THEN 'small' WHEN value < 15 THEN 'medium' ELSE 'large' END AS bucket
+    FROM events
+    """,
+    doc="F3/F4: number humanization ladder (main.py:21-33) + bucketing when-ladder.",
+)
+def q_humanize_fmt(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value") * 1e6
+    human = (
+        F.when(v >= 1e9, F.format_string("%.2fB", v / 1e9))
+        .when(v >= 1e6, F.format_string("%.2fM", v / 1e6))
+        .when(v >= 1e3, F.format_string("%.2fK", v / 1e3))
+        .otherwise(F.format_string("%.2f", v))
+    )
+    bucket = (
+        F.when(F.col("value") < 5, "small")
+        .when(F.col("value") < 15, "medium")
+        .otherwise("large")
+    )
+    return e.select("event_id", human.alias("human"), bucket.alias("bucket"))

@@ -1,0 +1,251 @@
+"""Text-analysis & dedup queries over the ``documents`` table (the
+LLM-training-pipeline operator family: exact dedup, minhash, n-gram
+Jaccard near-dup, token stats, quality scoring, language-ID,
+fingerprinting). All [D]: every expression mirrors into DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_signature
+from ..sources.tables import load_table
+from .registry import register
+
+# DuckDB mirror of functions.text.normalized_text (note the 'g' flags —
+# DuckDB regexp_replace is first-match-only by default, Spark replaces all).
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+
+@register(
+    "q_doc_exact_dedup",
+    f"""
+    SELECT content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM documents)
+    GROUP BY content_hash
+    """,
+    doc="U7 generalized exact dedup: md5 fingerprint of normalized text, "
+    "keep lowest id. One shuffle on a 16-byte key at any scale.",
+)
+def q_doc_exact_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, text_col="text", id_col="doc_id")
+
+
+@register(
+    "q_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           n_chars,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS avg_tok_len
+    FROM documents
+    """,
+    doc="Token counting + length stats (text-analysis family).",
+)
+def q_token_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        "n_chars",
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("avg_tok_len"),
+    )
+
+
+@register(
+    "q_quality_score",
+    r"""
+    WITH x AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS n_stop,
+               CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) * 5.0, 1.0)
+                 + 0.3 * least(n_tok / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(punct_ratio * 10.0, 1.0)), 6) AS quality
+    FROM x
+    """,
+    doc="Gopher/C4-style heuristic quality score: stopword density, length "
+    "prior, punctuation-noise penalty — pure codegen expressions.",
+)
+def q_quality_score(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality"))
+
+
+@register(
+    "q_lang_id",
+    r"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS h_en,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS h_de,
+               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pas|pour|que|dans)\b')) AS h_fr,
+               len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|para|con|del|como)\b')) AS h_es
+        FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+           END AS pred_lang
+    FROM h
+    """,
+    doc="Language-ID heuristic (stopword-marker voting, fixed tiebreak order).",
+)
+def q_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp
+    FROM documents
+    """,
+    doc="F9/U7: stable content fingerprint (md5 over canonicalized text; "
+    "engine-stable unlike Python hash()).",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+#: DuckDB mirror of functions.text.shingles(n=3): list of word 3-grams.
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, len(toks) - 2),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+@register(
+    "q_shingle_count",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    )
+    SELECT doc_id, len(list_distinct({_SHINGLES_SQL})) AS n_shingles
+    FROM w
+    WHERE len(toks) >= 3
+    """,
+    doc="3-gram shingling: distinct shingle count per doc (dedup primitive).",
+)
+def q_shingle_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.where(T.token_count(F.col("text")) >= 3)
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(T.shingles(F.col("text"), 3))).alias("n_shingles"),
+        )
+    )
+
+
+@register(
+    "q_minhash_signature",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
+        FROM w WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           min(md5('0:' || s)) AS mh0,
+           min(md5('1:' || s)) AS mh1,
+           min(md5('2:' || s)) AS mh2,
+           min(md5('3:' || s)) AS mh3
+    FROM sh GROUP BY doc_id
+    """,
+    doc="MinHash signature (4 keyed-md5 min-hashes over 3-gram shingles). "
+    "Spark side is per-row array expressions — a pure map stage at scale.",
+)
+def q_minhash_signature(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(T.token_count(F.col("text")) >= 3).select(
+        "doc_id", *minhash_signature(F.col("text"), n_hashes=4, shingle_n=3)
+    )
+
+
+@register(
+    "q_near_dup_jaccard",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
+            FROM w WHERE len(toks) >= 3
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index "
+    "(candidate generation = join on shingle, DF-pruned for skew at scale).",
+)
+def q_near_dup_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        d, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1, max_shingle_df=None
+    )
+    return pairs.select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q_doc_source_stats",
+    r"""
+    SELECT source, lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    doc="Corpus profiling rollup per (source, lang).",
+)
+def q_doc_source_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(T.token_count(F.col("text"))), 4).alias("avg_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -1,0 +1,63 @@
+"""Readers for the driver's synthetic parquet tables (TESTDATA.md).
+
+Plain ``spark.read.parquet`` so Catalyst gets native scans with column
+pruning + predicate pushdown; no schema-on-read coercion is needed (the
+parquet files carry their schema). At 100 TB these would be
+partitioned/bucketed tables behind a catalog — the query code in
+``plans/`` only sees DataFrames, so the swap is a one-file change here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; read nanos as long and truncate to microsecond
+    timestamps. Truncation (not rounding) matches DuckDB's TIMESTAMP_NS →
+    TIMESTAMP read, so both engines see identical instants AND identical
+    sort order (sub-microsecond nanos would otherwise break tiebreaks)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+class Tables:
+    """Lazy attribute-style access: ``t = Tables(spark, sf); t.lineitem``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return load_table(self._spark, self._sf_dir, name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    return Tables(spark, sf_dir)
