@@ -1,0 +1,64 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop datasource write (full plan
+execution, no driver collect bottleneck) — the same way you'd measure a
+production job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from market_analyze_data_stream_processing_spark.plans import QUERIES
+from market_analyze_data_stream_processing_spark.session import get_spark
+
+
+def run_one(spark, q, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = q.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest SF so per-query numbers measure
+    # the plan, not first-call JIT.
+    warm = QUERIES["q01_pricing_summary"]
+    warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        try:
+            times[name] = round(run_one(spark, q, sf_dir), 3)
+        except Exception as e:  # a failing query shows as -1, never kills bench
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            times[name] = -1.0
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

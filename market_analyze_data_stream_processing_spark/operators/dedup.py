@@ -39,24 +39,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(
-    text: Column, n_hashes: int = 8, shingle_n: int = 3
-) -> list[Column]:
-    """MinHash signature as ``n_hashes`` min-of-keyed-md5 columns.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: ``n_hashes ≤ 4`` min-hash columns ``mh{i}``,
+    all derived from ONE md5 per shingle — hash slot i takes the min over
+    shingles of hex chars [8i, 8i+8) of md5(shingle). md5 dominates the
+    cost, so one digest feeding 4 independent 32-bit slices is ~4×
+    cheaper than 4 keyed digests.
 
-    Per-row array expressions only — at 100 TB this is a pure map stage.
+    Shape: explode shingles → md5 once → groupBy id with per-slot mins.
+    The min is algebraic, so Spark's map-side partial aggregation reduces
+    each partition to one row per doc before the shuffle — at 100 TB the
+    shuffle carries |docs|·|partitions| short rows, not |shingles|.
     """
-    sh = shingles(text, shingle_n)
-
-    # NB: bind the seed via a factory, NOT a `lambda s, i=i:` default — a
-    # 2-parameter lambda is interpreted by F.transform as (element, index).
-    def keyed_md5(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
-
-    return [
-        F.array_min(F.transform(sh, keyed_md5(i))).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+    if n_hashes > 4:
+        raise ValueError("sliced-md5 signature supports at most 4 hash slots")
+    hashed = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    ).select(id_col, F.md5("s").alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.substring("h", 1 + 8 * i, 8)).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
 
 
 def minhash_signature_fast(

@@ -63,16 +63,30 @@ def _bars(spark, sf_dir):
     doc="A3/W3 rolling MA10/50/200 + A4 gated emission (0.0 until window fills).",
 )
 def q_ma_rolling(spark, sf_dir):
+    # Single window pass over one partitioning — all four outputs share the
+    # (ticker, ts, seq) sort, so Spark computes them in one WindowExec; no
+    # join, no second shuffle.
     bars = _bars(spark, sf_dir)
-    out = with_moving_averages(
-        bars, value_col="price", key="ticker", order=["ts", "seq"],
-        windows=(10, 50, 200), round_to=4, exact=True,
+    base = Window.partitionBy("ticker").orderBy("ts", "seq")
+
+    def ma_exact(n):
+        fr = base.rowsBetween(-(n - 1), 0)
+        return stable_round(
+            F.sum(F.col("price").cast("decimal(18,4)")).over(fr).cast("double")
+            / F.count("price").over(fr),
+            4,
+        )
+
+    ma50 = ma_exact(50)
+    cnt50 = F.count("price").over(base.rowsBetween(-49, 0))
+    return bars.select(
+        "ticker",
+        "seq",
+        ma_exact(10).alias("ma10"),
+        ma50.alias("ma50"),
+        ma_exact(200).alias("ma200"),
+        F.when(cnt50 < 50, F.lit(0.0)).otherwise(ma50).alias("ma50_gated"),
     )
-    gated = with_moving_averages(
-        bars, value_col="price", key="ticker", order=["ts", "seq"],
-        windows=(50,), round_to=4, min_fill=True, exact=True,
-    ).select("seq", F.col("ma50").alias("ma50_gated"))
-    return out.join(gated, "seq").select("ticker", "seq", "ma10", "ma50", "ma200", "ma50_gated")
 
 
 @register(

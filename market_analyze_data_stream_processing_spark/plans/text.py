@@ -9,8 +9,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_signature
-from ..sources.tables import load_table
+from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_signatures
+from ..sources.tables import load_table, spread
 from .registry import register
 
 # DuckDB mirror of functions.text.normalized_text (note the 'g' flags —
@@ -29,7 +29,7 @@ _NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', '
     "keep lowest id. One shuffle on a 16-byte key at any scale.",
 )
 def q_doc_exact_dedup(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return exact_dedup(d, text_col="text", id_col="doc_id")
 
 
@@ -129,7 +129,7 @@ def q_lang_id(spark, sf_dir):
     "engine-stable unlike Python hash()).",
 )
 def q_doc_fingerprint(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -153,7 +153,7 @@ _SHINGLES_SQL = (
     doc="3-gram shingling: distinct shingle count per doc (dedup primitive).",
 )
 def q_shingle_count(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return (
         d.where(T.token_count(F.col("text")) >= 3)
         .select(
@@ -173,19 +173,20 @@ def q_shingle_count(spark, sf_dir):
         FROM w WHERE len(toks) >= 3
     )
     SELECT doc_id,
-           min(md5('0:' || s)) AS mh0,
-           min(md5('1:' || s)) AS mh1,
-           min(md5('2:' || s)) AS mh2,
-           min(md5('3:' || s)) AS mh3
+           min(substr(md5(s), 1, 8))  AS mh0,
+           min(substr(md5(s), 9, 8))  AS mh1,
+           min(substr(md5(s), 17, 8)) AS mh2,
+           min(substr(md5(s), 25, 8)) AS mh3
     FROM sh GROUP BY doc_id
     """,
-    doc="MinHash signature (4 keyed-md5 min-hashes over 3-gram shingles). "
-    "Spark side is per-row array expressions — a pure map stage at scale.",
+    doc="MinHash signature: 4 min-hash slots from one md5 per 3-gram shingle; "
+    "map-side partial agg keeps the shuffle at one row per doc per partition.",
 )
 def q_minhash_signature(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return d.where(T.token_count(F.col("text")) >= 3).select(
-        "doc_id", *minhash_signature(F.col("text"), n_hashes=4, shingle_n=3)
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return minhash_signatures(
+        d.where(T.token_count(F.col("text")) >= 3),
+        id_col="doc_id", text_col="text", n_hashes=4, shingle_n=3,
     )
 
 
@@ -217,7 +218,7 @@ def q_minhash_signature(spark, sf_dir):
     "(candidate generation = join on shingle, DF-pruned for skew at scale).",
 )
 def q_near_dup_jaccard(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     pairs = jaccard_pairs(
         d, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1, max_shingle_df=None
     )

@@ -46,6 +46,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition for expression-heavy per-row stages.
+
+    The synthetic tables are single parquet files (1 input split), which
+    serializes CPU-bound per-row work onto one core. On a real cluster
+    the input would already be many files; this restores that shape. Use
+    only ahead of expensive per-row compute — it is a full shuffle of the
+    rows."""
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(partitions)
+
+
 class Tables:
     """Lazy attribute-style access: ``t = Tables(spark, sf); t.lineitem``."""
 
