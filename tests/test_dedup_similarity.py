@@ -1,0 +1,118 @@
+"""Dedup family (exact/minhash/LSH/simhash/jaccard) and similarity
+search (exact kNN vs LSH ANN) — SURVEY §2.10 U2/U7 + the LLM-pipeline
+operator family."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from market_analyze_data_stream_processing_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    jaccard_pairs,
+    lsh_band_candidates,
+    minhash_signatures,
+    simhash,
+)
+from market_analyze_data_stream_processing_spark.operators.similarity import (
+    ann_lsh,
+    knn_exact,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, NEAR),          # near-dup of 0
+        (2, FAR),
+        (3, BASE),          # exact dup of 0 (after normalization)
+        (4, BASE.upper()),  # exact dup modulo case
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_normalized_copies(docs):
+    out = exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[0] == 3  # 0, 3, 4 share a fingerprint
+    assert by_id[1] == 1 and by_id[2] == 1
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sig = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+           for r in minhash_signatures(docs).collect()}
+    assert sig[0] == sig[3]
+    assert sig[0] != sig[2]
+    # near-dup shares most slots with high probability on 4 slots ≥1 shared
+    assert sum(a == b for a, b in zip(sig[0], sig[1])) >= 1
+
+
+def test_lsh_band_candidates_find_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_band_candidates(docs).collect()}
+    assert (0, 3) in pairs  # exact dups always collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_distance_orders_similarity(spark, docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", simhash(F.col("text"), bits=16).alias("sh")).collect()}
+    df = spark.createDataFrame(
+        [(out[0], out[1]), (out[0], out[2])], ["a", "b"]
+    ).select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    near_dist, far_dist = df[0]["d"], df[1]["d"]
+    assert near_dist < far_dist
+
+
+def test_jaccard_pairs_threshold(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs  # near-dup above threshold
+    assert all(k != (0, 2) for k in pairs)  # unrelated below threshold
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal(16)
+    rows = []
+    for i in range(200):
+        v = rng.standard_normal(16)
+        if i == 0:
+            v = 2.0 * q  # exactly parallel: guaranteed same LSH bucket
+        elif i < 5:
+            v = q + 0.1 * (i + 1) * v  # progressively farther
+        rows.append((i, [float(x) for x in v], i % 3))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"]), [float(x) for x in q]
+
+
+def test_knn_exact_matches_numpy(vectors):
+    df, q = vectors
+    got = [r["vec_id"] for r in knn_exact(df, q, k=5).collect()]
+    rows = df.collect()
+    qv = np.array(q)
+    sims = {
+        r["vec_id"]: float(
+            np.dot(r["embedding"], qv)
+            / (np.linalg.norm(r["embedding"]) * np.linalg.norm(qv))
+        )
+        for r in rows
+    }
+    expect = [k for k, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    assert got == expect
+
+
+def test_ann_lsh_recall_on_top1(vectors):
+    df, q = vectors
+    exact_top = [r["vec_id"] for r in knn_exact(df, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ann_lsh(df, q, k=5, n_planes=4).collect()]
+    # sign-LSH keeps same-direction vectors in the query bucket: the top-1
+    # (nearly parallel to q) must survive bucketing
+    assert exact_top[0] in approx

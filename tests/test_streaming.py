@@ -1,0 +1,195 @@
+"""Streaming pipeline replay (SURVEY §2.1 S2–S7, §2.9 X1–X8): fixture
+JSON messages → file stream → topic dispatch → foreachBatch upserts →
+assert prices/docs table state, retention, watermark dedup, heartbeat."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_analyze_data_stream_processing_spark.operators.analytics import keep_last
+from market_analyze_data_stream_processing_spark.sources.json_topics import (
+    clean_metadata,
+    drop_empty_titles,
+    synthesize_doc_id,
+)
+from market_analyze_data_stream_processing_spark.streaming.heartbeat import (
+    HeartbeatListener,
+    health_status,
+)
+from market_analyze_data_stream_processing_spark.streaming.ingest import (
+    TOPICS,
+    file_json_stream,
+    split_by_topic,
+)
+from market_analyze_data_stream_processing_spark.streaming.upsert import (
+    keep_last_merge,
+    retention_filter,
+    stream_upsert_parquet,
+    upsert_parquet,
+)
+
+NOW = 1700000000.0
+
+
+def _msg(topic, key, **payload):
+    return json.dumps({"topic": topic, "key": key, "value": json.dumps(payload)})
+
+
+@pytest.fixture()
+def fixture_dir(tmp_path):
+    msgs = [
+        # two bars for MC.PA, one date re-sent with a corrected close (keep-last)
+        _msg(TOPICS["history"], "MC.PA", ticker="MC.PA", date="2024-01-01",
+             Open=700.0, High=710.0, Low=695.0, Close=705.0, Volume=1000),
+        _msg(TOPICS["history"], "MC.PA", ticker="MC.PA", date="2024-01-02",
+             Open=705.0, High=720.0, Low=700.0, Close=715.0, Volume=1200),
+        _msg(TOPICS["history"], "MC.PA", ticker="MC.PA", date="2024-01-01",
+             Open=700.0, High=712.0, Low=695.0, Close=708.0, Volume=1100),
+        # docs: news + technical (upsert key) re-sent twice + expired summary
+        _msg(TOPICS["news"], "MC.PA", ticker="MC.PA", title="LVMH gains", id="n1",
+             type="news", publish_time=NOW - 1000),
+        _msg(TOPICS["news"], "MC.PA", ticker="MC.PA",
+             title="Technical Analysis MC.PA (BEARISH)", type="technical",
+             publish_time=NOW - 900, mean_50=100.0),
+        _msg(TOPICS["news"], "MC.PA", ticker="MC.PA",
+             title="Technical Analysis MC.PA (BULLISH)", type="technical",
+             publish_time=NOW - 100, mean_50=105.0),
+        _msg(TOPICS["daily"], "MC.PA", ticker="MC.PA", title="Old summary",
+             type="daily_summary", publish_time=NOW - 40 * 86400),
+        _msg(TOPICS["daily"], "MC.PA", ticker="MC.PA", title="Fresh summary",
+             type="daily_summary", publish_time=NOW - 86400),
+    ]
+    d = tmp_path / "msgs"
+    d.mkdir()
+    (d / "batch0.json").write_text("\n".join(msgs))
+    return str(d)
+
+
+def test_replay_to_prices_and_docs_tables(spark, fixture_dir, tmp_path):
+    raw = file_json_stream(spark, fixture_dir)
+    streams = split_by_topic(raw)
+
+    prices_path = str(tmp_path / "prices")
+    docs_path = str(tmp_path / "docs")
+
+    q1 = stream_upsert_parquet(
+        streams["history"], prices_path, keys=["ticker", "date"], order=[],
+        checkpoint=str(tmp_path / "cp1"), trigger_once=True,
+    )
+
+    docs = drop_empty_titles(streams["docs"])
+    docs = synthesize_doc_id(docs)
+    docs = clean_metadata(docs, sentiment=F.lit(0.0))
+    q2 = stream_upsert_parquet(
+        docs, docs_path, keys=["id"], order=[],
+        checkpoint=str(tmp_path / "cp2"),
+        retention_predicate=retention_filter(NOW),
+        trigger_once=True,
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    prices = spark.read.parquet(prices_path)
+    got = {(r["ticker"], r["date"]): r for r in prices.collect()}
+    assert len(got) == 2  # keep-last collapsed the re-sent bar
+    assert got[("MC.PA", "2024-01-01")]["Close"] == 708.0  # corrected value won
+
+    docs_t = spark.read.parquet(docs_path)
+    by_id = {r["id"]: r for r in docs_t.collect()}
+    # technical upsert key: one live row, latest content (X7)
+    assert by_id["LATEST_TECH_MC.PA"]["doc"].endswith("(BULLISH)")
+    # retention: 40-day-old summary dropped, fresh one kept (X6)
+    assert not any("Old summary" in (r["doc"] or "") for r in by_id.values())
+    assert any("Fresh summary" in (r["doc"] or "") for r in by_id.values())
+    assert "NEWS_MC.PA_n1" in by_id
+
+
+def test_upsert_parquet_idempotent_replay(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("A", 1, 10.0), ("A", 2, 20.0)], ["k", "seq", "v"])
+    upsert_parquet(spark, df, path, keys=["k"], order=["seq"])
+    upsert_parquet(spark, df, path, keys=["k"], order=["seq"])  # replayed batch
+    out = spark.read.parquet(path).collect()
+    assert len(out) == 1 and out[0]["v"] == 20.0
+
+
+def test_keep_last_merge_prefers_incoming_on_higher_seq(spark):
+    old = spark.createDataFrame([("A", 1, 10.0)], ["k", "seq", "v"])
+    new = spark.createDataFrame([("A", 2, 99.0), ("B", 1, 5.0)], ["k", "seq", "v"])
+    out = {r["k"]: r["v"] for r in keep_last_merge(old, new, ["k"], ["seq"]).collect()}
+    assert out == {"A": 99.0, "B": 5.0}
+
+
+def test_watermark_dedup_drops_repeated_ids(spark, tmp_path):
+    from market_analyze_data_stream_processing_spark.streaming.ingest import (
+        with_watermark_dedup,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rows = [
+        {"id": "a", "ts": "2024-01-01 00:00:00"},
+        {"id": "a", "ts": "2024-01-01 00:00:30"},  # duplicate id within watermark
+        {"id": "b", "ts": "2024-01-01 00:01:00"},
+    ]
+    (d / "f.json").write_text("\n".join(json.dumps(r) for r in rows))
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("id", StringType()), StructField("ts", StringType())])
+    stream = (
+        spark.readStream.schema(schema).json(str(d))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    dedup = with_watermark_dedup(stream, ["id"], "ts", "10 minutes")
+    out_path = str(tmp_path / "out")
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path).collect()
+    assert sorted(r["id"] for r in got) == ["a", "b"]
+
+
+def test_heartbeat_health_classification(tmp_path):
+    p = str(tmp_path / "hb.txt")
+    assert health_status(p) == "OFFLINE"  # missing file
+    with open(p, "w") as f:
+        f.write(str(NOW))
+    assert health_status(p, NOW + 60) == "ONLINE"
+    assert health_status(p, NOW + 300) == "LAGGING"
+    assert health_status(p, NOW + 8000) == "OFFLINE"
+    with open(p, "w") as f:
+        f.write("garbage")
+    assert health_status(p, NOW) == "OFFLINE"
+
+
+def test_heartbeat_listener_writes_on_progress(spark, tmp_path):
+    p = str(tmp_path / "hb.txt")
+    listener = HeartbeatListener(p)
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .start()
+        )
+        deadline = time.time() + 60
+        ok = False
+        while time.time() < deadline:
+            if health_status(p) == "ONLINE":
+                ok = True
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert ok
+    finally:
+        spark.streams.removeListener(listener)
