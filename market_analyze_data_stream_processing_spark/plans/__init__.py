@@ -11,5 +11,6 @@ from . import relational  # noqa: E402,F401
 from . import market  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401
 
 __all__ = ["QUERIES", "register"]

@@ -1,0 +1,448 @@
+"""Second-wave oracle queries: sessionization, cumulative windows,
+exact percentiles, statistical aggregates, vector centroids, token
+frequency, and additional TPC-H shapes (Q6/Q10/Q14/Q18/Q19 adapted to
+the synthetic schema). Extends coverage of SURVEY §2.3–2.8 plus the
+streaming-adjacent session-window operator the reference lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import stable_round
+from ..sources.tables import load_table, load_tables
+from .registry import register
+
+
+@register(
+    "q06_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure filter + agg — every predicate pushes into the "
+    "parquet scan (min/max pruning), zero shuffle beyond the final fold.",
+)
+def q06_forecast_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10: returned-item revenue per customer, top 20.",
+)
+def q10_returned_items(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = t.lineitem.where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END), 2) AS promo_revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14: conditional-sum promo share; part is broadcast.",
+)
+def q14_promo_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    l = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(disc), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) t ON t.l_orderkey = o.o_orderkey
+    ORDER BY totalprice DESC, o_orderkey
+    """,
+    doc="TPC-H Q18: large-volume orders via HAVING-filtered subquery join.",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        t.orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19: OR-of-ANDs join predicates (optimizer CNF extraction).",
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    j = t.lineitem.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_sessionize",
+    """
+    WITH x AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, event_id, ts_us,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM x
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           floor((max(ts_us) - min(ts_us)) / 1000000.0 * 100 + 0.5) / 100 AS duration_sec
+    FROM s GROUP BY user_id, session_idx
+    """,
+    doc="Sessionization (gap > 30 min ⇒ new session): lag → new-session "
+    "flag → running sum → per-session rollup. The batch equivalent of "
+    "Structured Streaming's session_window; one shuffle on user_id.",
+)
+def q_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    prev = F.lag(ts_us).over(w)
+    is_new = F.when(prev.isNull() | (ts_us - prev > 1800 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        e.withColumn("ts_us", ts_us)
+        .withColumn("is_new", is_new)
+        .withColumn("session_idx", F.sum("is_new").over(run))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_round((F.max("ts_us") - F.min("ts_us")) / 1e6, 2).alias("duration_sec"),
+    )
+
+
+@register(
+    "q_cumulative_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) * 100 + 0.5) / 100
+               AS cum_spend,
+           row_number() OVER w AS order_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="Running cumulative sum per customer (decimal-exact windowed sum, "
+    "engine-portable rounding).",
+)
+def q_cumulative_spend(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        stable_round(cum, 2).alias("cum_spend"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_rank"),
+    )
+
+
+@register(
+    "q_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exact continuous percentiles per key (linear interpolation — the "
+    "approx_percentile scale path is the same plan with a sketch agg).",
+)
+def q_percentiles(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_stats_agg",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS var,
+           round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uid,
+           round(min(value), 4) AS vmin,
+           round(max(value), 4) AS vmax
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Statistical aggregates (stddev/variance/correlation) per key.",
+)
+def q_stats_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("var"),
+            F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_uid"),
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_embedding_centroids",
+    """
+    SELECT label, i AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid
+    FROM embeddings, range(1, 65) AS r(i)
+    GROUP BY label, i
+    """,
+    doc="Per-label centroid (elementwise mean): posexplode → two-key agg. "
+    "The k-means/IVF building block — one shuffle on (label, dim).",
+)
+def q_embedding_centroids(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+    )
+
+
+@register(
+    "q_token_frequency",
+    r"""
+    SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+    doc="Corpus token frequency + document frequency, top 50 (the TF/DF "
+    "primitive behind quality filters and IDF weighting).",
+)
+def q_token_frequency(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "q_date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d,
+           year(o_orderdate) AS y,
+           quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m,
+           dayofweek(o_orderdate) AS dow,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS plus_90d
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="F6/F7 date/time function family (parts, last_day, diff, add).",
+)
+def q_date_functions(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            # DuckDB dayofweek: 0=Sunday..6; Spark dayofweek: 1=Sunday..7
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+            F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 90), "yyyy-MM-dd").alias("plus_90d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           reverse(c_name) AS rname,
+           levenshtein(c_name, 'Customer#000000042') AS lev42,
+           length(c_name) AS name_len,
+           replace(c_name, 'Customer', 'Client') AS renamed
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="F1/F2 string function family (case, pad, reverse, edit distance).",
+)
+def q_string_functions(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.select(
+            "c_custkey",
+            F.upper("c_name").alias("uname"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+            F.reverse("c_name").alias("rname"),
+            F.levenshtein("c_name", F.lit("Customer#000000042")).alias("lev42"),
+            F.length("c_name").alias("name_len"),
+            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Client")).alias("renamed"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_cube_status",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE grouping sets over orders.",
+)
+def q_cube_status(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
