@@ -12,5 +12,6 @@ from . import market  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
+from . import media  # noqa: E402,F401
 
 __all__ = ["QUERIES", "register"]
