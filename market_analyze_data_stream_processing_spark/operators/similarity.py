@@ -76,6 +76,56 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def ann_ivf(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 20,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "label",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF-style ANN: coarse cells from per-cluster centroids, probe the
+    ``n_probe`` cells nearest the query, exact cosine inside them.
+
+    Structure of a production IVF index: centroids are tiny (collected +
+    broadcast as literal vectors), cell assignment is a pure expression
+    argmax over centroid similarities, and at scale the table is
+    partitioned by cell id so probing = partition pruning. Here the
+    coarse clustering seeds from ``cluster_col`` groups (a k-means
+    iteration would refine the same structure).
+    """
+    import numpy as np
+
+    cents = (
+        df.select(F.col(cluster_col).alias("c"), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("c", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("c")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vec"))
+        .select("c", F.transform("vec", lambda s: s["m"]).alias("vec"))
+        .collect()
+    )
+    centroids = {int(r["c"]): np.asarray(r["vec"], dtype=np.float64) for r in cents}
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else -1.0
+
+    probe = sorted(centroids, key=lambda c: -cos(centroids[c], qv))[:n_probe]
+
+    emb = as_double(F.col(vec_col))
+    sims = [cosine_sim(emb, lit_vector(centroids[c].tolist())) for c in sorted(centroids)]
+    best = F.greatest(*sims)
+    cell = F.lit(None).cast("int")
+    for i, c in enumerate(sorted(centroids)):
+        cell = F.when(sims[i] == best, F.lit(c)).otherwise(cell)
+    pruned = df.withColumn("__cell", cell).where(F.col("__cell").isin(probe)).drop("__cell")
+    return knn_exact(pruned, query_vec, k=k, vec_col=vec_col, id_col=id_col, round_to=round_to)
+
+
 def ann_lsh(
     df: DataFrame,
     query_vec: Sequence[float],

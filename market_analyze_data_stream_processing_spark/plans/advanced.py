@@ -446,3 +446,163 @@ def q_cube_status(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
     )
+
+
+@register(
+    "q_conditional_agg",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 4) AS purchase_value,
+           count(*) AS n_total
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Conditional aggregation (FILTER clause / count_if family).",
+)
+def q_conditional_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count_if(is_p).alias("n_purchases"),
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)), 4
+            ).alias("purchase_value"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_window_lead_first",
+    """
+    SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           first_value(o_orderkey) OVER w AS first_orderkey,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_orderkey,
+           ntile(4) OVER w AS quartile,
+           rank() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS price_rank,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Analytic window family: lead / first_value / nth_value / ntile / "
+    "rank / dense_rank (decimal order key keeps rank ties engine-exact).",
+)
+def q_window_lead_first(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, 0)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.nth_value("o_orderkey", 2).over(wrows).alias("second_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank()
+        .over(Window.partitionBy("o_custkey").orderBy(F.desc(F.col("o_totalprice").cast("decimal(18,2)"))))
+        .alias("price_rank"),
+        F.dense_rank()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderstatus"))
+        .alias("status_rank"),
+    )
+
+
+@register(
+    "q_array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS arr_len,
+           round(list_sum(embedding[1:8]::DOUBLE[]), 6) AS head8_sum,
+           round(list_max(embedding)::DOUBLE, 6) AS max_elem,
+           round(list_min(embedding)::DOUBLE, 6) AS min_elem,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS l1_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="Array function family over the vector column (size/slice/fold/"
+    "elementwise transform) — all JVM-side, no UDF.",
+)
+def q_array_functions(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("arr_len"),
+        F.round(fold(F.slice(emb_d, 1, 8)), 6).alias("head8_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_elem"),
+        F.round(fold(F.transform(emb_d, lambda x: F.abs(x))), 6).alias("l1_norm"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS n_bpe_tokens,
+           len(regexp_extract_all(lower(text), ' ?[0-9]+')) AS n_number_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="BPE-ish pretokenization (GPT-2-style regex split classes): token "
+    "counts per doc — the token-budget primitive for corpus planning.",
+)
+def q_bpe_tokens(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(" ?[0-9]+"), F.lit(0))).alias("n_number_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_tfidf_top_tokens",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ), stats AS (
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token, tf, df,
+           round(tf * ln((n.n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+    FROM stats, n
+    ORDER BY tfidf DESC, token
+    LIMIT 25
+    """,
+    doc="TF-IDF weighting of corpus tokens (the IDF join is a 1-row "
+    "broadcast; ln on identical doubles is engine-exact).",
+)
+def q_tfidf_top_tokens(spark, sf_dir):
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "token")
+        .limit(25)
+    )

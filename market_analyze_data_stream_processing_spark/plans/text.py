@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators.dedup import exact_dedup, jaccard_pairs, minhash_signatures
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_band_candidates,
+    minhash_signatures,
+    simhash_fingerprints,
+)
 from ..sources.tables import load_table, spread
 from .registry import register
 
@@ -250,3 +256,26 @@ def q_doc_source_stats(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "q_simhash",
+    None,  # xxhash64-based: engine-specific hash, no SQL oracle (tests cover goldens)
+    doc="SimHash 64-bit fingerprints (sign-aggregated shingle hash bits), "
+    "pure array expressions — map-only at scale. Rows-only check.",
+)
+def q_simhash(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return simhash_fingerprints(d, id_col="doc_id", text_col="text", bits=64, shingle_n=2)
+
+
+@register(
+    "q_lsh_band_candidates",
+    None,  # xxhash64-based banding; candidate semantics tested in pytest
+    doc="MinHash-LSH banded candidate pairs (8 hashes, 4 bands): the "
+    "at-scale near-dup candidate generator — shuffles band keys, never "
+    "all-pairs. Rows-only check.",
+)
+def q_lsh_band_candidates(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return lsh_band_candidates(d, id_col="doc_id", text_col="text", n_hashes=8, bands=4)

@@ -9,7 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine_sim, lit_vector
-from ..operators.similarity import ann_lsh, knn_exact
+from ..operators.similarity import ann_ivf, ann_lsh, knn_exact
 from ..sources.tables import load_table
 from .registry import register
 
@@ -131,3 +131,16 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh(e, qv, k=20, n_planes=8, vec_col="embedding", id_col="vec_id").select(
         "vec_id", "label", "sim"
     )
+
+
+@register(
+    "q_ann_ivf",
+    None,  # approximate: recall vs exact is tested in pytest
+    doc="U2 scale path #2: IVF-style ANN — coarse centroid cells, probe "
+    "the 2 nearest cells, exact cosine within. At 100 TB the corpus is "
+    "partitioned by cell id ⇒ probing is partition pruning.",
+)
+def q_ann_ivf(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    return ann_ivf(e, qv, k=20, n_probe=2).select("vec_id", "label", "sim")

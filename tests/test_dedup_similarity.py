@@ -15,8 +15,10 @@ from market_analyze_data_stream_processing_spark.operators.dedup import (
     lsh_band_candidates,
     minhash_signatures,
     simhash,
+    simhash_fingerprints,
 )
 from market_analyze_data_stream_processing_spark.operators.similarity import (
+    ann_ivf,
     ann_lsh,
     knn_exact,
 )
@@ -116,3 +118,20 @@ def test_ann_lsh_recall_on_top1(vectors):
     # sign-LSH keeps same-direction vectors in the query bucket: the top-1
     # (nearly parallel to q) must survive bucketing
     assert exact_top[0] in approx
+
+
+def test_simhash_fingerprints_match_expression_form(docs):
+    # the scale (explode+agg) form must equal the per-row array-fold form
+    agg = {r["doc_id"]: r["fingerprint"]
+           for r in simhash_fingerprints(docs, bits=64, shingle_n=2).collect()}
+    expr = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", simhash(F.col("text"), bits=64, shingle_n=2).alias("fp")).collect()}
+    assert agg == expr
+
+
+def test_ann_ivf_finds_parallel_top1(vectors):
+    df, q = vectors
+    exact_top = [r["vec_id"] for r in knn_exact(df, q, k=5).collect()]
+    got = [r["vec_id"] for r in ann_ivf(df, q, k=5, n_probe=2, cluster_col="label").collect()]
+    assert exact_top[0] in got  # exactly-parallel vector survives cell probing
+    assert len(got) == 5
