@@ -606,3 +606,50 @@ def q_tfidf_top_tokens(spark, sf_dir):
         .orderBy(F.desc("tfidf"), "token")
         .limit(25)
     )
+
+
+@register(
+    "q_grouped_pandas_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS q25,
+           round(quantile_cont(value, 0.75), 4) AS q75,
+           round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 4) AS iqr
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="UDAF surface (SURVEY §2.10): grouped applyInPandas computing "
+    "IQR quantiles in numpy — Arrow batches per group, oracle-checked "
+    "against quantile_cont (numpy 'linear' interpolation is the same "
+    "estimator). The pattern slot for custom per-key model aggregation.",
+)
+def q_grouped_pandas_quantiles(spark, sf_dir):
+    import pandas as pd
+
+    from ..session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+    e = load_table(spark, sf_dir, "events")
+
+    def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        q25, q75 = np.percentile(pdf["value"].to_numpy(np.float64), [25.0, 75.0])
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "q25": round(q25, 4),
+                    "q75": round(q75, 4),
+                    "iqr": round(q75 - q25, 4),
+                }
+            ]
+        )
+
+    return (
+        e.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(quantiles, "event_type string, q25 double, q75 double, iqr double")
+        .orderBy("event_type")
+    )

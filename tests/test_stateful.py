@@ -1,0 +1,78 @@
+"""applyInPandasWithState: latest-per-key with bounded state (X7)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from market_analyze_data_stream_processing_spark.streaming.stateful import (
+    latest_per_key_stateful,
+)
+
+IN_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("value", DoubleType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+
+def test_latest_per_key_stateful_across_batches(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    # batch 0: two keys; batch 1: A advances, stale A ignored, C appears
+    (d / "b0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"key": "A", "seq": 1, "value": 10.0, "payload": "a1"},
+                {"key": "A", "seq": 3, "value": 30.0, "payload": "a3"},
+                {"key": "B", "seq": 1, "value": 5.0, "payload": "b1"},
+            ]
+        )
+    )
+    (d / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"key": "A", "seq": 2, "value": 20.0, "payload": "stale"},
+                {"key": "A", "seq": 9, "value": 90.0, "payload": "a9"},
+                {"key": "C", "seq": 1, "value": 1.0, "payload": "c1"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema(IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = latest_per_key_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM latest_state").collect()
+    # final state per key = max seq ever seen; stale updates never emitted
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["seq"] > final[r["key"]]["seq"]:
+            final[r["key"]] = r
+    assert final["A"]["payload"] == "a9" and final["A"]["value"] == 90.0
+    assert final["B"]["payload"] == "b1"
+    assert final["C"]["payload"] == "c1"
+    assert not any(r["payload"] == "stale" for r in rows)

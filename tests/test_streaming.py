@@ -193,3 +193,57 @@ def test_heartbeat_listener_writes_on_progress(spark, tmp_path):
         assert ok
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_windowed_agg_with_watermark_drops_late_data(spark, tmp_path):
+    """X2/X5: tumbling window + watermark; an event older than the
+    watermark at its arrival is dropped from the aggregation."""
+    d = tmp_path / "in2"
+    d.mkdir()
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", StringType()),
+        StructField("ts", StringType()),
+        StructField("v", DoubleType()),
+    ])
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema).json(str(d))
+            .withColumn("ts", F.to_timestamp("ts"))
+            .withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "10 minutes"), F.col("k"))
+            .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.format("parquet").outputMode("append")
+            .option("path", str(tmp_path / "out2"))
+            .option("checkpointLocation", str(tmp_path / "cp3"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    # run 1 advances the watermark to 10:54 (10:59 - 5 min); the
+    # checkpoint carries it into run 2, where a 10:00:30 event is late
+    # beyond the watermark => dropped from its (already closed) window
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in [
+        {"k": "A", "ts": "2024-01-01 10:00:00", "v": 1.0},
+        {"k": "A", "ts": "2024-01-01 10:59:00", "v": 2.0},
+    ]))
+    run_once()
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+        {"k": "A", "ts": "2024-01-01 10:00:30", "v": 100.0},  # late: dropped
+        {"k": "A", "ts": "2024-01-01 11:30:00", "v": 3.0},    # advances time
+        {"k": "A", "ts": "2024-01-01 12:30:00", "v": 4.0},    # closes 11:30 win
+    ]))
+    run_once()
+    rows = spark.read.parquet(str(tmp_path / "out2")).collect()
+    by_win = {}
+    for r in rows:
+        key = r["window"].start.strftime("%H:%M")
+        by_win.setdefault(key, []).append(r)
+    # the 10:00 window closed with ONLY the on-time event; late v=100 dropped
+    assert len(by_win["10:00"]) == 1
+    assert by_win["10:00"][0]["total"] == 1.0 and by_win["10:00"][0]["n"] == 1
+    assert by_win["11:30"][0]["total"] == 3.0  # on-time event flowed through
