@@ -420,3 +420,65 @@ def q_humanize_fmt(spark, sf_dir):
         .otherwise("large")
     )
     return e.select("event_id", human.alias("human"), bucket.alias("bucket"))
+
+
+@register(
+    "q_message_daily_summary",
+    _BARS_CTE
+    + """
+    , ranked AS (
+        SELECT ticker, date_trunc('day', ts) AS day, price, ts, seq,
+               row_number() OVER (PARTITION BY ticker, date_trunc('day', ts) ORDER BY ts, seq) AS rn_a,
+               row_number() OVER (PARTITION BY ticker, date_trunc('day', ts) ORDER BY ts DESC, seq DESC) AS rn_d
+        FROM bars
+    ), daily AS (
+        SELECT ticker, day,
+               max(CASE WHEN rn_a = 1 THEN price END) AS open_px,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close_px,
+               max(price) AS high_px, min(price) AS low_px,
+               count(*) AS n_bars
+        FROM ranked GROUP BY ticker, day
+    ), seq AS (
+        SELECT *, lag(close_px) OVER (PARTITION BY ticker ORDER BY day) AS prev_close,
+               row_number() OVER (PARTITION BY ticker ORDER BY day DESC) AS rn
+        FROM daily
+    )
+    SELECT ticker,
+           'Daily Summary ' || ticker AS title,
+           'Daily Summary for ' || ticker || ':\n'
+             || '- Open: ' || printf('%.2f', open_px) || '\n'
+             || '- Close: ' || printf('%.2f', close_px) || '\n'
+             || '- Variation: ' || printf('%.2f', CASE WHEN prev_close IS NULL OR prev_close = 0
+                                                       THEN 0.0
+                                                       ELSE (close_px - prev_close) / prev_close * 100 END) || '%\n'
+             || '- Volume: ' || CAST(n_bars AS VARCHAR) || '\n'
+             || '- Low: ' || printf('%.2f', low_px) || '\n'
+             || '- High: ' || printf('%.2f', high_px) || '\n' AS summary,
+           'daily_summary' AS type,
+           'system_summary' AS source
+    FROM seq WHERE rn = 1 AND prev_close IS NOT NULL
+    """,
+    doc="F2/A1/A9 template parity: the producer's daily-summary message "
+    "(producer.py:154-199) rendered from the bar table — latest day per "
+    "ticker, yesterday's-close variation, byte-compatible text (regex "
+    "round-trip tested in pytest). Oracle checks the rendered string.",
+)
+def q_message_daily_summary(spark, sf_dir):
+    from ..operators.analytics import daily_summary
+    from ..operators.messages import daily_summary_messages
+
+    bars = _bars(spark, sf_dir)
+    daily = daily_summary(
+        bars, value_col="price", volume_col=None, key="ticker", ts_col="ts",
+        seq_col="seq", round_to=9,
+    )
+    # daily_summary() returns day as yyyy-MM-dd string — already sortable;
+    # shape it like a bar table for the message builder.
+    shaped = daily.select(
+        "ticker", F.col("day").alias("date"),
+        F.col("open_px").alias("Open"), F.col("close_px").alias("Close"),
+        F.col("high_px").alias("High"), F.col("low_px").alias("Low"),
+        F.col("n_bars").alias("Volume"),
+    )
+    msg = daily_summary_messages(shaped, publish_time=F.lit(0))
+    return msg.select("ticker", "title", "summary", "type", "source")
