@@ -206,11 +206,15 @@ def q_minhash_signature(spark, sf_dir):
             SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
             FROM w WHERE len(toks) >= 3
         )
+    ), rare AS (
+        SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+    ), shp AS (
+        SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
     ), sizes AS (
-        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        SELECT doc_id, count(*) AS n_sh FROM shp GROUP BY doc_id
     ), common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b, n_common,
@@ -220,13 +224,15 @@ def q_minhash_signature(spark, sf_dir):
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
     """,
-    doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index "
-    "(candidate generation = join on shingle, DF-pruned for skew at scale).",
+    doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index; "
+    "shingles in >100 docs are dropped on BOTH sides (document-frequency "
+    "pruning — the skew guard that bounds join fan-out at scale).",
 )
 def q_near_dup_jaccard(spark, sf_dir):
     d = spread(load_table(spark, sf_dir, "documents"))
     pairs = jaccard_pairs(
-        d, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1, max_shingle_df=None
+        d, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1,
+        max_shingle_df=100,  # mirrored in the oracle: bounds candidate fan-out
     )
     return pairs.select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
 

@@ -1,0 +1,65 @@
+"""Table layout helpers — the 100 TB storage story (SURVEY §4 O1/O7):
+
+- ``write_partitioned``: hive-style partition directories; equality and
+  IN filters on partition columns become partition PRUNING (the scan
+  never lists non-matching directories). The reference's per-ticker CSV
+  files were an accidental version of this; here it's the planner's.
+- ``write_bucketed``: co-located join layout; two tables bucketed by the
+  same key join WITHOUT a shuffle (SortMergeJoin reads bucket-aligned
+  splits). This is how the prices⋈docs or orders⋈lineitem join avoids
+  moving 100 TB.
+- ``retention_drop_partitions``: retention as partition deletion (O(1)
+  metadata per day dropped) — the scale form of X6 instead of row
+  deletes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table, format="parquet")
+
+
+def retention_drop_partitions(
+    path: str, partition_col: str, keep_predicate
+) -> list[str]:
+    """Drop whole partition directories failing ``keep_predicate(value)``.
+    Returns dropped partition values. Metadata-cost retention: no data
+    rewrite for surviving partitions."""
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        value = entry.split("=", 1)[1]
+        if not keep_predicate(value):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            dropped.append(value)
+    return dropped
+
+
+def explain_string(df: DataFrame, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)

@@ -1,0 +1,72 @@
+"""Table layout: partition pruning, bucketed shuffle-free joins,
+partition-drop retention (the 100 TB storage mechanics, asserted on the
+physical plan)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_analyze_data_stream_processing_spark.sources.storage import (
+    explain_string,
+    retention_drop_partitions,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    rows = [
+        (t, f"2024-01-{d:02d}", 100.0 + d)
+        for t in ["MC.PA", "AIR.PA", "SU.PA"]
+        for d in range(1, 6)
+    ]
+    return spark.createDataFrame(rows, ["ticker", "date", "Close"])
+
+
+def test_partition_pruning_hits_one_directory(spark, prices, tmp_path):
+    path = str(tmp_path / "prices_part")
+    write_partitioned(prices, path, ["ticker"])
+    assert sorted(e for e in os.listdir(path) if e.startswith("ticker=")) == [
+        "ticker=AIR.PA", "ticker=MC.PA", "ticker=SU.PA",
+    ]
+    q = spark.read.parquet(path).where(F.col("ticker") == "MC.PA")
+    plan = explain_string(q)
+    assert "PartitionFilters" in plan and "MC.PA" in plan
+    assert q.count() == 5
+
+
+def test_bucketed_join_has_no_shuffle(spark, prices, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        for t in ("t_prices_b", "t_meta_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        write_bucketed(prices, "t_prices_b", ["ticker"], n_buckets=4, sort_cols=["ticker"])
+        meta = prices.select("ticker").distinct().withColumn("sector", F.lit("lux"))
+        write_bucketed(meta, "t_meta_b", ["ticker"], n_buckets=4, sort_cols=["ticker"])
+        j = spark.table("t_prices_b").join(spark.table("t_meta_b"), "ticker")
+        plan = explain_string(j)
+        assert "SortMergeJoin" in plan
+        # bucket-aligned scan: no Exchange feeds the join
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 15
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_retention_drop_partitions(spark, prices, tmp_path):
+    path = str(tmp_path / "by_date")
+    write_partitioned(prices, path, ["date"])
+    dropped = retention_drop_partitions(path, "date", lambda d: d >= "2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(path)
+    assert left.count() == 9  # 3 tickers × 3 surviving days
+    # partition values are type-inferred (string → date) on read
+    assert str(left.agg(F.min("date")).first()[0]) == "2024-01-03"
