@@ -653,3 +653,109 @@ def q_grouped_pandas_quantiles(spark, sf_dir):
         .applyInPandas(quantiles, "event_type string, q25 double, q75 double, iqr double")
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_range_join",
+    """
+    SELECT p.event_id AS purchase_id, count(c.event_id) AS n_recent_clicks,
+           round(coalesce(sum(c.value), 0.0), 4) AS click_value
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    doc="Interval range join (the batch form of a stream-stream join with "
+    "a time bound): clicks within 30 min before each purchase, per user. "
+    "Equi-key on user_id carries the hash partitioning; the range bound "
+    "filters within partitions.",
+)
+def q_range_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.col("event_id").alias("c_id"),
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return j.groupBy("purchase_id").agg(
+        F.count("c_id").alias("n_recent_clicks"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias("click_value"),
+    )
+
+
+@register(
+    "q_pivot_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Pivot (long→wide): per-user event-type count matrix via Spark's "
+    "pivot with explicit values (no distinct-discovery pass at scale).",
+)
+def q_pivot_counts(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .orderBy("user_id")
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "q_null_semantics",
+    """
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0) AS disc_or_null,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_default,
+           CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 'none' ELSE 'some' END AS disc_class,
+           ifnull(nullif(l_tax, 0.0), 0.999) AS tax_default
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="NULL-handling family: nullif/coalesce/ifnull and NULL-aware CASE.",
+)
+def q_null_semantics(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return (
+        t.lineitem.where(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            disc_null.alias("disc_or_null"),
+            F.coalesce(disc_null, F.lit(-1.0)).alias("disc_default"),
+            F.when(disc_null.isNull(), "none").otherwise("some").alias("disc_class"),
+            F.ifnull(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.999)).alias("tax_default"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

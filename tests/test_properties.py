@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the expression kernels: each
+example batch becomes ONE DataFrame round trip, keeping Spark action
+count low while fuzzing values."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from market_analyze_data_stream_processing_spark.functions.scalars import (
+    pct_change,
+    stable_round,
+)
+from market_analyze_data_stream_processing_spark.functions.vectors import (
+    as_double,
+    cosine_sim,
+)
+from market_analyze_data_stream_processing_spark.operators.analytics import keep_last
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=40))
+def test_pct_change_matches_python_reference(spark, pairs):
+    df = spark.createDataFrame(
+        [(i, c, p) for i, (c, p) in enumerate(pairs)], "i long, cur double, prev double"
+    )
+    got = {
+        r["i"]: r["x"]
+        for r in df.select("i", pct_change(F.col("cur"), F.col("prev")).alias("x")).collect()
+    }
+    for i, (cur, prev) in enumerate(pairs):
+        expect = 0.0 if prev == 0 else (cur - prev) / prev * 100.0
+        assert got[i] == expect or math.isclose(got[i], expect, rel_tol=1e-12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=40), st.integers(min_value=0, max_value=6))
+def test_stable_round_matches_floor_formula_and_is_idempotent(spark, vals, d):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    out = df.select(
+        "i",
+        stable_round(F.col("v"), d).alias("r1"),
+        stable_round(stable_round(F.col("v"), d), d).alias("r2"),
+    ).collect()
+    p = float(10**d)
+    for r in out:
+        v = vals[r["i"]]
+        assert r["r1"] == math.floor(v * p + 0.5) / p
+        assert r["r2"] == r["r1"]  # idempotent
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 1000), finite),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_keep_last_one_row_per_key_with_max_order(spark, rows):
+    df = spark.createDataFrame(
+        [(k, s, v) for k, s, v in rows], "k string, seq long, v double"
+    )
+    out = keep_last(df, key="k", order="seq").collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys))  # exactly one row per key
+    best = {}
+    for k, s, v in rows:
+        if k not in best or s > best[k]:
+            best[k] = s
+    assert {r["k"]: r["seq"] for r in out} == best
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cosine_similarity_bounds_and_self_similarity(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "i long, v array<double>",
+    )
+    out = df.select(
+        "i", cosine_sim(as_double(F.col("v")), as_double(F.col("v"))).alias("self_sim")
+    ).collect()
+    for r in out:
+        assert abs(r["self_sim"] - 1.0) < 1e-9
