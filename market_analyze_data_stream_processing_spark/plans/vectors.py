@@ -144,3 +144,69 @@ def q_ann_ivf(spark, sf_dir):
     qv = _query_vec(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     return ann_ivf(e, qv, k=20, n_probe=2).select("vec_id", "label", "sim")
+
+
+@register(
+    "q_retrieval_pipeline",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    joined AS (
+        SELECT d.doc_id, d.lang, d.n_chars, e.embedding
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.lang = 'en' AND e.vec_id <> 0
+    ), scored AS (
+        SELECT doc_id, n_chars, {_SIM_SQL.replace('e.embedding', 'joined.embedding')} AS sim,
+               exp(-n_chars / 1000.0) AS decay
+        FROM joined, q
+    )
+    SELECT doc_id, round(sim, 6) AS sim,
+           round(0.6 * sim + 0.4 * decay, 6) AS score
+    FROM scored
+    ORDER BY 0.6 * sim + 0.4 * decay DESC, doc_id
+    LIMIT 8
+    """,
+    doc="The reference's full retrieval shape (rag_engine.py:184-253) as "
+    "ONE oracle-checked plan: metadata filter -> join docs to vectors -> "
+    "cosine vs broadcast query -> 0.6*sim + 0.4*decay blend -> top-8. "
+    "Size-decay stands in for time-decay (deterministic on these tables).",
+)
+def q_retrieval_pipeline(spark, sf_dir):
+    from ..functions.scalars import composite_relevance
+
+    qv = _query_vec(spark, sf_dir, 0)
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    joined = d.join(e, d.doc_id == e.vec_id).select("doc_id", "n_chars", "embedding")
+    sim = cosine_sim(as_double(F.col("embedding")), lit_vector(qv))
+    decay = F.exp(-F.col("n_chars") / 1000.0)
+    score = composite_relevance(F.lit(0.0) + sim, decay, F.lit("REAL_TIME"))
+    return (
+        joined.withColumn("__sim", sim)
+        .withColumn("__score", F.lit(0.6) * F.col("__sim") + F.lit(0.4) * decay)
+        .orderBy(F.desc("__score"), F.asc("doc_id"))
+        .limit(8)
+        .select(
+            "doc_id",
+            F.round("__sim", 6).alias("sim"),
+            F.round("__score", 6).alias("score"),
+        )
+    )
+
+
+@register(
+    "q_approx_distinct",
+    None,  # HLL sketch is engine-specific; exact counterpart is q_distinct_agg
+    doc="Sketch path: approx_count_distinct (HyperLogLog++) per event_type "
+    "— the constant-memory form of COUNT(DISTINCT) at 100 TB. Rows-only "
+    "check; the exact counterpart is oracle-checked in q_distinct_agg.",
+)
+def q_approx_distinct(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -247,3 +247,61 @@ def test_windowed_agg_with_watermark_drops_late_data(spark, tmp_path):
     assert len(by_win["10:00"]) == 1
     assert by_win["10:00"][0]["total"] == 1.0 and by_win["10:00"][0]["n"] == 1
     assert by_win["11:30"][0]["total"] == 3.0  # on-time event flowed through
+
+
+def test_salted_join_equals_plain_join(spark):
+    from market_analyze_data_stream_processing_spark.operators.skew import salted_join
+
+    # one massively hot key + normal keys
+    big = spark.createDataFrame(
+        [("HOT", i, float(i)) for i in range(500)]
+        + [("k" + str(i % 7), i, float(i)) for i in range(100)],
+        ["key", "seq", "v"],
+    )
+    small = spark.createDataFrame(
+        [("HOT", "hotmeta"), ("k1", "m1"), ("k2", "m2")], ["key", "meta"]
+    )
+    plain = big.join(small, "key").groupBy("key").count()
+    salted = salted_join(big, small, "key", n_salts=8).groupBy("key").count()
+    assert {(r["key"], r["count"]) for r in plain.collect()} == {
+        (r["key"], r["count"]) for r in salted.collect()
+    }
+
+
+def test_stream_upsert_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once effect across restarts: run availableNow, add a file,
+    rerun with the SAME checkpoint — only the new file is merged and
+    keep-last still holds."""
+    d = tmp_path / "in3"
+    d.mkdir()
+    path = str(tmp_path / "tbl")
+
+    def run():
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("k", StringType()),
+            StructField("seq", LongType()),
+            StructField("v", DoubleType()),
+        ])
+        stream = spark.readStream.schema(schema).json(str(d))
+        q = stream_upsert_parquet(
+            stream, path, keys=["k"], order=["seq"],
+            checkpoint=str(tmp_path / "cp4"), trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    (d / "f1.json").write_text(json.dumps({"k": "A", "seq": 1, "v": 10.0}))
+    run()
+    assert spark.read.parquet(path).count() == 1
+    (d / "f2.json").write_text(
+        "\n".join([
+            json.dumps({"k": "A", "seq": 2, "v": 20.0}),
+            json.dumps({"k": "B", "seq": 1, "v": 5.0}),
+        ])
+    )
+    run()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {"A": 20.0, "B": 5.0}
