@@ -759,3 +759,28 @@ def q_null_semantics(spark, sf_dir):
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "q_histogram_buckets",
+    """
+    SELECT event_type,
+           CASE WHEN value < 0 THEN 0
+                WHEN value >= 200.0 THEN 21
+                ELSE CAST(floor(value * 20.0 / 200.0) + 1 AS INT) END AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, bucket
+    """,
+    doc="Equi-width histogram via width_bucket (the profiling/binning "
+    "primitive; two-key agg, map-side combined).",
+)
+def q_histogram_buckets(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    b = F.width_bucket("value", F.lit(0.0), F.lit(200.0), F.lit(20)).cast("int")
+    return (
+        e.groupBy("event_type", b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )

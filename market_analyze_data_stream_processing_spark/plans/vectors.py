@@ -22,14 +22,20 @@ _SIM_SQL = (
 )
 
 
+_QV_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _query_vec(spark, sf_dir, vec_id: int = 0):
-    row = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row["embedding"]]
+    key = (sf_dir, vec_id)
+    if key not in _QV_CACHE:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()
+        )
+        _QV_CACHE[key] = [float(x) for x in row["embedding"]]
+    return _QV_CACHE[key]
 
 
 @register(
