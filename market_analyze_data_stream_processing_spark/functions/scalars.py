@@ -93,3 +93,29 @@ def relative_time(ts_epoch: Column, now_epoch: Column) -> Column:
         .when(age < 86400, F.concat(F.floor(age / 3600).cast("string"), F.lit("h ago")))
         .otherwise(F.concat(F.floor(age / 86400).cast("string"), F.lit("d ago")))
     )
+
+
+def parse_date_flexible(date_str: Column) -> Column:
+    """Multi-format date-string → epoch seconds (F6, rag_engine.py:40-57):
+    try 4 formats in order, NULL when none matches (the engine's
+    null-propagating form of the reference's raised ValueError)."""
+    parsed = F.coalesce(
+        F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd HH:mm")),
+        F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd")),
+    )
+    return F.unix_timestamp(parsed)
+
+
+def url_encode(col: Column) -> Column:
+    """F11 (producer.py:85): percent-encode a query string for URL use."""
+    return F.url_encode(col)
+
+
+def format_fixed2(v: Column) -> Column:
+    """F5 (main.py:53-60): fixed 2-decimal render with NaN/NULL guard →
+    'N/A' (the reference's val != val check)."""
+    return F.when(
+        v.isNull() | F.isnan(v), F.lit("N/A")
+    ).otherwise(F.format_string("%.2f", v))

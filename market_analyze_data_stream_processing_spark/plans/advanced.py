@@ -784,3 +784,47 @@ def q_histogram_buckets(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "q_parse_date_flexible",
+    """
+    WITH rendered AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 4
+                    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                    WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+                    WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M')
+                    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS dstr
+        FROM orders WHERE o_orderkey % 20 < 4
+    )
+    SELECT o_orderkey, dstr,
+           epoch(coalesce(
+               try_strptime(dstr, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(dstr, '%Y-%m-%dT%H:%M:%S'),
+               try_strptime(dstr, '%Y-%m-%d %H:%M'),
+               try_strptime(dstr, '%Y-%m-%d')))::BIGINT AS epoch_s
+    FROM rendered
+    ORDER BY o_orderkey
+    """,
+    doc="F6 flexible date parsing (rag_engine.py:40-57): render dates in 4 "
+    "formats, recover epoch via coalesced format-ladder parse.",
+)
+def q_parse_date_flexible(spark, sf_dir):
+    from ..functions.scalars import parse_date_flexible
+
+    t = load_tables(spark, sf_dir)
+    rendered = (
+        t.orders.where(F.col("o_orderkey") % 20 < 4)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+            .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+            .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm"))
+            .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+            .alias("dstr"),
+        )
+    )
+    return rendered.select(
+        "o_orderkey", "dstr", parse_date_flexible(F.col("dstr")).alias("epoch_s")
+    ).orderBy("o_orderkey")

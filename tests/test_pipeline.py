@@ -108,3 +108,33 @@ def test_translation_udf_identity_fallback(spark):
     tr = make_translation_udf({"bonjour": "hello"})
     got = [r["x"] for r in df.select(tr("t").alias("x")).collect()]
     assert got == ["hello", "hello"]
+
+
+def test_parse_date_flexible_formats_and_null(spark):
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        parse_date_flexible,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05",), ("2024-01-02T03:04:05",), ("2024-01-02 03:04",),
+         ("2024-01-02",), ("garbage",)],
+        "d string",
+    )
+    got = [r["e"] for r in df.select(parse_date_flexible(F.col("d")).alias("e")).collect()]
+    assert got[0] == got[1] == 1704164645
+    assert got[2] == 1704164640 and got[3] == 1704153600
+    assert got[4] is None  # no format matches -> NULL (vs reference raise)
+
+
+def test_url_encode_and_fixed2(spark):
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        format_fixed2,
+        url_encode,
+    )
+
+    df = spark.createDataFrame([("LVMH stock news", 12.345), ("a&b=c", float("nan"))],
+                               "q string, v double")
+    rows = df.select(url_encode(F.col("q")).alias("u"),
+                     format_fixed2(F.col("v")).alias("f")).collect()
+    assert rows[0]["u"] == "LVMH+stock+news" and rows[0]["f"] == "12.35"
+    assert rows[1]["u"] == "a%26b%3Dc" and rows[1]["f"] == "N/A"
