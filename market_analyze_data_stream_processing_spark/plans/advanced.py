@@ -828,3 +828,107 @@ def q_parse_date_flexible(spark, sf_dir):
     return rendered.select(
         "o_orderkey", "dstr", parse_date_flexible(F.col("dstr")).alias("epoch_s")
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+    doc="TPC-H Q13: customer order-count distribution (outer join with an "
+    "ON-clause filter, double aggregation).",
+)
+def q13_order_count_distribution(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t.customer.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+          SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    doc="TPC-H Q17: correlated scalar subquery (per-part average quantity "
+    "threshold) — Catalyst decorrelates to an aggregate + join.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    thresholds = t.lineitem.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    p = t.part.where(F.col("p_brand") == "Brand#23")
+    return (
+        t.lineitem.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nation, count(*) AS n_custs,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    ORDER BY nation
+    """,
+    doc="TPC-H Q22: scalar subquery threshold + anti join (above-average-"
+    "balance customers with no urgent orders).",
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t.customer.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    rich = t.customer.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = rich.join(
+        urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import pct_change, stable_round
+from ..functions.scalars import stable_round
 from ..operators.analytics import (
     daily_summary,
     keep_last,

@@ -8,7 +8,6 @@ spark.range) — no driver-side byte shuffling, the same shape a real
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import pandas as pd

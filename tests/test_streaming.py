@@ -305,3 +305,29 @@ def test_stream_upsert_resumes_from_checkpoint(spark, tmp_path):
     run()
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {"A": 20.0, "B": 5.0}
+
+
+def test_corrupt_messages_are_dropped_not_fatal(spark, tmp_path):
+    """P3/S2 robustness (consumer.py:228-232 JSON error handling): a
+    malformed value yields NULL parse -> guarded out; the stream lives."""
+    d = tmp_path / "bad"
+    d.mkdir()
+    lines = [
+        json.dumps({"topic": TOPICS["news"], "key": "A",
+                    "value": json.dumps({"ticker": "A", "title": "ok",
+                                         "type": "news", "publish_time": NOW})}),
+        json.dumps({"topic": TOPICS["news"], "key": "B", "value": "{not json"}),
+        json.dumps({"topic": TOPICS["news"], "key": "C", "value": None}),
+    ]
+    (d / "m.json").write_text("\n".join(lines))
+    raw = file_json_stream(spark, str(d))
+    docs = drop_empty_titles(split_by_topic(raw)["docs"])
+    out_path = str(tmp_path / "outbad")
+    q = (
+        docs.writeStream.format("parquet").option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "cpbad"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_path).collect()
+    assert [r["title"] for r in rows] == ["ok"]
