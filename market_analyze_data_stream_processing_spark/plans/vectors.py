@@ -216,3 +216,23 @@ def q_approx_distinct(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_kmeans_clusters",
+    None,  # iterative algorithm: no single SQL equivalent; coherence tested in pytest
+    doc="Iterative Lloyd k-means (3 iterations, deterministic lowest-id "
+    "seeding): per-cluster sizes + intra-cluster mean similarity. The "
+    "iterative-algorithm slot — assignment is a map-only expression "
+    "ladder, the update shuffle carries k*dim partial sums.",
+)
+def q_kmeans_clusters(spark, sf_dir):
+    from ..operators.clustering import kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans(e, k=5, iterations=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster")
+    )

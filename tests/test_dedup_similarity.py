@@ -135,3 +135,15 @@ def test_ann_ivf_finds_parallel_top1(vectors):
     got = [r["vec_id"] for r in ann_ivf(df, q, k=5, n_probe=2, cluster_col="label").collect()]
     assert exact_top[0] in got  # exactly-parallel vector survives cell probing
     assert len(got) == 5
+
+
+def test_kmeans_deterministic_and_coherent(vectors):
+    from market_analyze_data_stream_processing_spark.operators.clustering import kmeans
+
+    df, q = vectors
+    a1 = {r["vec_id"]: r["cluster"] for r in kmeans(df, k=4, iterations=2).collect()}
+    a2 = {r["vec_id"]: r["cluster"] for r in kmeans(df, k=4, iterations=2).collect()}
+    assert a1 == a2  # fully deterministic (no RNG)
+    assert set(a1.values()) <= {0, 1, 2, 3}
+    # vectors built parallel to q (ids 0..4) should co-cluster with vec 0
+    assert len({a1[i] for i in range(3)}) == 1
