@@ -932,3 +932,80 @@ def q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q02_min_cost_supplier",
+    """
+    SELECT s.s_suppkey, s.s_name, l.l_partkey AS partkey,
+           round(min_price.mp, 4) AS min_price
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN (
+        SELECT l2.l_partkey AS mp_partkey, min(l2.l_extendedprice / l2.l_quantity) AS mp
+        FROM lineitem l2 GROUP BY l2.l_partkey
+    ) AS min_price ON min_price.mp_partkey = l.l_partkey
+    WHERE l.l_extendedprice / l.l_quantity = min_price.mp
+      AND l.l_partkey % 20 = 0
+    GROUP BY s.s_suppkey, s.s_name, l.l_partkey, min_price.mp
+    ORDER BY partkey, s_suppkey
+    """,
+    doc="TPC-H Q2-style: supplier(s) offering the minimum unit price per "
+    "part — correlated-min subquery decorrelated to an aggregate join.",
+)
+def q02_min_cost_supplier(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    mins = t.lineitem.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("mp")
+    )
+    l = t.lineitem.where(F.col("l_partkey") % 20 == 0)
+    return (
+        l.join(mins, F.col("mp_partkey") == F.col("l_partkey"))
+        .where(unit == F.col("mp"))
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name", F.col("l_partkey").alias("partkey"), "mp")
+        .agg(F.round(F.first("mp"), 4).alias("min_price"))
+        .drop("mp")
+        .orderBy("partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: top supplier by quarterly revenue — view + scalar max "
+    "subquery (the revenue aggregate is computed once and reused).",
+)
+def q15_top_supplier(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        t.supplier.join(revenue, F.col("supplier_no") == F.col("s_suppkey"))
+        .join(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )

@@ -15,15 +15,6 @@ from pyspark.sql import functions as F
 from ..schemas import DOC_FLOAT_KEYS, DOC_STRING_DEFAULTS
 
 
-def parse_json_topic(raw: DataFrame, schema, value_col: str = "value") -> DataFrame:
-    """Kafka-shaped frame (key, value, topic, ...) → parsed columns.
-    Ref parity: consumer.py:206-207 JSON value decode."""
-    return raw.select(
-        F.col("topic") if "topic" in raw.columns else F.lit(None).alias("topic"),
-        F.from_json(F.col(value_col).cast("string"), schema).alias("v"),
-    ).select("topic", "v.*")
-
-
 def clean_metadata(df: DataFrame, sentiment: Column | None = None) -> DataFrame:
     """The reference's coercion-on-write schema enforcement as one select
     (consumer.py:50-84):
