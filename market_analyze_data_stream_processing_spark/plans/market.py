@@ -482,3 +482,56 @@ def q_message_daily_summary(spark, sf_dir):
     )
     msg = daily_summary_messages(shaped, publish_time=F.lit(0))
     return msg.select("ticker", "title", "summary", "type", "source")
+
+
+@register(
+    "q_chart_frame",
+    _BARS_CTE
+    + """
+    , ranked AS (
+        SELECT ticker, date_trunc('day', ts) AS day, price,
+               row_number() OVER (PARTITION BY ticker, date_trunc('day', ts) ORDER BY ts DESC, seq DESC) AS rn_d
+        FROM bars
+    ), daily AS (
+        SELECT ticker, strftime(day, '%Y-%m-%d') AS date,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close
+        FROM ranked GROUP BY ticker, day
+    )
+    SELECT ticker, date,
+           floor(CAST(sum(CAST(close AS DECIMAL(18,4))) OVER w10 AS DOUBLE)
+                 / count(close) OVER w10 * 10000 + 0.5) / 10000 AS ma10,
+           CASE WHEN count(close) OVER w50 >= 50
+                THEN floor(CAST(sum(CAST(close AS DECIMAL(18,4))) OVER w50 AS DOUBLE)
+                           / count(close) OVER w50 * 10000 + 0.5) / 10000 END AS ma50
+    FROM daily
+    WINDOW w10 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+           w50 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    """,
+    doc="S5+A3/A4 serving path (main.py:87-153): chart frame — daily "
+    "closes + MA10 overlay, MA50 NULL until its window fills (the "
+    "dashboard's len(df)>n gate).",
+)
+def q_chart_frame(spark, sf_dir):
+    from ..operators.analytics import daily_summary
+
+    bars = _bars(spark, sf_dir)
+    daily = daily_summary(
+        bars, value_col="price", volume_col=None, key="ticker", ts_col="ts",
+        seq_col="seq", round_to=9,
+    ).select("ticker", F.col("day").alias("date"), F.col("close_px").alias("close"))
+    base = Window.partitionBy("ticker").orderBy("date")
+
+    def ma_exact(n):
+        fr = base.rowsBetween(-(n - 1), 0)
+        return stable_round(
+            F.sum(F.col("close").cast("decimal(18,4)")).over(fr).cast("double")
+            / F.count("close").over(fr),
+            4,
+        )
+
+    cnt50 = F.count("close").over(base.rowsBetween(-49, 0))
+    return daily.select(
+        "ticker", "date",
+        ma_exact(10).alias("ma10"),
+        F.when(cnt50 >= 50, ma_exact(50)).alias("ma50"),
+    )
