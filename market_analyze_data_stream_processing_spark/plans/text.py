@@ -285,3 +285,48 @@ def q_simhash(spark, sf_dir):
 def q_lsh_band_candidates(spark, sf_dir):
     d = spread(load_table(spark, sf_dir, "documents"))
     return lsh_band_candidates(d, id_col="doc_id", text_col="text", n_hashes=8, bands=4)
+
+
+@register(
+    "q_curation_pipeline",
+    rf"""
+    WITH scored AS (
+        SELECT doc_id, source, lang, text,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS n_stop,
+               CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, source, lang, text,
+               0.4 * least(CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) * 5.0, 1.0)
+               + 0.3 * least(n_tok / 100.0, 1.0)
+               + 0.3 * (1.0 - least(punct_ratio * 10.0, 1.0)) AS q
+        FROM scored
+    ), kept AS (
+        SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS doc_id,
+               min(source) AS source
+        FROM quality
+        WHERE q >= 0.5 AND lang IN ('en', 'fr')
+        GROUP BY md5({_NORM_SQL})
+    )
+    SELECT source, count(*) AS n_kept
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    doc="LLM-data curation pipeline composition: quality gate (>=0.5) -> "
+    "language allowlist -> exact dedup by normalized fingerprint -> "
+    "per-source retention counts. One declarative plan; the scan computes "
+    "score+fingerprint in a single pass, only the dedup groupBy shuffles.",
+)
+def q_curation_pipeline(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    kept = (
+        d.where((q >= 0.5) & F.col("lang").isin("en", "fr"))
+        .withColumn("fp", T.fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("source").alias("source"))
+    )
+    return (
+        kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")
+    )
