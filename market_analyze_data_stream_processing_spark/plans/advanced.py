@@ -1009,3 +1009,61 @@ def q15_top_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q_range_frame_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+               AS spend_15d,
+           count(*) OVER w AS n_orders_15d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                 RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-framed window (value-based, not row-based): per customer, "
+    "rolling 15-day spend ending at each order — the time-window analytic "
+    "the reference approximates with bar-count lags (X3). Decimal-exact "
+    "sum keeps the oracle bit-identical.",
+)
+def q_range_frame_window(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    # Day-number ordering: o_orderdate is TIMESTAMP_NTZ (wall-clock), so
+    # the TZ-free epoch is a date diff — identical under any session TZ
+    # on both engines (unix_timestamp would re-interpret via session TZ).
+    day_num = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day_num).rangeBetween(-15, 0)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("spend_15d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_15d"),
+    )
+
+
+@register(
+    "q_string_agg",
+    """
+    SELECT o_orderpriority AS priority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    doc="Ordered string aggregation (listagg family): sorted distinct "
+    "status codes per priority (collect_set -> array_sort -> concat_ws).",
+)
+def q_string_agg(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("priority")
+    )
