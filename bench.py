@@ -46,17 +46,31 @@ def main() -> None:
             print(f"bench error {name}: {e}", file=sys.stderr)
             times[name] = -1.0
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    # Full-precision detail goes to a side file; the stdout line must stay
+    # SHORT (driver captures only a bounded tail of stdout — round 1's
+    # 3.7k-char line was truncated mid-line and failed to parse).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump({"metric": "suite_seconds", "value": total, "unit": "sec", "queries": times, "sf": sf}, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in times.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 2600:  # stay inside the driver's tail window, drop fastest queries first
+        keep = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+        while len(line) > 2600 and keep:
+            keep.popitem()
+            line = json.dumps(
+                {"metric": "suite_seconds", "value": total, "unit": "sec",
+                 "queries": {k: round(v, 2) for k, v in keep.items()}, "sf": sf},
+                separators=(",", ":"),
+            )
+    print(line)
     spark.stop()
 
 

@@ -85,10 +85,17 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>); requires ≥n tokens."""
+    """Word n-gram shingles (array<string>). Docs with fewer than n tokens
+    yield an EMPTY array — without the guard, sequence(1, size-n+1) turns
+    descending for short docs and element_at(toks, 0) hard-fails the job
+    (INVALID_ARRAY_INDEX_IN_ELEMENT_AT); one short title must never kill a
+    100 TB dedup run."""
     toks = tokens(text)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.transform(
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )

@@ -205,7 +205,7 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.1,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs sharing ≥1
     shingle, via an inverted index (explode → self-join on shingle).

