@@ -35,12 +35,16 @@ def with_moving_averages(
     round_to: int | None = None,
     min_fill: bool = False,
     exact: bool = False,
+    strict: bool = False,
 ) -> DataFrame:
     """Trailing moving averages MA{n} (A3/W3: rolling(n).mean()).
 
     ``min_fill=True`` reproduces the reference's NaN→0.0 coercion for
     unfilled windows (producer.py:297-299, 325-327): emit 0.0 until the
-    window has n rows. Default emits the partial-window mean (Spark
+    window has n rows. ``strict=True`` reproduces pandas' raw
+    ``rolling(n).mean()`` (min_periods=n) — NaN until the window fills,
+    matching the reference where it does NOT coerce (mean_50,
+    producer.py:326). Default emits the partial-window mean (Spark
     natural semantics).
 
     ``exact=True`` computes the mean as an exact DECIMAL(18,4) windowed
@@ -68,6 +72,9 @@ def with_moving_averages(
         if min_fill:
             cnt = F.count(value_col).over(frame)
             ma = F.when(cnt < n, F.lit(0.0)).otherwise(ma)
+        elif strict:
+            cnt = F.count(value_col).over(frame)
+            ma = F.when(cnt < n, F.lit(float("nan"))).otherwise(ma)
         out = out.withColumn(f"ma{n}", ma)
     return out
 
@@ -126,10 +133,15 @@ def with_trend(
     out_col: str = "trend",
 ) -> DataFrame:
     """Trend classification (A5, producer.py:301-305): BULLISH if price>MA,
-    BEARISH if <, NEUTRAL only on exact equality."""
+    BEARISH if <, NEUTRAL only on exact equality — or when the MA is NaN
+    (unfilled strict window). The NaN guard must be explicit: pandas'
+    ``x < NaN`` is False (→ NEUTRAL, the reference behavior) but Spark
+    orders NaN greater than every value, so ``price < NaN`` would be
+    TRUE and silently misclassify young series as BEARISH."""
     return df.withColumn(
         out_col,
-        F.when(F.col(value_col) > F.col(ma_col), "BULLISH")
+        F.when(F.isnan(F.col(ma_col)), "NEUTRAL")
+        .when(F.col(value_col) > F.col(ma_col), "BULLISH")
         .when(F.col(value_col) < F.col(ma_col), "BEARISH")
         .otherwise("NEUTRAL"),
     )

@@ -120,21 +120,29 @@ def technical_messages(
 ) -> DataFrame:
     """producer.py:271-332: MA10/50/200 + trend over daily bars → the
     `financial-news` technical payload. NaN→0.0 parity for unfilled
-    MA10/MA200 (min_fill); MA50 emitted as the partial mean like the
-    reference's rolling(50).mean() tail value."""
+    MA10/MA200 (producer.py:325-327 coerces those); MA50 is NOT coerced
+    in the reference (producer.py:326), so it follows raw
+    rolling(50).mean() semantics — NaN until 50 bars, trend NEUTRAL and
+    text 'nan' for young series."""
     mas = with_moving_averages(
-        daily_bars, value_col="Close", key=key, order=order, windows=(50,)
+        daily_bars, value_col="Close", key=key, order=order, windows=(50,),
+        strict=True,
     )
     gated = with_moving_averages(
         mas, value_col="Close", key=key, order=order, windows=(10, 200), min_fill=True
     )
     latest = latest_per_key(gated, key, order)
     latest = with_trend(latest, value_col="Close", ma_col="ma50")
+    # Python renders f"{nan:.2f}" as lowercase 'nan'; Java's %.2f gives
+    # 'NaN' — special-case for byte parity with the reference text.
+    ma50_txt = F.when(F.isnan(F.col("ma50")), F.lit("MA 50d: nan. ")).otherwise(
+        F.format_string("MA 50d: %.2f. ", F.col("ma50"))
+    )
     tech_text = F.concat(
         F.lit("Technical Analysis "), F.col(key),
         F.format_string(".  Price: %.2f. ", F.col("Close")),
         F.lit("Medium Term Trend (MA50): "), F.col("trend"), F.lit(". "),
-        F.format_string("MA 50d: %.2f. ", F.col("ma50")),
+        ma50_txt,
         F.format_string("MA 200d: %.2f.", F.col("ma200")),
     )
     pt = publish_time if publish_time is not None else F.unix_timestamp()

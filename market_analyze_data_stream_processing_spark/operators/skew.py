@@ -24,7 +24,20 @@ def salted_join(
 
     Salt is derived from a hash of the whole big-side row (deterministic,
     uniform), so rows of one hot key spread over ``n_salts`` reducers.
-    Result equals the plain join (salt columns are internal)."""
+    Result equals the plain join (salt columns are internal).
+
+    Only join types where replicating the small side cannot duplicate
+    output rows are allowed: inner and the left family (outer/semi/anti
+    emit each big row based on match existence, which replication
+    preserves). right/full would emit unmatched SMALL rows once per salt
+    replica — silently wrong, so they raise."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins; {how!r} would "
+            "duplicate unmatched small-side rows once per salt replica"
+        )
     big_salted = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -41,8 +41,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort order (sub-microsecond nanos would otherwise break tiebreaks)."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Scope the legacy conf to this read: schema resolution (nanos→long)
+    # happens eagerly at spark.read.parquet(), so restoring the previous
+    # value afterwards leaves other parquet reads in the session
+    # interpreting nanos columns however they were configured to.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -59,13 +59,29 @@ def test_daily_summary_roundtrips_regex_extraction(spark, daily_bars):
 
 
 def test_technical_message_trend_and_ma_gates(daily_bars):
+    import math
+
     out = {r["ticker"]: r for r in technical_messages(
         daily_bars.where("ticker = 'MC.PA'"), publish_time=F.lit(NOW)).collect()}
     m = out["MC.PA"]
     assert m["id"] == "LATEST_TECH_MC.PA"
     assert m["mean_10"] > 0  # 11 bars: MA10 filled
     assert m["mean_200"] == 0.0  # unfilled → 0.0 parity (producer.py:325-327)
-    assert "(BULLISH)" in m["title"]  # price above partial MA50
+    # mean_50 is NOT coerced in the reference: rolling(50).mean() on 11
+    # bars is NaN, trend NEUTRAL (NaN comparisons false), text 'nan'
+    assert math.isnan(m["mean_50"])
+    assert "(NEUTRAL)" in m["title"]
+    assert "Medium Term Trend (MA50): NEUTRAL" in m["summary"]
+    assert "MA 50d: nan. " in m["summary"]
+
+
+def test_technical_message_filled_ma50_trend(spark):
+    rows = [("LONG", f"2024-{1 + i // 28:02d}-{1 + i % 28:02d}", 100.0 + i)
+            for i in range(60)]  # 60 ascending closes: MA50 filled, price > MA
+    bars = spark.createDataFrame(rows, ["ticker", "date", "Close"])
+    m = technical_messages(bars, publish_time=F.lit(NOW)).collect()[0]
+    assert m["mean_50"] == pytest.approx(sum(110.0 + i for i in range(50)) / 50)
+    assert "(BULLISH)" in m["title"]
     assert "Medium Term Trend (MA50): BULLISH" in m["summary"]
 
 

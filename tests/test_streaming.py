@@ -117,6 +117,73 @@ def test_upsert_parquet_idempotent_replay(spark, tmp_path):
     assert len(out) == 1 and out[0]["v"] == 20.0
 
 
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB contract: a merge must not read or rewrite bucket
+    partitions its keys don't hash into — untouched bucket files stay
+    byte-identical (same inode content, same mtime), and the pruned read
+    shows a partition filter, not a full scan."""
+    import glob
+    import os
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(f"k{i}", 1, float(i)) for i in range(40)], ["k", "seq", "v"]
+    )
+    upsert_parquet(spark, base, path, keys=["k"], order=["seq"], n_buckets=8)
+
+    def snapshot():
+        out = {}
+        for f in glob.glob(f"{path}/__bucket=*/**/*.parquet", recursive=True):
+            st = os.stat(f)
+            with open(f, "rb") as fh:
+                out[f] = (st.st_mtime_ns, fh.read())
+        return out
+
+    before = snapshot()
+    # single-key batch → exactly one touched bucket
+    inc = spark.createDataFrame([("k0", 2, 99.0)], ["k", "seq", "v"])
+    upsert_parquet(spark, inc, path, keys=["k"], order=["seq"], n_buckets=8)
+    after = snapshot()
+
+    from market_analyze_data_stream_processing_spark.streaming.upsert import _bucket_expr
+    touched = inc.select(_bucket_expr(["k"], 8).alias("b")).first()["b"]
+    untouched_before = {f: c for f, c in before.items() if f"__bucket={touched}/" not in f}
+    for f, c in untouched_before.items():
+        assert after[f] == c, f"untouched partition file rewritten: {f}"
+    # the touched bucket did change, and the merge result is correct
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got["k0"] == 99.0 and len(got) == 40
+    # pruned read: partition filter on __bucket appears in the scan
+    plan = (
+        spark.read.parquet(path).where(F.col("__bucket").isin([int(touched)]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "__bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_upsert_retention_drops_emptied_bucket(spark, tmp_path):
+    """A touched bucket whose rows are all retention-trimmed must not
+    leave a stale partition directory behind."""
+    import os
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", 1, 100.0), ("b", 1, 100.0)], ["k", "seq", "ts"]
+    )
+    upsert_parquet(spark, df, path, keys=["k"], order=["seq"], n_buckets=4)
+    # re-send 'a' with an old ts; retention drops everything in its bucket
+    inc = spark.createDataFrame([("a", 2, 1.0)], ["k", "seq", "ts"])
+    upsert_parquet(
+        spark, inc, path, keys=["k"], order=["seq"], n_buckets=4,
+        retention_predicate=F.col("ts") > 50.0,
+    )
+    got = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert got == {"b"}
+    from market_analyze_data_stream_processing_spark.streaming.upsert import _bucket_expr
+    b = inc.select(_bucket_expr(["k"], 4).alias("b")).first()["b"]
+    assert not os.path.exists(os.path.join(path, f"__bucket={b}"))
+
+
 def test_keep_last_merge_prefers_incoming_on_higher_seq(spark):
     old = spark.createDataFrame([("A", 1, 10.0)], ["k", "seq", "v"])
     new = spark.createDataFrame([("A", 2, 99.0), ("B", 1, 5.0)], ["k", "seq", "v"])
