@@ -199,6 +199,44 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
+    (SemDeDup-style: cluster/cell assignment first, exact cosine only
+    WITHIN a block). The pair join's key is the block id, so the shuffle
+    is per-block and the quadratic cost is bounded by the largest block —
+    never all-pairs over the corpus. At 100 TB the block id comes from
+    k-means/IVF cell assignment and the table is partitioned by it."""
+    from ..functions.vectors import as_double, dot, l2_norm
+
+    # Norms are computed ONCE per row before the pair join (the join
+    # multiplies row counts, so anything computable pre-join must be);
+    # each pair then costs a single dot-product fold.
+    base = df.select(
+        F.col(block_col).alias("b"),
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = base.select(
+        "b", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        "b", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, ["b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.col("b").alias(block_col), F.round("sim", 6).alias("sim"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

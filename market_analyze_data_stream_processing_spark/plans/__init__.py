@@ -8,6 +8,7 @@ from .registry import QUERIES, register  # noqa: F401
 
 # Import for registration side effects.
 from . import relational  # noqa: E402,F401
+from . import tpch_extra  # noqa: E402,F401
 from . import market  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401

@@ -157,6 +157,40 @@ def q_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "q_embedding_near_dup",
+    """
+    WITH n AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+               list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
+        FROM n a
+        JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, label, round(sim, 6) AS sim
+    FROM pairs
+    WHERE sim >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-duplicate dedup (SemDeDup-style): exact "
+    "cosine pairs WITHIN a block (label = cluster/cell stand-in) at "
+    "sim ≥ 0.35. The pair join keys on the block id — per-block "
+    "quadratic, never corpus-quadratic; at 100 TB the block is an "
+    "IVF/k-means cell and the table is partitioned by it.",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.35).select(
+        "id_a", "id_b", "label", "sim"
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "q_retrieval_pipeline",
     f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

@@ -42,43 +42,65 @@ LATEST_OUTPUT_SCHEMA = StructType(
 )
 
 
-def _latest_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    """Keep the max-seq row per key; emit only when it advances."""
-    best_seq, best_value, best_payload = (
-        state.get if state.exists else (-1, None, None)
-    )
-    changed = False
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        row = pdf.loc[pdf["seq"].idxmax()]
-        if int(row["seq"]) > best_seq:
-            best_seq = int(row["seq"])
-            best_value = float(row["value"])
-            best_payload = str(row["payload"])
-            changed = True
-    if changed:
-        state.update((best_seq, best_value, best_payload))
-        yield pd.DataFrame(
-            [{"key": key[0], "seq": best_seq, "value": best_value, "payload": best_payload}]
+def _make_latest_fn(ttl_ms: int | None):
+    def _latest_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Keep the max-seq row per key; emit only when it advances.
+        With a TTL, a key idle past ``ttl_ms`` is evicted (X6's stateful
+        form: bounded state under key churn) — its next arrival starts
+        from scratch and re-emits as new."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best_seq, best_value, best_payload = (
+            state.get if state.exists else (-1, None, None)
         )
+        changed = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            row = pdf.loc[pdf["seq"].idxmax()]
+            if int(row["seq"]) > best_seq:
+                best_seq = int(row["seq"])
+                best_value = float(row["value"])
+                best_payload = str(row["payload"])
+                changed = True
+        if changed:
+            state.update((best_seq, best_value, best_payload))
+        if ttl_ms is not None:
+            # any activity refreshes the clock; idle keys age out
+            state.setTimeoutDuration(ttl_ms)
+        if changed:
+            yield pd.DataFrame(
+                [{"key": key[0], "seq": best_seq, "value": best_value, "payload": best_payload}]
+            )
+
+    return _latest_fn
 
 
-def latest_per_key_stateful(stream: DataFrame, key_col: str = "key") -> DataFrame:
+def latest_per_key_stateful(
+    stream: DataFrame, key_col: str = "key", ttl_ms: int | None = None
+) -> DataFrame:
     """A8/X7 streaming form: latest row per key via applyInPandasWithState.
 
     Update-mode output: one row per key per trigger IF it changed. State
     is one tuple per live key — at 10 M keys that's MBs per executor,
-    partitioned by the groupBy hash."""
+    partitioned by the groupBy hash. ``ttl_ms`` bounds state under
+    unbounded key churn (one-shot keys age out instead of accumulating
+    forever); an evicted key that reappears is treated as brand new,
+    whatever its seq."""
     return (
         stream.groupBy(key_col)
         .applyInPandasWithState(
-            _latest_fn,
+            _make_latest_fn(ttl_ms),
             outputStructType=LATEST_OUTPUT_SCHEMA,
             stateStructType=LATEST_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

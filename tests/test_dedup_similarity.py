@@ -210,6 +210,40 @@ def test_ann_recall_at_20_on_testdata(spark):
     assert r_ivf >= 0.15
 
 
+def test_embedding_near_dup_blocked_pairs(spark):
+    """SemDeDup-style blocked cosine dedup: near-identical vectors in the
+    SAME block pair up; identical vectors in DIFFERENT blocks never do
+    (the blocking contract that bounds the join at scale)."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, v, 0), (1, v, 0),            # same block, identical → pair
+        (2, v, 1),                        # identical but other block → no pair
+        (3, w, 0),                        # same block, orthogonal → no pair
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = embedding_near_dup_pairs(df, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["sim"]) for r in pairs] == [(0, 1, 1.0)]
+
+
+def test_approx_distinct_within_hll_error(spark):
+    """HLL sketch contract (q_approx_distinct): approx_count_distinct at
+    rsd=0.01 stays within 5% of the exact per-group distinct count on
+    the real events table."""
+    from market_analyze_data_stream_processing_spark.plans import QUERIES
+
+    rows = QUERIES["q_approx_distinct"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no event_type groups"
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(0.05 * r["exact_users"], 2), (
+            f"{r['event_type']}: approx {r['approx_users']} vs exact {r['exact_users']}"
+        )
+
+
 def test_kmeans_deterministic_and_coherent(vectors):
     from market_analyze_data_stream_processing_spark.operators.clustering import kmeans
 

@@ -76,3 +76,51 @@ def test_latest_per_key_stateful_across_batches(spark, tmp_path):
     assert final["B"]["payload"] == "b1"
     assert final["C"]["payload"] == "c1"
     assert not any(r["payload"] == "stale" for r in rows)
+
+
+def test_latest_per_key_stateful_ttl_evicts_idle_keys(spark, tmp_path):
+    """X6 stateful form: a key idle past the TTL is evicted from the
+    state store, so its next arrival — even with a LOWER seq than the
+    evicted best — re-emits as a brand-new key. Without eviction that
+    row would be suppressed as stale, so its presence proves bounded
+    state under key churn."""
+    import time
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b0.json").write_text(
+        json.dumps({"key": "A", "seq": 9, "value": 90.0, "payload": "a9"})
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(IN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        q = (
+            latest_per_key_stateful(stream, ttl_ms=1000)
+            .writeStream.format("memory")
+            .queryName("latest_ttl")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    time.sleep(2.5)  # let A's 1000 ms TTL lapse in wall-clock time
+    # b1 triggers a batch where A has no data → its timeout fires (evict);
+    # b2 then re-sends A with a LOWER seq, which only a fresh key accepts
+    (d / "b1.json").write_text(
+        json.dumps({"key": "B", "seq": 1, "value": 1.0, "payload": "b1"})
+    )
+    (d / "b2.json").write_text(
+        json.dumps({"key": "A", "seq": 1, "value": 10.0, "payload": "reborn"})
+    )
+    run_once()
+    rows = spark.sql("SELECT * FROM latest_ttl").collect()
+    assert any(r["payload"] == "reborn" for r in rows), (
+        "evicted key did not re-emit as new: %s" % rows
+    )
