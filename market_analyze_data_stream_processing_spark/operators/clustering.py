@@ -22,31 +22,36 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double, cosine_sim, lit_vector
 
 
-def _collect_centroids(df: DataFrame, cluster_col: str, vec_col: str) -> dict[int, np.ndarray]:
-    rows = (
-        df.select(F.col(cluster_col).alias("c"), F.posexplode(vec_col).alias("pos", "v"))
-        .groupBy("c", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("c")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vec"))
-        .select("c", F.transform("vec", lambda s: s["m"]).alias("vec"))
-        .collect()
-    )
-    return {int(r["c"]): np.asarray(r["vec"], dtype=np.float64) for r in rows}
+def _collect_centroids(
+    df: DataFrame, cluster_col: str, vec_col: str, dim: int
+) -> dict[int, np.ndarray]:
+    # Per-slot avg aggregates, no posexplode: the shuffle carries one
+    # k×dim row per partition (map-side combined), never |rows|·dim.
+    rows = df.groupBy(F.col(cluster_col).alias("c")).agg(
+        *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}") for i in range(dim)]
+    ).collect()
+    return {
+        int(r["c"]): np.asarray([r[f"m{i}"] for i in range(dim)], dtype=np.float64)
+        for r in rows
+    }
 
 
 def assign_clusters(
     df: DataFrame, centroids: dict[int, np.ndarray], vec_col: str = "embedding",
     out_col: str = "cluster",
 ) -> DataFrame:
-    """Nearest-centroid assignment by cosine, as a pure expression ladder."""
+    """Nearest-centroid assignment by cosine — one array_max over
+    (sim, cluster) structs, so each centroid fold is evaluated exactly
+    once per row. Ties break to the highest cluster id (struct max),
+    matching the previous when-ladder's last-match-wins order."""
     emb = as_double(F.col(vec_col))
-    sims = {c: cosine_sim(emb, lit_vector(v.tolist())) for c, v in sorted(centroids.items())}
-    best = F.greatest(*sims.values())
-    cell = F.lit(None).cast("int")
-    for c, s in sims.items():
-        cell = F.when(s == best, F.lit(c)).otherwise(cell)
-    return df.withColumn(out_col, cell)
+    pairs = F.array(
+        *[
+            F.struct(cosine_sim(emb, lit_vector(v.tolist())).alias("s"), F.lit(c).alias("c"))
+            for c, v in sorted(centroids.items())
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(pairs)["c"])
 
 
 def kmeans(
@@ -65,8 +70,21 @@ def kmeans(
         i: np.asarray(list(r[vec_col]), dtype=np.float64)
         for i, r in enumerate(seed_rows)
     }
-    assigned = df
-    for _ in range(iterations):
-        assigned = assign_clusters(df, centroids, vec_col=vec_col)
-        centroids = _collect_centroids(assigned, "cluster", vec_col)
-    return assigned
+    dim = len(centroids[0])
+    # Iterative working set: spread across cores (the synthetic table is
+    # one parquet file = one input split, which would serialize the
+    # fold-heavy assignment) and CACHE it — every iteration re-reads the
+    # same rows, the canonical persist() case for iterative algorithms
+    # (MLlib's k-means does the same). The cache is dropped before
+    # returning; the final assignment plans against the original df.
+    from ..sources.tables import spread
+
+    work = spread(df).persist()
+    try:
+        for _ in range(iterations):
+            final_centroids = centroids  # assignment uses pre-update centroids
+            assigned = assign_clusters(work, centroids, vec_col=vec_col)
+            centroids = _collect_centroids(assigned, "cluster", vec_col, dim)
+    finally:
+        work.unpersist()
+    return assign_clusters(df, final_centroids, vec_col=vec_col)

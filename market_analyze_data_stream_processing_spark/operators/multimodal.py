@@ -114,23 +114,42 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = dec(bytes(r.payload)).astype(np.float64)
-                hist, _ = np.histogram(arr, bins=16, range=(0, 256))
-                hist = (hist / arr.size).astype(np.float32)
-                rows.append(
-                    (
-                        r.media_id,
-                        r.kind,
-                        int(arr.shape[0]),
-                        float(arr.mean()),
-                        float(arr.std()),
-                        list(hist),
-                    )
+            # Decode is per-payload (opaque codec), but ALL math runs on
+            # stacked numpy batches grouped by frame shape — one
+            # mean/std/bincount call per shape group, not per media row.
+            arrs = [dec(bytes(p)) for p in pdf["payload"]]
+            n = len(arrs)
+            mean = np.empty(n)
+            std = np.empty(n)
+            hists: list[np.ndarray | None] = [None] * n
+            by_shape: dict[tuple, list[int]] = {}
+            for i, a in enumerate(arrs):
+                by_shape.setdefault(a.shape, []).append(i)
+            for idxs in by_shape.values():
+                flat = (
+                    np.stack([arrs[i] for i in idxs])
+                    .astype(np.float64)
+                    .reshape(len(idxs), -1)
                 )
+                mean[idxs] = flat.mean(axis=1)
+                std[idxs] = flat.std(axis=1)
+                # per-row 16-bin histogram over [0,256) in one bincount:
+                # uint8 // 16 == np.histogram's bin index for these edges
+                bins = np.clip(flat.astype(np.int64) >> 4, 0, 15)
+                offs = (np.arange(len(idxs))[:, None] * 16 + bins).ravel()
+                h = np.bincount(offs, minlength=len(idxs) * 16).reshape(len(idxs), 16)
+                h = (h / flat.shape[1]).astype(np.float32)
+                for j, i in enumerate(idxs):
+                    hists[i] = h[j]
             yield pd.DataFrame(
-                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_frames": [int(a.shape[0]) for a in arrs],
+                    "mean_intensity": mean,
+                    "std_intensity": std,
+                    "histogram": [list(h) for h in hists],
+                }
             )
 
     return df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)

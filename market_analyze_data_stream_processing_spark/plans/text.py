@@ -330,3 +330,101 @@ def q_curation_pipeline(spark, sf_dir):
     return (
         kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")
     )
+
+
+@register(
+    "q_hash_split",
+    """
+    WITH tagged AS (
+        SELECT n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic train/val/test split (~80/10/10) by md5(doc_id) "
+    "hex-prefix thresholds — pure string compares, identical in any "
+    "engine, stable across runs/reshards (the property a 100 TB corpus "
+    "split must have: membership is a function of the id, not of "
+    "partitioning or row order). Map-only until the tiny count agg.",
+)
+def q_hash_split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "q_redact_tokens",
+    """
+    WITH r AS (
+        SELECT doc_id, source,
+               regexp_replace(text, '\\b(customer|supplier)\\b', '<REDACTED>', 'g') AS scrubbed,
+               len(regexp_extract_all(text, '\\b(customer|supplier)\\b')) AS n_redacted
+        FROM documents
+    )
+    SELECT doc_id, source, n_redacted, length(scrubbed) AS scrubbed_len
+    FROM r
+    WHERE n_redacted > 0
+    ORDER BY doc_id
+    """,
+    doc="Sensitive-token redaction (the PII-scrub stage shape: in "
+    "production the patterns are emails/phones/ids; the synthetic corpus "
+    "carries a wordlist stand-in): regexp scrub + per-doc match count, "
+    "all codegen'd expressions — a 100 TB scrub is one map-only pass.",
+)
+def q_redact_tokens(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"\b(customer|supplier)\b"
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias("n_redacted"),
+            F.length(F.regexp_replace("text", pat, "<REDACTED>")).alias("scrubbed_len"),
+        )
+        .where(F.col("n_redacted") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_domain_mix_sample",
+    """
+    WITH sampled AS (
+        SELECT lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE WHEN lang = 'en' THEN 'cd' ELSE '34' END
+    )
+    SELECT lang, count(*) AS n_sampled FROM sampled GROUP BY lang ORDER BY lang
+    """,
+    doc="Domain-mixing sampler: per-domain deterministic sampling rates "
+    "(en ~80%, other languages ~20%) via md5(doc_id) prefix thresholds — "
+    "the corpus-mixture primitive (upsample/downsample sources to hit a "
+    "target mix) as a stateless map-side filter; no RNG, so replays and "
+    "retries keep identical membership.",
+)
+def q_domain_mix_sample(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.when(F.col("lang") == "en", F.lit("cd")).otherwise(F.lit("34"))
+    return (
+        d.where(h < thr)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )

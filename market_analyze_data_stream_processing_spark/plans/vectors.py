@@ -246,14 +246,16 @@ def q_retrieval_pipeline(spark, sf_dir):
 )
 def q_approx_distinct(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-        )
-        .orderBy("event_type")
+    # The sketch and the exact count are SEPARATE aggregations joined on
+    # the (tiny) group key: one agg computing both forces Spark to carry
+    # the full HLL register set (1.6k longs at rsd=0.01) through
+    # count-distinct's per-(type,user) expand phase — a plan that merges
+    # sketches once per user instead of once per partition.
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     )
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return approx.join(exact, "event_type").orderBy("event_type")
 
 
 @register(

@@ -92,35 +92,42 @@ def test_latest_per_key_stateful_ttl_evicts_idle_keys(spark, tmp_path):
         json.dumps({"key": "A", "seq": 9, "value": 90.0, "payload": "a9"})
     )
 
-    def run_once():
-        stream = (
-            spark.readStream.schema(IN_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .json(str(d))
-        )
-        q = (
-            latest_per_key_stateful(stream, ttl_ms=1000)
-            .writeStream.format("memory")
-            .queryName("latest_ttl")
-            .outputMode("update")
-            .option("checkpointLocation", str(tmp_path / "cp"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
+    # One continuously-running query: with ProcessingTimeTimeout the
+    # engine runs a batch per trigger to evaluate timers, so the idle
+    # key's eviction fires on its own while the query is live. (NB:
+    # processAllAvailable/availableNow block indefinitely under
+    # ProcessingTimeTimeout in this Spark version — poll the sink with a
+    # deadline instead.)
+    stream = spark.readStream.schema(IN_SCHEMA).json(str(d))
+    q = (
+        latest_per_key_stateful(stream, ttl_ms=1000)
+        .writeStream.format("memory")
+        .queryName("latest_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
 
-    run_once()
-    time.sleep(2.5)  # let A's 1000 ms TTL lapse in wall-clock time
-    # b1 triggers a batch where A has no data → its timeout fires (evict);
-    # b2 then re-sends A with a LOWER seq, which only a fresh key accepts
-    (d / "b1.json").write_text(
-        json.dumps({"key": "B", "seq": 1, "value": 1.0, "payload": "b1"})
-    )
-    (d / "b2.json").write_text(
-        json.dumps({"key": "A", "seq": 1, "value": 10.0, "payload": "reborn"})
-    )
-    run_once()
-    rows = spark.sql("SELECT * FROM latest_ttl").collect()
-    assert any(r["payload"] == "reborn" for r in rows), (
-        "evicted key did not re-emit as new: %s" % rows
-    )
+    def poll(payload, deadline=90.0):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            if any(r["payload"] == payload
+                   for r in spark.sql("SELECT * FROM latest_ttl").collect()):
+                return True
+            time.sleep(0.5)
+        return False
+
+    try:
+        assert poll("a9"), "initial row never reached the sink"
+        time.sleep(2.5)  # let A's 1000 ms TTL lapse; a timer batch evicts it
+        # re-send A with a LOWER seq: only a freshly-evicted key accepts it
+        (d / "b1.json").write_text(
+            json.dumps({"key": "A", "seq": 1, "value": 10.0, "payload": "reborn"})
+        )
+        assert poll("reborn"), (
+            "evicted key did not re-emit as new: %s"
+            % spark.sql("SELECT * FROM latest_ttl").collect()
+        )
+    finally:
+        q.stop()
