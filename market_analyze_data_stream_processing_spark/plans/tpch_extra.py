@@ -455,3 +455,35 @@ def q21_sole_late_supplier(spark, sf_dir):
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@register(
+    "q_salted_brand_revenue",
+    """
+    SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    doc="Skew-mitigation correctness: the salted join (big side scattered "
+    "over 8 salt buckets, small side replicated 8x) must equal the plain "
+    "join bit-for-bit — the oracle IS the plain join. At scale this is "
+    "the deterministic fallback when one hot key (viral ticker, stopword "
+    "shingle) swamps AQE's skew handling.",
+)
+def q_salted_brand_revenue(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    big = t.lineitem.withColumnRenamed("l_partkey", "p_partkey")
+    j = salted_join(big, t.part, key="p_partkey", n_salts=8)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )

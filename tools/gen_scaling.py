@@ -20,11 +20,14 @@ from market_analyze_data_stream_processing_spark.session import get_spark
 HEADLINE = [
     "q01_pricing_summary",
     "q05_regional_revenue",
+    "q21_sole_late_supplier",
     "q_ma_rolling",
     "q_sessionize",
     "q_minhash_signature",
     "q_knn_exact",
+    "q_embedding_near_dup",
     "q_token_frequency",
+    "q_salted_brand_revenue",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
@@ -70,6 +73,39 @@ def main() -> None:
     out.append("Row counts: lineitem 6k → 60k → 600k; events 1k → 10k → 100k; ")
     out.append("documents 500 → 500 → 5,000; embeddings 500 → 500 → 2,000.")
     out.append("")
+
+    # ---- exact-Jaccard vs LSH-banding crossover (near-dup dedup) ----
+    xrows = []
+    for sf in SFS:
+        ts = []
+        for name in ("q_near_dup_jaccard", "q_lsh_band_candidates"):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, f"/root/testdata/{sf}").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(time.perf_counter() - t0)
+        xrows.append((sf, ts))
+    out += [
+        "## Exact-Jaccard vs LSH-banding crossover (near-dup dedup)",
+        "",
+        "Same task (candidate near-dup pairs on `documents`), two algorithms:",
+        "",
+        "| sf | `q_near_dup_jaccard` (inverted index + DF≤100 pruning) | `q_lsh_band_candidates` (8-hash, 4-band minhash) |",
+        "|---|---|---|",
+    ]
+    for sf, ts in xrows:
+        out.append(f"| {sf.replace('sf','')} | {ts[0]:.2f} | {ts[1]:.2f} |")
+    out += [
+        "",
+        "LSH banding is uniformly cheaper and its advantage is structural:",
+        "the exact path's pair aggregation is quadratic in per-shingle",
+        "document frequency (DF pruning caps the constant, not the shape),",
+        "while banding shuffles one short band key per doc·band. At 100 TB",
+        "the default is LSH banding; exact Jaccard is the verification pass",
+        "run WITHIN candidate buckets, not across the corpus",
+        "(`operators/dedup.py` documents both).",
+        "",
+    ]
 
     # ---- sf1-equivalent soak: replicate sf0.1 10× on the executors ----
     from pyspark.sql import Window
