@@ -79,6 +79,45 @@ def test_keep_last_one_row_per_key_with_max_order(spark, rows):
 
 
 @settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=30))
+def test_shingles_never_crash_and_count_is_exact(spark, texts):
+    """For ANY text (unicode, whitespace runs, empty): shingles() must not
+    throw, and the shingle count equals max(0, n_tokens - n + 1)."""
+    from market_analyze_data_stream_processing_spark.functions.text import (
+        shingles,
+        tokens,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    out = df.select(
+        "i",
+        F.size(shingles(F.col("t"), 3)).alias("n_sh"),
+        F.size(tokens(F.col("t"))).alias("n_tok"),
+    ).collect()
+    for r in out:
+        assert r["n_sh"] == max(0, r["n_tok"] - 2)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=20, max_size=60, unique=True))
+def test_hash_split_deterministic_partition(spark, ids):
+    """Hash-split membership is a pure function of the id: re-running on a
+    reshuffled frame yields identical memberships, and the three splits
+    partition the id set."""
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+
+    def run(rows):
+        df = spark.createDataFrame([(i,) for i in rows], "doc_id long")
+        return {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+
+    a = run(ids)
+    b = run(list(reversed(ids)))
+    assert a == b
+    assert set(a) == set(ids) and set(a.values()) <= {"train", "val", "test"}
+
+
+@settings(max_examples=5, deadline=None)
 @given(
     st.lists(
         st.lists(
