@@ -1067,3 +1067,60 @@ def q_string_agg(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "q_unpivot_ohlc",
+    """
+    SELECT o_orderkey AS k, m.field, m.v
+    FROM orders,
+         LATERAL (VALUES ('total', o_totalprice),
+                         ('key2', CAST(o_custkey AS DOUBLE))) AS m(field, v)
+    WHERE o_orderkey <= 100
+    ORDER BY k, field
+    """,
+    doc="Unpivot (wide→long): per-order measures melted to (key, field, "
+    "value) rows via Spark's native unpivot/melt — the inverse of "
+    "q_pivot_counts; map-only row expansion, no shuffle before the sort.",
+)
+def q_unpivot_ohlc(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    return (
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("total"),
+            F.col("o_custkey").cast("double").alias("key2"),
+        )
+        .unpivot("k", ["total", "key2"], "field", "v")
+        .orderBy("k", "field")
+    )
+
+
+@register(
+    "q_sentence_explode",
+    r"""
+    SELECT doc_id, u.pos::INT AS pos, u.sentence
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\s*\btable\b\s*')) AS sentence,
+               generate_subscripts(regexp_split_to_array(text, '\s*\btable\b\s*'), 1) - 1 AS pos
+        FROM documents
+    ) u
+    WHERE length(u.sentence) > 0 AND doc_id <= 50
+    ORDER BY doc_id, pos
+    """,
+    doc="Row-expanding text split (the UDTF shape, engine-native): split "
+    "each document at a delimiter pattern and emit one row per segment "
+    "with its position — posexplode(split(...)), a map-only expansion "
+    "whose fan-out is data-dependent (chunking stage of a training "
+    "pipeline). Delimiter = the "
+    "corpus's most frequent token, so fan-out is non-trivial.",
+)
+def q_sentence_explode(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 50)
+    parts = F.split(F.col("text"), r"\s*\btable\b\s*")
+    return (
+        d.select("doc_id", F.posexplode(parts).alias("pos", "sentence"))
+        .where(F.length("sentence") > 0)
+        .orderBy("doc_id", "pos")
+    )
