@@ -428,3 +428,95 @@ def q_domain_mix_sample(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+@register(
+    "q_doc_chunks",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE doc_id <= 40
+    ),
+    chunks AS (
+        SELECT doc_id,
+               g.i AS chunk_idx,
+               array_to_string(t[(g.i * 40 + 1):(g.i * 40 + 50)], ' ') AS chunk
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, greatest(1, CAST(ceil((len(t) - 10) / 40.0) AS BIGINT)))) AS i) g
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk,
+           len(regexp_split_to_array(chunk, '\s+')) AS n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Sliding-window document chunking (chunk=50 tokens, stride=40, "
+    "overlap=10) — the embedding/RAG chunker as pure array expressions: "
+    "tokenize once, slice per window, no UDF. Map-only row expansion; at "
+    "100 TB the fan-out is len/stride and chunk boundaries depend only "
+    "on the doc, never on partitioning.",
+)
+def q_doc_chunks(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 40)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.size(toks) - F.lit(10)) / F.lit(40.0)).cast("long")
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    out = (
+        d.select(F.col("doc_id"), toks.alias("t"), F.explode(idx).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("chunk_idx") * 40 + 1, 50)).alias("chunk"),
+        )
+        .withColumn("n_tokens", F.size(F.split(F.col("chunk"), r"\s+")))
+        .orderBy("doc_id", "chunk_idx")
+    )
+    return out
+
+
+@register(
+    "q_token_pack",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tok,
+               CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source, bin_id, count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    doc="Deterministic sequence packing: docs stream into 2048-token bins "
+    "per source via a running token cumsum (bin = floor(prefix_sum/"
+    "budget)) — the training-batch packing primitive as ONE window pass; "
+    "membership depends only on (source, doc_id) order, so replays and "
+    "different partitionings pack identically.",
+)
+def q_token_pack(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048.0).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("source", "bin_id")
+    )
