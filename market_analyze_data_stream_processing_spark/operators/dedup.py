@@ -199,6 +199,46 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def near_dup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """THE production near-dup shape at 100 TB: LSH banding generates
+    candidate pairs (band-key shuffle, never all-pairs), then exact
+    n-gram Jaccard verifies ONLY those candidates (per-pair array
+    intersect/union — the candidate set is tiny relative to the corpus).
+    Sound by construction: every reported pair's Jaccard is exact and
+    ≥ threshold; recall follows the banding S-curve (1-(1-s^b)^r).
+    Compare `q_near_dup_jaccard` (exact inverted-index path, the
+    verification-only twin) and SCALING.md's crossover table."""
+    cands = lsh_band_candidates(
+        df, id_col=id_col, text_col=text_col,
+        n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("shset"),
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -117,6 +117,29 @@ def ivf_index(
     return centroids
 
 
+def save_ivf_index(centroids: dict[int, np.ndarray], spark, path: str) -> None:
+    """Persist an IVF coarse index as a (cell, vec) parquet artifact — at
+    100 TB the index is built once by a batch job and SHIPPED with the
+    table (tiny: k×dim doubles), not rebuilt per query session."""
+    rows = [(int(c), [float(x) for x in v]) for c, v in sorted(centroids.items())]
+    spark.createDataFrame(rows, "cell int, vec array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_ivf_index(spark, path: str, cache_key: object | None = None) -> dict[int, np.ndarray]:
+    """Load a stored IVF index (inverse of :func:`save_ivf_index`)."""
+    if cache_key is not None and cache_key in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[cache_key]
+    centroids = {
+        int(r["cell"]): np.asarray(r["vec"], dtype=np.float64)
+        for r in spark.read.parquet(path).collect()
+    }
+    if cache_key is not None:
+        _IVF_INDEX_CACHE[cache_key] = centroids
+    return centroids
+
+
 def ann_ivf(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -520,3 +520,20 @@ def q_token_pack(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .orderBy("source", "bin_id")
     )
+
+
+@register(
+    "q_near_dup_pipeline",
+    None,  # LSH banding (xxhash64) is engine-specific; soundness + recall pinned in pytest
+    doc="Composed production near-dup: MinHash-LSH banding generates "
+    "candidates (band-key shuffle, never all-pairs) -> exact Jaccard "
+    "verifies only those pairs (array intersect/union per candidate). "
+    "Sound by construction (reported pairs carry exact jaccard >= 0.5); "
+    "recall follows the banding S-curve. The 100 TB default; "
+    "q_near_dup_jaccard is the exact-path twin (SCALING.md crossover).",
+)
+def q_near_dup_pipeline(spark, sf_dir):
+    from ..operators.dedup import near_dup_pipeline
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return near_dup_pipeline(d, threshold=0.5).orderBy("id_a", "id_b")

@@ -210,6 +210,30 @@ def test_ann_recall_at_20_on_testdata(spark):
     assert r_ivf >= 0.15
 
 
+def test_near_dup_pipeline_sound_and_finds_high_sim_pairs(spark, docs):
+    """LSH-candidates → exact-verify composition: (a) SOUND — every
+    reported pair also appears in the exact all-candidates Jaccard at
+    the same threshold with the same score; (b) high-similarity pairs
+    (exact dups, sim=1) are always found (banding S-curve → P≈1)."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        near_dup_pipeline,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in near_dup_pipeline(docs, threshold=0.5).collect()
+    }
+    assert set(got) <= set(exact)          # soundness: no false pairs
+    for k, v in got.items():
+        assert v == pytest.approx(exact[k])
+    assert (0, 3) in got                   # exact dup always collides
+    assert got[(0, 3)] == 1.0
+
+
 def test_embedding_near_dup_blocked_pairs(spark):
     """SemDeDup-style blocked cosine dedup: near-identical vectors in the
     SAME block pair up; identical vectors in DIFFERENT blocks never do
@@ -242,6 +266,28 @@ def test_approx_distinct_within_hll_error(spark):
         assert abs(r["approx_users"] - r["exact_users"]) <= max(0.05 * r["exact_users"], 2), (
             f"{r['event_type']}: approx {r['approx_users']} vs exact {r['exact_users']}"
         )
+
+
+def test_ivf_index_roundtrips_through_storage(spark, tmp_path, clustered_corpus):
+    """The stored-index path: build → save parquet artifact → load →
+    identical centroids and identical ANN results."""
+    from market_analyze_data_stream_processing_spark.operators.similarity import (
+        ivf_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    df, q = clustered_corpus
+    built = ivf_index(df, cluster_col="label")
+    path = str(tmp_path / "ivf")
+    save_ivf_index(built, spark, path)
+    loaded = load_ivf_index(spark, path)
+    assert set(loaded) == set(built)
+    for c in built:
+        assert np.allclose(loaded[c], built[c])
+    a = [r["vec_id"] for r in ann_ivf(df, q, k=10, centroids=built).collect()]
+    b = [r["vec_id"] for r in ann_ivf(df, q, k=10, centroids=loaded).collect()]
+    assert a == b
 
 
 def test_kmeans_deterministic_and_coherent(vectors):
