@@ -70,3 +70,20 @@ def test_retention_drop_partitions(spark, prices, tmp_path):
     assert left.count() == 9  # 3 tickers × 3 surviving days
     # partition values are type-inferred (string → date) on read
     assert str(left.agg(F.min("date")).first()[0]) == "2024-01-03"
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Schema evolution: a 100 TB table accretes columns over time;
+    mergeSchema reads old+new files as one superset schema with NULLs
+    for missing columns — the append-only evolution contract."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, 10.0)], "id long, a double").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, 20.0, "new")], "id long, a double, b string"
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["b"] is None and rows[2]["b"] == "new"
