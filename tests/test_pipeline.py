@@ -138,3 +138,32 @@ def test_url_encode_and_fixed2(spark):
                      format_fixed2(F.col("v")).alias("f")).collect()
     assert rows[0]["u"] == "LVMH+stock+news" and rows[0]["f"] == "12.35"
     assert rows[1]["u"] == "a%26b%3Dc" and rows[1]["f"] == "N/A"
+
+
+def test_chunk_doc_udtf_matches_expression_form(spark):
+    """The Python UDTF surface (Spark 4 table functions): lateral join
+    over docs yields the same chunks as the pure-expression chunker for
+    full windows, and is SQL-callable after registration."""
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.functions.udtfs import (
+        ChunkDocUDTF,
+        register_udtfs,
+    )
+
+    text = " ".join(f"w{i}" for i in range(110))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = (
+        df.lateralJoin(ChunkDocUDTF(F.col("text").outer(), F.lit(50), F.lit(40)))
+        .select("doc_id", "chunk_idx", "n_tokens")
+        .collect()
+    )
+    # 110 tokens, size 50, stride 40 -> windows at 0, 40, 80
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in out] == [(0, 50), (1, 50), (2, 30)]
+
+    register_udtfs(spark)
+    df.createOrReplaceTempView("udtf_docs")
+    n = spark.sql(
+        "SELECT c.* FROM udtf_docs, LATERAL chunk_doc(text, 50, 40) c"
+    ).count()
+    assert n == 3
