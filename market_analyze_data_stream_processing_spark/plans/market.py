@@ -540,3 +540,67 @@ def q_chart_frame(spark, sf_dir):
         ma_exact(10).alias("ma10"),
         F.when(cnt50 >= 50, ma_exact(50)).alias("ma50"),
     )
+
+
+@register(
+    "q_series_correlation",
+    _BARS_CTE
+    + """
+    , daily AS (
+        SELECT ticker, date_trunc('day', ts) AS d,
+               sum(CAST(price AS DECIMAL(18,4))) AS v
+        FROM bars GROUP BY ticker, date_trunc('day', ts)
+    ),
+    pairs AS (
+        SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
+               count(*) AS n,
+               CAST(sum(a.v) AS DOUBLE) AS sx, CAST(sum(b.v) AS DOUBLE) AS sy,
+               CAST(sum(a.v * b.v) AS DOUBLE) AS sxy,
+               CAST(sum(a.v * a.v) AS DOUBLE) AS sxx,
+               CAST(sum(b.v * b.v) AS DOUBLE) AS syy
+        FROM daily a JOIN daily b ON a.d = b.d AND a.ticker < b.ticker
+        GROUP BY a.ticker, b.ticker
+    )
+    SELECT ticker_a, ticker_b, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
+    FROM pairs
+    ORDER BY ticker_a, ticker_b
+    """,
+    doc="Time-series similarity (pairwise Pearson correlation of daily "
+    "price-sum series, all ticker pairs aligned on day): the 'which "
+    "series move together' market query. Engine-portable exactness: the "
+    "five sufficient statistics are DECIMAL-exact sums (bit-identical "
+    "across engines), combined into r with one double expression — "
+    "float corr() accumulates in engine-dependent order and can't be "
+    "hash-compared. Join keys on the day grid; at scale the pair "
+    "fan-out is |tickers|^2/2 per day bucket, bounded by the universe "
+    "size, never by row count.",
+)
+def q_series_correlation(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    daily = bars.groupBy(
+        "ticker", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.col("price").cast("decimal(18,4)")).alias("v"))
+    a = daily.select(F.col("ticker").alias("ticker_a"), "d", F.col("v").alias("va"))
+    b = daily.select(F.col("ticker").alias("ticker_b"), "d", F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "d")
+        .where(F.col("ticker_a") < F.col("ticker_b"))
+        .groupBy("ticker_a", "ticker_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("va").cast("double").alias("sx"),
+            F.sum("vb").cast("double").alias("sy"),
+            F.sum(F.col("va") * F.col("vb")).cast("double").alias("sxy"),
+            F.sum(F.col("va") * F.col("va")).cast("double").alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).cast("double").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return pairs.select(
+        "ticker_a", "ticker_b", "n", F.round(r, 6).alias("r")
+    ).orderBy("ticker_a", "ticker_b")
