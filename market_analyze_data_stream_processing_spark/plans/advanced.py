@@ -1124,3 +1124,40 @@ def q_sentence_explode(spark, sf_dir):
         .where(F.length("sentence") > 0)
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "q_rank_distribution_family",
+    """
+    SELECT c_mktsegment, c_custkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           dense_rank() OVER w AS dr,
+           row_number() OVER w AS rn
+    FROM customer
+    WHERE c_custkey <= 400
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey)
+    ORDER BY c_mktsegment, rn
+    """,
+    doc="Distribution-rank family: percent_rank / cume_dist / dense_rank "
+    "/ row_number over one shared partitioning — one WindowExec, one "
+    "shuffle on the segment key; decimal sort key keeps tie order "
+    "engine-identical.",
+)
+def q_rank_distribution_family(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").cast("decimal(18,2)").desc(), "c_custkey"
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.dense_rank().over(w).alias("dr"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
