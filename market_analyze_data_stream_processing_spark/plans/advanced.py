@@ -1161,3 +1161,35 @@ def q_rank_distribution_family(spark, sf_dir):
         )
         .orderBy("c_mktsegment", "rn")
     )
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority
+    """,
+    doc="Explicit GROUPING SETS (beyond cube/rollup): per-status, "
+    "per-priority, and grand-total aggregates in ONE pass — Spark "
+    "expands to a single Expand+HashAggregate, so the fact table is "
+    "scanned once however many sets are requested.",
+)
+def q_grouping_sets(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
