@@ -193,7 +193,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
                                  ROWS UNBOUNDED PRECEDING) AS session_idx
         FROM x
     )
-    SELECT user_id, session_idx, count(*) AS n_events,
+    SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events,
            floor((max(ts_us) - min(ts_us)) / 1000000.0 * 100 + 0.5) / 100 AS duration_sec
     FROM s GROUP BY user_id, session_idx
     """,

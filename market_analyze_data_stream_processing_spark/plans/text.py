@@ -489,7 +489,7 @@ def q_doc_chunks(spark, sf_dir):
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS bin_id
         FROM toks
     )
-    SELECT source, bin_id, count(*) AS n_docs, sum(n_tok) AS n_tokens
+    SELECT source, bin_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
     FROM packed
     GROUP BY source, bin_id
     ORDER BY source, bin_id

@@ -268,9 +268,9 @@ def q11_important_parts(spark, sf_dir):
     SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
                 THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
            sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'

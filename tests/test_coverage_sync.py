@@ -77,3 +77,28 @@ def test_every_rows_only_query_has_a_pytest_marker():
         if name not in corpus and not (called & corpus_words):
             unpinned.append(name)
     assert not unpinned, f"rows-only queries with no pytest evidence: {unpinned}"
+
+
+def test_no_hugeint_oracle_columns():
+    """DuckDB SUM(INTEGER) returns HUGEINT; arrow/pandas-based comparators
+    (the driver's included) coerce it to float64/decimal128, so its value
+    hash diverges from Spark's bigint even when every value is identical
+    (bit us: q12 in round 2). Every oracle must cast integer sums ::BIGINT."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    offenders = {}
+    for name, q in QUERIES.items():
+        if not q.oracle:
+            continue
+        schema = con.execute(q.oracle).arrow().schema
+        huge = [f.name for f in schema if str(f.type) == "decimal128(38, 0)"]
+        if huge:
+            offenders[name] = huge
+    assert not offenders, f"oracle emits HUGEINT columns (add ::BIGINT): {offenders}"

@@ -69,6 +69,8 @@ def main():
             n_rowsonly += 1
             continue
         try:
+            cur = con.execute(q.oracle)
+            otypes = list(cur.arrow().schema)
             ores = con.execute(q.oracle).fetchall()
             ocols = [d[0] for d in con.description]
         except Exception as e:
@@ -76,6 +78,12 @@ def main():
             n_fail += 1
             continue
         problems = []
+        # DuckDB SUM(INTEGER) yields HUGEINT (arrow decimal128(38,0));
+        # pandas/arrow-based comparators coerce it to float64 and the value
+        # hash diverges from Spark's bigint. Force ::BIGINT in the oracle.
+        huge = [f.name for f in otypes if str(f.type) == "decimal128(38, 0)"]
+        if huge:
+            problems.append(f"oracle emits HUGEINT cols {huge}: add ::BIGINT casts")
         if len(srows) != len(ores):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(ores)}")
         if sorted(scols) != sorted(ocols):
