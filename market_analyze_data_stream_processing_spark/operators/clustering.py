@@ -79,6 +79,7 @@ def kmeans(
     # returning; the final assignment plans against the original df.
     from ..sources.tables import spread
 
+    final_centroids = centroids  # iterations=0 ⇒ assign against the seeds
     work = spread(df).persist()
     try:
         for _ in range(iterations):

@@ -83,6 +83,19 @@ def with_lsh_bucket(
 _IVF_INDEX_CACHE: dict[object, dict[int, "np.ndarray"]] = {}
 
 
+def invalidate_ivf_index(cache_key: object | None = None) -> None:
+    """Drop cached IVF centroids (one key, or everything when ``None``).
+
+    The cache has no automatic invalidation: callers that rebuild or
+    mutate a corpus within a session must either call this or fold a
+    table version (e.g. source-file mtime) into ``cache_key`` so a
+    changed corpus maps to a fresh entry."""
+    if cache_key is None:
+        _IVF_INDEX_CACHE.clear()
+    else:
+        _IVF_INDEX_CACHE.pop(cache_key, None)
+
+
 def ivf_index(
     df: DataFrame,
     vec_col: str = "embedding",

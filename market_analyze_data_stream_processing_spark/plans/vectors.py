@@ -149,9 +149,15 @@ def q_ann_lsh(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     qv = _query_vec(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    # cache_key = table path: the IVF index is built once per corpus and
-    # reused across queries, as a stored index would be at scale.
-    return ann_ivf(e, qv, k=20, n_probe=2, cache_key=("ivf", sf_dir)).select(
+    # cache_key = table path + source mtime: the IVF index is built once
+    # per corpus VERSION and reused across queries, as a stored index
+    # would be at scale; a rewritten corpus maps to a fresh cache entry
+    # (operators.similarity.invalidate_ivf_index covers in-session
+    # mutation of an unversioned source).
+    import os
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    return ann_ivf(e, qv, k=20, n_probe=2, cache_key=("ivf", sf_dir, mtime)).select(
         "vec_id", "label", "sim"
     )
 

@@ -79,11 +79,25 @@ def upsert_parquet(
     touched: list[int] | None = None
     existing = None
     if os.path.exists(path):
+        # Materialize the batch ONCE so the touched-bucket set and the
+        # written rows come from the same data — a non-deterministic
+        # incoming frame evaluated twice could write a bucket that was
+        # never read-merged (silent data loss).
+        incoming = incoming.localCheckpoint()
         touched = [r[0] for r in incoming.select("__bucket").distinct().collect()]
         existing = spark.read.parquet(path).where(F.col("__bucket").isin(touched))
     merged = keep_last_merge(existing, incoming, keys, order)
     if retention_predicate is not None:
         merged = merged.where(retention_predicate)
+    survived: set[int] | None = None
+    if touched and retention_predicate is not None:
+        # The survived-bucket set must be computed BEFORE the overwrite:
+        # `merged`'s plan scans the pre-write file listing of `path`, and
+        # re-executing it after dynamic overwrite has replaced those files
+        # fails with FILE_NOT_EXIST on any partially-trimmed bucket.
+        # Persist so the write below reuses this materialization.
+        merged = merged.persist()
+        survived = {r[0] for r in merged.select("__bucket").distinct().collect()}
     (
         merged.repartition("__bucket")
         .write.mode("overwrite")
@@ -91,7 +105,7 @@ def upsert_parquet(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)
     )
-    if touched and retention_predicate is not None:
+    if survived is not None:
         # Dynamic overwrite only replaces partitions present in the output:
         # a touched bucket whose every row was retention-trimmed (the only
         # way a touched bucket can vanish — a keep-last merge always emits
@@ -102,9 +116,9 @@ def upsert_parquet(
             for d in os.listdir(path)
             if d.startswith("__bucket=")
         }
-        survived = {r[0] for r in merged.select("__bucket").distinct().collect()}
         for b in set(touched) & left - survived:
             shutil.rmtree(os.path.join(path, f"__bucket={b}"), ignore_errors=True)
+        merged.unpersist()
 
 
 def stream_upsert_parquet(

@@ -300,3 +300,17 @@ def test_kmeans_deterministic_and_coherent(vectors):
     assert set(a1.values()) <= {0, 1, 2, 3}
     # vectors built parallel to q (ids 0..4) should co-cluster with vec 0
     assert len({a1[i] for i in range(3)}) == 1
+
+
+def test_kmeans_zero_iterations_assigns_to_seeds(vectors):
+    """iterations=0 must assign against the seed centroids, not raise
+    (regression: NameError when the loop body never bound the final
+    centroid set)."""
+    from market_analyze_data_stream_processing_spark.operators.clustering import kmeans
+
+    df, _ = vectors
+    out = {r["vec_id"]: r["cluster"] for r in kmeans(df, k=4, iterations=0).collect()}
+    assert len(out) == df.count()
+    assert set(out.values()) <= {0, 1, 2, 3}
+    # the seed vectors themselves sit exactly on a centroid
+    assert out[0] == 0

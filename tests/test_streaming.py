@@ -184,6 +184,31 @@ def test_upsert_retention_drops_emptied_bucket(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, f"__bucket={b}"))
 
 
+def test_upsert_retention_partial_trim_of_touched_bucket(spark, tmp_path):
+    """Retention trims only SOME rows of a touched bucket: the bucket
+    survives, its old part files are replaced by dynamic overwrite, and
+    the post-write stale-directory sweep must not re-scan the
+    pre-overwrite file listing (regression: FILE_NOT_EXIST on the
+    replaced part file when the survived set was computed after the
+    write)."""
+    import os
+
+    path = str(tmp_path / "t")
+    # n_buckets=1 forces every key into ONE bucket → any trim is partial
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 1, 100.0)], ["k", "seq", "ts"]
+    )
+    upsert_parquet(spark, df, path, keys=["k"], order=["seq"], n_buckets=1)
+    inc = spark.createDataFrame([("b", 2, 200.0)], ["k", "seq", "ts"])
+    upsert_parquet(
+        spark, inc, path, keys=["k"], order=["seq"], n_buckets=1,
+        retention_predicate=F.col("ts") > 50.0,  # trims 'a', keeps 'b'
+    )
+    got = {r["k"]: r["ts"] for r in spark.read.parquet(path).collect()}
+    assert got == {"b": 200.0}
+    assert os.path.exists(os.path.join(path, "__bucket=0"))
+
+
 def test_keep_last_merge_prefers_incoming_on_higher_seq(spark):
     old = spark.createDataFrame([("A", 1, 10.0)], ["k", "seq", "v"])
     new = spark.createDataFrame([("A", 2, 99.0), ("B", 1, 5.0)], ["k", "seq", "v"])
