@@ -69,6 +69,29 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def mean_word_len(text: Column) -> Column:
+    """Mean token length: integer char-sum / token count (one division,
+    so the float is bit-identical across engines)."""
+    toks = tokens(text)
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return char_sum.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Gopher symbol-to-word ratio: '#' and '...' occurrences per token."""
+    n_sym = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), F.lit(0)))
+    return n_sym.cast("double") / F.greatest(token_count(text), F.lit(1))
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter."""
+    toks = tokens(text)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return n_alpha.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum,
     collapse whitespace."""

@@ -322,3 +322,54 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Group candidate duplicate PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation. Returns one row per
+    node appearing in any edge: ``(node, component)`` where ``component``
+    is the smallest node id reachable from it.
+
+    This is the step between pair generation (Jaccard/LSH/SemDeDup — all
+    emit pairs) and an actual dedup decision: near-duplication is
+    transitive in practice (A≈B, B≈C ⇒ keep one of {A,B,C}), so the unit
+    of deduplication is the component, not the pair.
+
+    Scale shape: each iteration is ONE shuffle on node id (neighbor-min
+    join + groupBy-min), and the iteration count is the component
+    diameter — near-dup clusters are overwhelmingly pairs/stars, so 2-3
+    iterations converge in practice (``max_iter`` only bounds adversarial
+    chains; production CC uses large-star/small-star to halve long
+    chains, same per-round shuffle shape). The per-iteration
+    ``localCheckpoint`` truncates lineage so the plan stays flat, and
+    convergence is detected from ``sum(component)`` — labels only ever
+    decrease, so an unchanged sum means a fixed point: one scalar
+    aggregate per round, no plan-vs-plan join."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.localCheckpoint()  # pair generation runs once, not per iteration
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["v"] == labels["node"]).select(
+            sym["u"].alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.select("node", "comp")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("comp").alias("component"))

@@ -24,6 +24,10 @@ from . import media  # noqa: E402,F401
 # unaffected — `queries()`/`oracle_sql()`/bench all expose the same set.
 _SWEEP_FRONT = [
     "q12_late_shipment_priority",
+    "q_dup_clusters",
+    "q_gopher_filters",
+    "q_zorder_values",
+    "q_stratified_sample",
     "q_hash_split",
     "q_redact_tokens",
     "q_domain_mix_sample",

@@ -1193,3 +1193,33 @@ def q_grouping_sets(spark, sf_dir):
         ORDER BY status, priority
         """
     )
+
+
+from ..functions.layout import zvalue, zvalue_sql  # noqa: E402
+
+
+@register(
+    "q_zorder_values",
+    f"""
+    SELECT o_orderkey,
+           {zvalue_sql("o_custkey", "datediff('day', TIMESTAMP '1992-01-01', o_orderdate)")} AS zval
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Morton z-value over (customer, order-day): the 2-D layout key "
+    "behind ZORDER-style file clustering — bit interleave as a pure "
+    "codegen integer expression (functions/layout.py; layout write path "
+    "write_zordered range-partitions by this key so file min/max stats "
+    "prune scans on EITHER dimension; clustering quality pinned in "
+    "tests/test_storage.py).",
+)
+def q_zorder_values(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    return (
+        o.select(
+            "o_orderkey",
+            zvalue(F.col("o_custkey"), day, bits=16).alias("zval"),
+        )
+        .orderBy("o_orderkey")
+    )

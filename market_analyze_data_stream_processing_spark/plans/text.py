@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_pairs,
     lsh_band_candidates,
@@ -95,6 +96,70 @@ def q_quality_score(spark, sf_dir):
 
 
 @register(
+    "q_gopher_filters",
+    r"""
+    WITH x AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS n_stop
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS mwl,
+               CAST(n_sym AS DOUBLE) / greatest(len(toks), 1) AS swr,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS awr,
+               n_stop
+        FROM x
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(swr, 6) AS symbol_word_ratio,
+           round(awr, 6) AS alpha_word_ratio,
+           n_stop,
+           (n_words BETWEEN 20 AND 100000)
+               AND (mwl BETWEEN 3.8 AND 10.0)
+               AND swr < 0.1 AND awr > 0.8 AND n_stop >= 2 AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style rejection-rule family (word count, mean word length, "
+    "symbol-to-word ratio, alphabetic-word ratio, stopword floor) with "
+    "per-rule measurements and the final keep verdict — the standard "
+    "document-level quality gate for LLM training corpora; every rule is "
+    "a codegen expression, so the gate is a zero-shuffle map over the scan.",
+)
+def q_gopher_filters(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    n_words = T.token_count(F.col("text"))
+    mwl = T.mean_word_len(F.col("text"))
+    swr = T.symbol_word_ratio(F.col("text"))
+    awr = T.alpha_word_ratio(F.col("text"))
+    n_stop = T.marker_hits(F.col("text"), T.LANG_MARKERS["en"])
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(mwl, 6).alias("mean_word_len"),
+            F.round(swr, 6).alias("symbol_word_ratio"),
+            F.round(awr, 6).alias("alpha_word_ratio"),
+            n_stop.alias("n_stop"),
+            (
+                n_words.between(20, 100000)
+                & mwl.between(3.8, 10.0)
+                & (swr < 0.1)
+                & (awr > 0.8)
+                & (n_stop >= 2)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_lang_id",
     r"""
     WITH h AS (
@@ -144,6 +209,36 @@ _SHINGLES_SQL = (
     "list_transform(generate_series(1, len(toks) - 2),"
     " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
 )
+
+# Shared CTE chain producing exact-Jaccard near-dup pairs (threshold 0.1,
+# document-frequency pruning at 100) — the oracle twin of
+# operators.dedup.jaccard_pairs; reused by q_near_dup_jaccard and the
+# connected-components clustering oracle.
+_JACCARD_PAIRS_CTES = rf"""w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
+            FROM w WHERE len(toks) >= 3
+        )
+    ), rare AS (
+        SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+    ), shp AS (
+        SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shp GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT id_a, id_b, n_common,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    )"""
 
 
 @register(
@@ -199,30 +294,9 @@ def q_minhash_signature(spark, sf_dir):
 @register(
     "q_near_dup_jaccard",
     rf"""
-    WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
-    ), sh AS (
-        SELECT DISTINCT doc_id, s FROM (
-            SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
-            FROM w WHERE len(toks) >= 3
-        )
-    ), rare AS (
-        SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
-    ), shp AS (
-        SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
-    ), sizes AS (
-        SELECT doc_id, count(*) AS n_sh FROM shp GROUP BY doc_id
-    ), common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        FROM shp a JOIN shp b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b, n_common,
-           round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    WITH {_JACCARD_PAIRS_CTES}
+    SELECT id_a, id_b, n_common, round(jaccard, 6) AS jaccard
+    FROM pairs
     """,
     doc="Exact n-gram Jaccard near-dup pairs via inverted shingle index; "
     "shingles in >100 docs are dropped on BOTH sides (document-frequency "
@@ -235,6 +309,55 @@ def q_near_dup_jaccard(spark, sf_dir):
         max_shingle_df=100,  # mirrored in the oracle: bounds candidate fan-out
     )
     return pairs.select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q_dup_clusters",
+    rf"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(n, m) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m
+    ),
+    comp AS (
+        SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+    )
+    SELECT doc_id, component,
+           doc_id = component AS is_canonical,
+           count(*) OVER (PARTITION BY component)::BIGINT AS n_members
+    FROM comp
+    ORDER BY doc_id
+    """,
+    doc="Near-dup CLUSTERS from pair candidates: connected components by "
+    "iterative min-label propagation (near-duplication is transitive in "
+    "practice, so the dedup unit is the component). is_canonical marks "
+    "the kept representative (lowest doc_id); dropping the rest is the "
+    "actual dedup decision. Oracle = recursive-CTE transitive closure.",
+)
+def q_dup_clusters(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(
+        d, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1,
+        max_shingle_df=100,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        comp.select(F.col("node").alias("doc_id"), "component")
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -427,6 +550,43 @@ def q_domain_mix_sample(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
+    )
+
+
+@register(
+    "q_stratified_sample",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT source, doc_id, sample_rank
+    FROM ranked WHERE sample_rank <= 5
+    ORDER BY source, sample_rank
+    """,
+    doc="Fixed-size per-stratum sampling (deterministic reservoir): "
+    "exactly k=5 docs per source, chosen by md5(doc_id) rank — the "
+    "eval-set / inspection-sample primitive. Complements the rate-based "
+    "q_domain_mix_sample (rates give proportions; this gives exact "
+    "counts). One shuffle on the stratum key; no RNG, so replays pick "
+    "identical members. At scale the rank-k window prunes with a "
+    "per-partition top-k before the shuffle (WindowGroupLimit).",
+)
+def q_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= 5)
+        .orderBy("source", "sample_rank")
     )
 
 

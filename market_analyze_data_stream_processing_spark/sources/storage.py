@@ -63,3 +63,31 @@ def retention_drop_partitions(
 def explain_string(df: DataFrame, mode: str = "formatted") -> str:
     jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Lay a table out along a Morton z-curve over two key columns:
+    range-partition by the interleaved z-value (one shuffle) and sort
+    within each output file. Every file then covers a narrow range of
+    BOTH columns, so file min/max statistics prune scans filtered on
+    either dimension — single-column sort only achieves this for one.
+    The z-value is a layout key, not data: it is dropped on write."""
+    from ..functions.layout import zvalue
+    from pyspark.sql import functions as F
+
+    z = df.withColumn("__z", zvalue(F.col(x_col), F.col(y_col), bits=bits))
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

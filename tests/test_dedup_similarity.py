@@ -314,3 +314,41 @@ def test_kmeans_zero_iterations_assigns_to_seeds(vectors):
     assert set(out.values()) <= {0, 1, 2, 3}
     # the seed vectors themselves sit exactly on a centroid
     assert out[0] == 0
+
+
+def test_connected_components_chains_and_stars(spark):
+    """CC must group transitively (chains), keep disjoint clusters apart,
+    and label every member with the smallest reachable id."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, star 10-{11,12,13}, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 30-node path is the adversarial diameter case — min-label
+    propagation must still reach the fixed point within max_iter."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    rows = connected_components(edges, "id_a", "id_b", max_iter=40).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == 31

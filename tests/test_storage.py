@@ -87,3 +87,48 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert set(df.columns) == {"id", "a", "b"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["b"] is None and rows[2]["b"] == "new"
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files must cover a NARROW range of BOTH key columns
+    (file min/max stats then prune scans filtered on either dimension);
+    a single-column sort clusters one dimension and leaves the other at
+    full span — the contrast that justifies the Morton layout."""
+    import glob
+
+    from market_analyze_data_stream_processing_spark.sources.storage import (
+        write_zordered,
+    )
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+
+    def file_spans(path):
+        sx, sy = [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    (F.max("x") - F.min("x")).alias("dx"),
+                    (F.max("y") - F.min("y")).alias("dy"),
+                )
+                .first()
+            )
+            sx.append(r["dx"])
+            sy.append(r["dy"])
+        return sum(sx) / len(sx), sum(sy) / len(sy)
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, "x", "y", n_files=16, bits=6)
+    zx, zy = file_spans(zpath)
+    # 16 files over a 64×64 grid ⇒ ~16×16 z-blocks: both spans well under
+    # half the global span of 63
+    assert zx < 0.45 * 63 and zy < 0.45 * 63, (zx, zy)
+
+    spath = str(tmp_path / "sorted_x")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+    px, py = file_spans(spath)
+    assert px < 0.45 * 63          # the sorted dimension clusters...
+    assert py > 0.9 * 63, (px, py)  # ...the other stays at full span
