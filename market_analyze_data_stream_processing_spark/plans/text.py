@@ -554,6 +554,51 @@ def q_domain_mix_sample(spark, sf_dir):
 
 
 @register(
+    "q_unigram_logprob",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT count(*) AS total FROM toks
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tok,
+           round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Self-trained unigram LM scoring (perplexity-style curation "
+    "filter): corpus token frequencies -> per-doc mean log-probability; "
+    "low scores flag out-of-distribution text. Two shuffles (vocab "
+    "count, per-doc mean), both map-side combined; at scale the vocab "
+    "table is Zipf-small and broadcastable so scoring stays map-only.",
+)
+def q_unigram_logprob(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_stratified_sample",
     """
     WITH ranked AS (

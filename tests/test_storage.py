@@ -132,3 +132,37 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     px, py = file_spans(spath)
     assert px < 0.45 * 63          # the sorted dimension clusters...
     assert py > 0.9 * 63, (px, py)  # ...the other stays at full span
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level filtering for big shuffle joins: a selective
+    filter on the dimension side injects a bloom_filter_agg /
+    might_contain pair that prunes fact rows BEFORE the shuffle. The
+    size thresholds here are scaled down to local test data — at
+    production scale the defaults (10 GB application side) fire on
+    their own; the assertion is that the session/plan shape supports
+    the injection at all."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.01"
+        l = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
