@@ -29,6 +29,7 @@ _SWEEP_FRONT = [
     "q_zorder_values",
     "q_stratified_sample",
     "q_unigram_logprob",
+    "q_asof_join",
     "q_hash_split",
     "q_redact_tokens",
     "q_domain_mix_sample",

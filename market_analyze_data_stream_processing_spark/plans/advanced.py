@@ -1223,3 +1223,56 @@ def q_zorder_values(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+from ..functions.scalars import stable_round_sql  # noqa: E402
+from ..operators.asof import asof_join  # noqa: E402
+
+
+@register(
+    "q_asof_join",
+    f"""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    ), purch AS (
+        SELECT event_id AS purchase_id, user_id, ts,
+               epoch_us(ts) AS p_ts_us, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, c.user_id, c.ts_us,
+           p.purchase_id,
+           round(p.purchase_value, 4) AS purchase_value,
+           {stable_round_sql("(c.ts_us - p.p_ts_us) / 1000000.0", 2)} AS gap_sec
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.click_id
+    """,
+    doc="True two-table as-of join (trade-vs-quote alignment): every "
+    "click matched to the user's latest prior-or-equal purchase. Engine "
+    "side is the UNION + single-window form (one shuffle on the key, "
+    "O(L+R) rows, no range-join pair explosion — operators/asof.py); "
+    "oracle is DuckDB's native ASOF LEFT JOIN, so the differential "
+    "checks our lowering against a first-class ASOF operator.",
+)
+def q_asof_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", ts_us.alias("ts_us")
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        ts_us.alias("p_ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    j = asof_join(
+        clicks, purch, on=["user_id"], left_ts="ts_us", right_ts="p_ts_us",
+        right_cols=["purchase_id", "purchase_value"],
+    )
+    return j.select(
+        "click_id", "user_id", "ts_us", "purchase_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        stable_round((F.col("ts_us") - F.col("p_ts_us")) / 1e6, 2).alias("gap_sec"),
+    ).orderBy("click_id")

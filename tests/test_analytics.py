@@ -112,3 +112,25 @@ def test_latest_per_key_and_keep_last(spark):
     latest = {r["ticker"]: r["v"] for r in latest_per_key(df, "ticker", "seq").collect()}
     assert latest == {"A": 30.0, "B": 90.0}
     assert keep_last(df, "ticker", "seq").count() == 2
+
+
+def test_asof_join_edge_semantics(spark):
+    """<= visibility at equal timestamps, latest-wins across candidates,
+    NULL attach when no right row precedes the left row."""
+    from market_analyze_data_stream_processing_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)], ["k", "lt", "lid"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7.0), (1, 15, 8.0), (2, 9, 9.0)], ["k", "rt", "rv"]
+    )
+    out = {
+        r["lid"]: (r["rt"], r["rv"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lt", right_ts="rt", right_cols=["rv"]
+        ).collect()
+    }
+    assert out[100] == (10, 7.0)      # equal ts IS visible
+    assert out[101] == (15, 8.0)      # latest of the two candidates
+    assert out[102] == (None, None)   # right row is later than left ts
