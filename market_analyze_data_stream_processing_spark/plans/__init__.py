@@ -30,6 +30,7 @@ _SWEEP_FRONT = [
     "q_stratified_sample",
     "q_unigram_logprob",
     "q_asof_join",
+    "q_ewma",
     "q_hash_split",
     "q_redact_tokens",
     "q_domain_mix_sample",
@@ -72,7 +73,9 @@ _SWEEP_FRONT = [
     "q_near_dup_pipeline",
     "q_media_features",
     "q_media_frame_sample",
-    "q_media_embedding",
+    # q_media_embedding rotated out (rows-only check) to keep the front at
+    # the 50-entry sweep cap with hash-checkable queries first; it gets a
+    # driver row next rotation.
 ]
 
 

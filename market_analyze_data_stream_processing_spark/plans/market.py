@@ -604,3 +604,49 @@ def q_series_correlation(spark, sf_dir):
     return pairs.select(
         "ticker_a", "ticker_b", "n", F.round(r, 6).alias("r")
     ).orderBy("ticker_a", "ticker_b")
+
+
+@register(
+    "q_ewma",
+    _BARS_CTE
+    + """
+    , fr AS (
+        SELECT ticker, seq,
+               array_agg(price) OVER (PARTITION BY ticker ORDER BY ts, seq
+                                      ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS xs
+        FROM bars
+    )
+    SELECT ticker, seq,
+           floor(list_reduce(xs, (acc, x) -> acc * 0.9 + x)
+                 / list_reduce(list_transform(xs, x -> CAST(1.0 AS DOUBLE)),
+                               (acc, x) -> acc * 0.9 + x)
+                 * 1000000 + 0.5) / 1000000 AS ewma
+    FROM fr
+    ORDER BY ticker, seq
+    """,
+    doc="Exponentially weighted moving average (alpha=0.1, adjusted, "
+    "100-row truncated frame): numerator AND normalizer are the same "
+    "left fold acc*0.9+x over the ordered frame, so both engines execute "
+    "the identical double-op sequence (bit-exact differential — no pow, "
+    "no reassociation). Spark has no recursive window; the fold over a "
+    "bounded collect_list frame is the exact lowering, and the 100-row "
+    "truncation (weight 0.9^100 ~ 3e-5) is what makes EWMA a *windowed* "
+    "operator at scale instead of an unbounded scan-order recursion.",
+)
+def q_ewma(spark, sf_dir):
+    b = _bars(spark, sf_dir)
+    w = (
+        Window.partitionBy("ticker")
+        .orderBy("ts", "seq")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    xs = F.collect_list("price").over(w)
+    fold = lambda acc, x: acc * F.lit(0.9) + x  # noqa: E731
+    num = F.aggregate(xs, F.lit(0.0), fold)
+    den = F.aggregate(
+        F.transform(xs, lambda x: F.lit(1.0)), F.lit(0.0), fold
+    )
+    return (
+        b.select("ticker", "seq", stable_round(num / den, 6).alias("ewma"))
+        .orderBy("ticker", "seq")
+    )
