@@ -1276,3 +1276,31 @@ def q_asof_join(spark, sf_dir):
         F.round("purchase_value", 4).alias("purchase_value"),
         stable_round((F.col("ts_us") - F.col("p_ts_us")) / 1e6, 2).alias("gap_sec"),
     ).orderBy("click_id")
+
+
+@register(
+    "q_approx_percentiles",
+    None,  # sketch-based: tolerance vs the exact path is pinned in pytest
+    doc="GK-sketch approximate percentiles (accuracy=10000) per order "
+    "priority — the constant-memory quantile path for 100 TB (exact "
+    "percentile_disc shuffles every value per group; the sketch merges "
+    "map-side partials). Tolerance vs q_percentiles' exact form is "
+    "asserted in tests/test_analytics.py::test_approx_percentile_tolerance.",
+)
+def q_approx_percentiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round(F.col("pcts")[0], 2).alias("p50"),
+            F.round(F.col("pcts")[1], 2).alias("p90"),
+            F.round(F.col("pcts")[2], 2).alias("p99"),
+            "n",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -650,3 +650,41 @@ def q_ewma(spark, sf_dir):
         b.select("ticker", "seq", stable_round(num / den, 6).alias("ewma"))
         .orderBy("ticker", "seq")
     )
+
+
+@register(
+    "q_validity_intervals",
+    _BARS_CTE
+    + """
+    SELECT ticker, seq,
+           round(price, 6) AS price,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER w AS valid_to_us,
+           (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+    FROM bars
+    WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq)
+    ORDER BY ticker, seq
+    """,
+    doc="SCD2-style validity intervals: each observation holds from its "
+    "own timestamp until the next one for the same key (NULL = still "
+    "current) — the dimension-versioning primitive behind as-of lookups "
+    "and temporal joins, as ONE lead() window pass (single shuffle on "
+    "the key; the streaming form is the keep-last upsert plus history "
+    "append in streaming/upsert.py).",
+)
+def q_validity_intervals(spark, sf_dir):
+    b = _bars(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy("ts", "seq")
+    ts_us = F.unix_micros("ts")
+    nxt = F.lead(ts_us).over(w)
+    return (
+        b.select(
+            "ticker",
+            "seq",
+            F.round("price", 6).alias("price"),
+            ts_us.alias("valid_from_us"),
+            nxt.alias("valid_to_us"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("ticker", "seq")
+    )

@@ -134,3 +134,23 @@ def test_asof_join_edge_semantics(spark):
     assert out[100] == (10, 7.0)      # equal ts IS visible
     assert out[101] == (15, 8.0)      # latest of the two candidates
     assert out[102] == (None, None)   # right row is later than left ts
+
+
+def test_approx_percentile_tolerance(spark):
+    """The sketch path must stay within 1% relative error of the exact
+    percentiles at sf0.01 — the quantified contract that lets the
+    constant-memory form stand in for the exact shuffle at scale."""
+    from market_analyze_data_stream_processing_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["q_approx_percentiles"].fn(spark, sf).collect()
+    }
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    exact_rows = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("p")
+    ).collect()
+    for r in exact_rows:
+        for got, want in zip(approx[r["o_orderpriority"]], r["p"]):
+            assert abs(got - want) / want < 0.01, (r["o_orderpriority"], got, want)

@@ -28,6 +28,12 @@ HEADLINE = [
     "q_embedding_near_dup",
     "q_token_frequency",
     "q_salted_brand_revenue",
+    "q_dup_clusters",      # pair-gen + CC iterations
+    "q_ewma",              # bounded-frame fold window
+    "q_asof_join",         # union+window as-of lowering
+    "q_unigram_logprob",   # vocab + doc-mean double shuffle
+    "q_gopher_filters",    # zero-shuffle codegen gate
+    "q_zorder_values",     # bit-interleave map
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
