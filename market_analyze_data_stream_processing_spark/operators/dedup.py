@@ -85,7 +85,7 @@ def minhash_signature_fast(
     )
 
 
-def lsh_band_candidates(
+def lsh_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -93,10 +93,11 @@ def lsh_band_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: documents agreeing on any band of
-    ``n_hashes/bands`` consecutive signature slots. Returns (id_a, id_b)
-    with id_a < id_b. Join key = (band_idx, band_hash) — short keys, and
-    the shuffle is on candidate buckets, never all-pairs."""
+    """Per-document LSH band keys: ``(id, band, h)`` — one row per band,
+    where ``h`` hashes that band's consecutive minhash slots. Two docs
+    sharing any (band, h) are near-dup candidates. This is the unit the
+    banded self-join AND the persistent incremental index are built
+    from."""
     rows_per_band = n_hashes // bands
     # Signature via explode + columnar min aggregation (codegen'd, map-side
     # combined) — the array-fold form recomputes the shingle array per
@@ -116,8 +117,26 @@ def lsh_band_candidates(
         )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, "bk.band", "bk.h"
+    )
+
+
+def lsh_band_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents agreeing on any band of
+    ``n_hashes/bands`` consecutive signature slots. Returns (id_a, id_b)
+    with id_a < id_b. Join key = (band_idx, band_hash) — short keys, and
+    the shuffle is on candidate buckets, never all-pairs."""
+    banded = lsh_bands(
+        df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+        bands=bands, shingle_n=shingle_n,
     )
     a = banded.alias("a")
     b = banded.alias("b")

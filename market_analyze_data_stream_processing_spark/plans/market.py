@@ -606,46 +606,53 @@ def q_series_correlation(spark, sf_dir):
     ).orderBy("ticker_a", "ticker_b")
 
 
+#: EWMA weights 0.9^j for j=0..99 by repeated multiplication — embedded
+#: as identical double literals in BOTH engines (repr round-trips
+#: exactly), so no pow() libm divergence can enter the differential.
+_EWMA_WEIGHTS = [1.0]
+for _ in range(99):
+    _EWMA_WEIGHTS.append(_EWMA_WEIGHTS[-1] * 0.9)
+
+_EWMA_NUM_SQL = " + ".join(
+    f"coalesce(lag(price, {j}) OVER w * {w!r}, 0.0)"
+    for j, w in enumerate(_EWMA_WEIGHTS)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN lag(price, {j}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+    for j, w in enumerate(_EWMA_WEIGHTS)
+)
+
+
 @register(
     "q_ewma",
     _BARS_CTE
-    + """
-    , fr AS (
-        SELECT ticker, seq,
-               array_agg(price) OVER (PARTITION BY ticker ORDER BY ts, seq
-                                      ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS xs
-        FROM bars
-    )
+    + f"""
     SELECT ticker, seq,
-           floor(list_reduce(xs, (acc, x) -> acc * 0.9 + x)
-                 / list_reduce(list_transform(xs, x -> CAST(1.0 AS DOUBLE)),
-                               (acc, x) -> acc * 0.9 + x)
-                 * 1000000 + 0.5) / 1000000 AS ewma
-    FROM fr
+           floor(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}) * 1000000 + 0.5)
+               / 1000000 AS ewma
+    FROM bars
+    WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq)
     ORDER BY ticker, seq
     """,
     doc="Exponentially weighted moving average (alpha=0.1, adjusted, "
-    "100-row truncated frame): numerator AND normalizer are the same "
-    "left fold acc*0.9+x over the ordered frame, so both engines execute "
-    "the identical double-op sequence (bit-exact differential — no pow, "
-    "no reassociation). Spark has no recursive window; the fold over a "
-    "bounded collect_list frame is the exact lowering, and the 100-row "
-    "truncation (weight 0.9^100 ~ 3e-5) is what makes EWMA a *windowed* "
+    "100-term truncated kernel): one WindowExec evaluating 100 lag "
+    "terms against precomputed literal weights — no per-row array "
+    "materialization (a collect_list frame was 4× slower at sf0.1) and "
+    "no pow() in either engine, so the left-associated sum is the "
+    "identical double-op sequence on both sides (hash-exact). The "
+    "truncation (0.9^100 ~ 3e-5) is what makes EWMA a *windowed* "
     "operator at scale instead of an unbounded scan-order recursion.",
 )
 def q_ewma(spark, sf_dir):
     b = _bars(spark, sf_dir)
-    w = (
-        Window.partitionBy("ticker")
-        .orderBy("ts", "seq")
-        .rowsBetween(-99, Window.currentRow)
-    )
-    xs = F.collect_list("price").over(w)
-    fold = lambda acc, x: acc * F.lit(0.9) + x  # noqa: E731
-    num = F.aggregate(xs, F.lit(0.0), fold)
-    den = F.aggregate(
-        F.transform(xs, lambda x: F.lit(1.0)), F.lit(0.0), fold
-    )
+    w = Window.partitionBy("ticker").orderBy("ts", "seq")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    # build both sums LEFT-ASSOCIATED in the same term order as the SQL
+    for j, wt in enumerate(_EWMA_WEIGHTS):
+        lagged = F.lag("price", j).over(w)
+        num = num + F.coalesce(lagged * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
     return (
         b.select("ticker", "seq", stable_round(num / den, 6).alias("ewma"))
         .orderBy("ticker", "seq")

@@ -352,3 +352,70 @@ def test_connected_components_long_chain_converges(spark):
     rows = connected_components(edges, "id_a", "id_b", max_iter=40).collect()
     assert {r["component"] for r in rows} == {0}
     assert len(rows) == 31
+
+
+def test_incremental_near_dup_index_batches(spark, tmp_path):
+    """Batch 2 near-dups of batch-1 docs must be rejected by the stored
+    band index WITHOUT rescanning batch-1 text; within-batch copies keep
+    the lowest id; fresh docs pass and extend the index."""
+    from market_analyze_data_stream_processing_spark.streaming.dedup_index import (
+        merge_near_dup_index,
+    )
+
+    idx = str(tmp_path / "band_index")
+    b1 = spark.createDataFrame(
+        [(0, BASE), (1, FAR), (2, BASE)], ["doc_id", "text"]  # 2 dups 0
+    )
+    acc1, m1 = merge_near_dup_index(spark, b1, idx)
+    assert {r["doc_id"] for r in acc1.collect()} == {0, 1}
+    assert {(r["new_id"], r["existing_id"]) for r in m1.collect()} == {(2, 0)}
+
+    b2 = spark.createDataFrame(
+        [(10, BASE), (11, "entirely fresh words about warehouses and lakes today")],
+        ["doc_id", "text"],
+    )
+    acc2, m2 = merge_near_dup_index(spark, b2, idx)
+    assert {r["doc_id"] for r in acc2.collect()} == {11}
+    assert {r["new_id"] for r in m2.collect()} == {10}
+    pairs = {(r["new_id"], r["existing_id"]) for r in m2.collect()}
+    assert (10, 0) in pairs          # matched via the index, not raw text
+    # accepted doc 11's bands are now indexed: resending it collides
+    b3 = spark.createDataFrame([(20, b2.collect()[1]["text"])], ["doc_id", "text"])
+    acc3, m3 = merge_near_dup_index(spark, b3, idx)
+    assert acc3.count() == 0
+    assert {(r["new_id"], r["existing_id"]) for r in m3.collect()} == {(20, 11)}
+
+
+def test_stream_near_dup_filter_end_to_end(spark, tmp_path):
+    """Streaming wrapper: file-replay source, availableNow trigger; the
+    output table holds exactly the first-seen representative of each
+    near-dup group across micro-batches."""
+    import json
+
+    from market_analyze_data_stream_processing_spark.streaming.dedup_index import (
+        stream_near_dup_filter,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 0, "text": BASE},
+                {"doc_id": 1, "text": FAR},
+                {"doc_id": 2, "text": BASE},
+            ]
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = stream_near_dup_filter(
+        stream,
+        index_path=str(tmp_path / "idx"),
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {0, 1}
