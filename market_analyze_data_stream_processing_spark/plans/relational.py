@@ -377,3 +377,53 @@ def q_scalar_string_date(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q_dq_checks",
+    """
+    SELECT
+        (SELECT count(*) FROM orders) AS n_orders,
+        (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS null_custkey,
+        (SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS nonpositive_price,
+        (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS dup_orderkeys,
+        (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+        (SELECT count(*) FROM lineitem
+          WHERE l_discount < 0 OR l_discount > 1) AS bad_discount
+    """,
+    doc="Deequ-style data-quality audit in one pass family: completeness "
+    "(null keys), domain (non-positive prices, discount out of [0,1]), "
+    "uniqueness (duplicate order keys), and referential integrity "
+    "(orphan lineitems via anti join). Each check is an aggregate or "
+    "broadcast anti join — the publish gate a pipeline runs before "
+    "exposing a table; at scale every term is one map-side-combined "
+    "scan, and the orphan check is the only shuffle.",
+)
+def q_dq_checks(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o_stats = t.orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkeys"),
+    )
+    orphans = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    bad_disc = t.lineitem.agg(
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("bad_discount")
+    )
+    return o_stats.crossJoin(F.broadcast(orphans)).crossJoin(F.broadcast(bad_disc))
