@@ -139,3 +139,91 @@ def test_cosine_similarity_bounds_and_self_similarity(spark, vecs):
     ).collect()
     for r in out:
         assert abs(r["self_sim"] - 1.0) < 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == plain union-find on any graph
+    (self-loops and duplicate edges included)."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "id_a", "id_b", max_iter=40).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min of each union-find class
+    cls: dict = {}
+    for n in parent:
+        cls.setdefault(find(n), []).append(n)
+    expect = {n: min(m) for r, m in cls.items() for n in m}
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), finite),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    """The union+window lowering == pandas.merge_asof (backward,
+    exact-match allowed) on arbitrary keyed event sets."""
+    import pandas as pd
+
+    from market_analyze_data_stream_processing_spark.operators.asof import asof_join
+
+    # unique right (key, ts) — the documented precondition
+    rdedup = {}
+    for k, t, v in rrows:
+        rdedup[(k, t)] = v
+    rr = [(k, t, v) for (k, t), v in rdedup.items()]
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k long, lt long, lid long"
+    )
+    right = spark.createDataFrame(rr, "k long, rt long, rv double")
+    got = {
+        r["lid"]: (r["rt"], r["rv"])
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lt", right_ts="rt", right_cols=["rv"]
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], columns=["k", "lt", "lid"]
+    ).sort_values("lt", kind="stable")
+    rp = pd.DataFrame(rr, columns=["k", "rt", "rv"]).sort_values("rt", kind="stable")
+    m = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k", direction="backward"
+    )
+    for row in m.itertuples():
+        want_rt = None if pd.isna(row.rt) else int(row.rt)
+        want_rv = None if pd.isna(row.rv) else float(row.rv)
+        assert got[row.lid] == (want_rt, want_rv), (row.lid, got[row.lid])
