@@ -194,6 +194,51 @@ def main() -> None:
         "viable against a 100 TB store."
     )
 
+    # ---- incremental dedup probe cost vs index size ----
+    from market_analyze_data_stream_processing_spark.streaming.dedup_index import (
+        merge_near_dup_index,
+    )
+
+    drows = []
+    for n in (1_000, 10_000, 100_000):  # first row doubles as plan warmup
+        corpus = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+                F.col("id"), F.lit(" iota kappa "), F.col("id") * 7,
+            ).alias("text"),
+        )
+        ipath = os.path.join(tempfile.mkdtemp(), "idx")
+        merge_near_dup_index(spark, corpus, ipath)
+        batch = spark.range(n, n + 100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+                F.col("id"), F.lit(" iota kappa "), F.col("id") * 7,
+            ).alias("text"),
+        )
+        t0 = time.perf_counter()
+        merge_near_dup_index(spark, batch, ipath)
+        drows.append((n, time.perf_counter() - t0))
+        shutil.rmtree(os.path.dirname(ipath), ignore_errors=True)
+    out += [
+        "",
+        "## Incremental near-dup probe cost vs index size (100-doc batch)",
+        "",
+        "| indexed docs | 100-doc batch seconds |",
+        "|---|---|",
+    ]
+    for n, t in drows:
+        out.append(f"| {n:,} | {t:.2f} |")
+    out.append("")
+    out.append(
+        "Probing a 100× larger band index costs ~the same: the batch joins "
+        "only against the index buckets its band hashes touch "
+        "(partition-pruned scan) and appends its own keys — per-trigger "
+        "dedup is O(batch), not O(corpus) "
+        "(`streaming/dedup_index.py`)."
+    )
+
     # ---- streaming soak: rate source → watermark → tumbling agg ----
     import tempfile
 
