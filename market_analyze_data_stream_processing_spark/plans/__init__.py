@@ -19,8 +19,10 @@ from . import media  # noqa: E402,F401
 # registry entries per round (rounds 1 and 2 each recorded exactly 50 in
 # registration order). Rotate queries that still lack a green driver row
 # to the front so evidence accumulates across rounds: rounds 1+2 covered
-# 61/104; this front-set is the remaining 43 plus q12 (whose round-2 row
-# was the HUGEINT-oracle mismatch fixed this round). Semantics are
+# 60/114; this round-3 front-set is the 49 unevidenced oracle-backed
+# queries (q12 first — its round-2 row was the HUGEINT-oracle mismatch
+# fixed by 330ef6b) plus q_near_dup_pipeline (rows-only). The remaining
+# rows-only media/sketch queries rotate in next round. Semantics are
 # unaffected — `queries()`/`oracle_sql()`/bench all expose the same set.
 _SWEEP_FRONT = [
     "q12_late_shipment_priority",
@@ -70,12 +72,12 @@ _SWEEP_FRONT = [
     "q_sentence_explode",
     "q_rank_distribution_family",
     "q_grouping_sets",
+    "q_dq_checks",
+    "q_validity_intervals",
     "q_near_dup_pipeline",
-    "q_media_features",
-    "q_media_frame_sample",
-    # q_media_embedding rotated out (rows-only check) to keep the front at
-    # the 50-entry sweep cap with hash-checkable queries first; it gets a
-    # driver row next rotation.
+    # Rows-only queries q_media_features / q_media_frame_sample /
+    # q_media_embedding / q_approx_percentiles sit just past the 50-entry
+    # sweep cap; they get driver rows next rotation.
 ]
 
 
