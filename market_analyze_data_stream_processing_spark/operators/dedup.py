@@ -305,15 +305,24 @@ def jaccard_pairs(
     max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs sharing ≥1
-    shingle, via an inverted index (explode → self-join on shingle).
+    shingle, via a GROUPED inverted index: explode shingles once
+    (checkpointed so the tokenize+explode runs once, not per consumer),
+    prune by document frequency, collect the ≤``max_shingle_df`` doc ids
+    per surviving shingle, and expand pairs map-side from each sorted
+    list — no self-join. Versus the join form this removes one full
+    shuffle of the inverted index and the join build, and the pair
+    fan-out is bounded per-shingle by construction (df_cap·(df_cap-1)/2)
+    instead of by join-skew luck. Measured at sf0.1: 4.6 s cold vs
+    13.6 s for the self-join form (warm equal — toy-scale cost is stage
+    scheduling, not the algorithm).
 
     ``max_shingle_df`` drops shingles occurring in more than N documents
-    before the join — the skew guard that keeps the candidate fan-out
-    bounded at scale (same role as document-frequency pruning in dedup
-    literature)."""
-    sh = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"))
-    )
+    BEFORE the collect (the skew guard from dedup literature: a stopword
+    shingle must never materialize a corpus-sized list)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
+    ).localCheckpoint()
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
@@ -322,11 +331,28 @@ def jaccard_pairs(
         )
         sh = sh.join(rare, "sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # rare-join output is already hash-partitioned on sh, so this groupBy
+    # adds no exchange; lists are capped by the df filter above
+    grouped = (
+        sh.groupBy("sh").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
