@@ -742,3 +742,171 @@ def q_near_dup_pipeline(spark, sf_dir):
 
     d = spread(load_table(spark, sf_dir, "documents"))
     return near_dup_pipeline(d, threshold=0.5).orderBy("id_a", "id_b")
+
+
+#: DuckDB mirror of functions.text.shingles(n=2): list of word bigrams.
+_SHINGLES2_SQL = (
+    "list_transform(generate_series(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i+1])"
+)
+
+#: DuckDB mirror of functions.text.shingles(n=5): list of word 5-grams.
+_SHINGLES5_SQL = (
+    "list_transform(generate_series(1, len(toks) - 4),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    " || ' ' || toks[i+3] || ' ' || toks[i+4])"
+)
+
+
+@register(
+    "q_decontaminate",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), eval_grams AS (
+        SELECT DISTINCT s FROM (
+            SELECT unnest({_SHINGLES5_SQL}) AS s
+            FROM w WHERE doc_id % 53 = 0 AND len(toks) >= 5
+        )
+    ), train AS (
+        SELECT doc_id, list_distinct({_SHINGLES5_SQL}) AS grams
+        FROM w WHERE doc_id % 53 <> 0 AND len(toks) >= 5
+    ), sh AS (
+        SELECT doc_id, unnest(grams) AS s FROM train
+    ), hits AS (
+        SELECT doc_id, count(*) AS n_hits
+        FROM sh JOIN eval_grams USING (s)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.grams) AS n_grams,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(t.grams), 6)
+               AS hit_frac,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(t.grams) >= 0.05
+               AS is_contaminated
+    FROM train t LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: flag training docs sharing 5-gram "
+    "shingles with a held-out eval set (doc_id % 53 = 0 stands in for "
+    "the benchmark corpus). The eval n-gram set is tiny relative to the "
+    "corpus, so the overlap probe is a BROADCAST semi-join with counts — "
+    "a map-only pass over 100 TB of training text, no corpus-side "
+    "shuffle except the per-doc hit count. The standard pre-training "
+    "hygiene step (strip eval-set leakage before the corpus ships).",
+)
+def q_decontaminate(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.where(T.token_count(F.col("text")) >= 5).select(
+        "doc_id", F.array_distinct(T.shingles(F.col("text"), 5)).alias("grams")
+    )
+    eval_grams = (
+        base.where(F.col("doc_id") % 53 == 0)
+        .select(F.explode("grams").alias("s"))
+        .distinct()
+    )
+    train = base.where(F.col("doc_id") % 53 != 0)
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("s"))
+        .join(F.broadcast(eval_grams), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    frac = n_hits.cast("double") / F.size("grams")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            n_hits.alias("n_hits"),
+            F.round(frac, 6).alias("hit_frac"),
+            (frac >= 0.05).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_repetition_filters",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), b2 AS (
+        SELECT doc_id, s, count(*) AS cnt FROM (
+            SELECT doc_id, unnest({_SHINGLES2_SQL}) AS s
+            FROM w WHERE len(toks) >= 5
+        ) GROUP BY doc_id, s
+    ), g2 AS (
+        SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_bigram_n
+        FROM b2 GROUP BY doc_id
+    ), b5 AS (
+        SELECT doc_id, s, count(*) AS cnt FROM (
+            SELECT doc_id, unnest({_SHINGLES5_SQL}) AS s
+            FROM w WHERE len(toks) >= 5
+        ) GROUP BY doc_id, s
+    ), g5 AS (
+        SELECT doc_id, sum(cnt) AS n_5grams,
+               coalesce(sum(cnt) FILTER (cnt >= 2), 0) AS dup_5gram_n
+        FROM b5 GROUP BY doc_id
+    )
+    SELECT g2.doc_id,
+           g2.n_bigrams::BIGINT AS n_bigrams,
+           g2.top_bigram_n::BIGINT AS top_bigram_n,
+           round(CAST(g2.top_bigram_n AS DOUBLE) / g2.n_bigrams, 6) AS top2_frac,
+           g5.n_5grams::BIGINT AS n_5grams,
+           g5.dup_5gram_n::BIGINT AS dup_5gram_n,
+           round(CAST(g5.dup_5gram_n AS DOUBLE) / g5.n_5grams, 6) AS dup5_frac,
+           (CAST(g2.top_bigram_n AS DOUBLE) / g2.n_bigrams <= 0.2
+            AND CAST(g5.dup_5gram_n AS DOUBLE) / g5.n_5grams <= 0.3) AS keep
+    FROM g2 JOIN g5 USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Gopher repetition rules (the in-document half of the quality "
+    "gate, complementing q_gopher_filters' static rules): fraction of "
+    "the doc occupied by its most frequent bigram, and fraction of "
+    "5-gram occurrences that are repeats. Two explode->count passes "
+    "whose shuffles key on (doc_id, gram) — fan-out is doc length, "
+    "never corpus-quadratic — joined back per doc. Rejection thresholds "
+    "(top2 > 0.2, dup5 > 0.3) follow the Gopher paper's repetition "
+    "table, adapted to token fractions.",
+)
+def q_repetition_filters(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.where(T.token_count(F.col("text")) >= 5)
+
+    def gram_counts(n):
+        return (
+            base.select("doc_id", F.explode(T.shingles(F.col("text"), n)).alias("s"))
+            .groupBy("doc_id", "s")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    g2 = gram_counts(2).groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_n")
+    )
+    g5 = gram_counts(5).groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_5grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
+        ).alias("dup_5gram_n"),
+    )
+    top2 = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    dup5 = F.col("dup_5gram_n").cast("double") / F.col("n_5grams")
+    return (
+        g2.join(g5, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "top_bigram_n",
+            F.round(top2, 6).alias("top2_frac"),
+            "n_5grams",
+            "dup_5gram_n",
+            F.round(dup5, 6).alias("dup5_frac"),
+            ((top2 <= 0.2) & (dup5 <= 0.3)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
