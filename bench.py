@@ -61,13 +61,15 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    # Round-1's ~3.7k-char line was truncated mid-line by the driver's
-    # stdout tail capture (window ≥2.9k from the r01 artifact); keep the
-    # line under 2800 by dropping the FASTEST queries first (the full
-    # dict always lands in BENCH_DETAIL.json).
-    if len(line) > 2800:
+    # The driver captures only the LAST 2000 chars of stdout (both r01 and
+    # r02 artifacts show a 2000-char tail with the JSON line head-truncated
+    # and "parsed": null).  Keep the line safely under that window by
+    # dropping the FASTEST queries first (the full dict always lands in
+    # BENCH_DETAIL.json).
+    MAX_LINE = 1800
+    if len(line) > MAX_LINE:
         keep = dict(sorted(times.items(), key=lambda kv: -kv[1]))
-        while len(line) > 2800 and keep:
+        while len(line) > MAX_LINE and keep:
             keep.popitem()
             line = json.dumps(
                 {"metric": "suite_seconds", "value": total, "unit": "sec",
