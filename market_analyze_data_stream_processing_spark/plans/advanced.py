@@ -1304,3 +1304,61 @@ def q_approx_percentiles(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_winsorized_stats",
+    """
+    WITH p AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(avg(e.value), 6) AS raw_mean,
+           round(avg(CASE WHEN e.value < p.p05 THEN p.p05
+                          WHEN e.value > p.p95 THEN p.p95
+                          ELSE e.value END), 6) AS winsorized_mean,
+           sum(CASE WHEN e.value < p.p05 OR e.value > p.p95 THEN 1 ELSE 0 END)::BIGINT
+               AS n_clipped
+    FROM events e JOIN p ON e.event_type = p.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="Winsorized (p05/p95-clipped) feature statistics per event type — "
+    "the outlier-robust normalization step of a feature pipeline. Exact "
+    "percentiles via Spark's `percentile` aggregate (linear interpolation, "
+    "same contract as SQL percentile_cont); thresholds live in a 1-row-per-"
+    "group frame broadcast back onto the fact scan, so the clip pass is "
+    "map-only. Note the per-group exact percentile collects the group's "
+    "values — fine for bounded group counts; q_approx_percentiles is the "
+    "sketch path when groups are huge.",
+)
+def q_winsorized_stats(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    j = e.join(F.broadcast(p), "event_type")
+    clipped = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1
+                ).otherwise(0)
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )

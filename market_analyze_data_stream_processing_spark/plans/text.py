@@ -910,3 +910,81 @@ def q_repetition_filters(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_chunk_dup_rate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, md5(array_to_string(t[(g.i * 20 + 1):(g.i * 20 + 20)], ' ')) AS h
+        FROM toks,
+             LATERAL (SELECT unnest(range(0, CAST(floor(len(t) / 20.0) AS BIGINT))) AS i) g
+    ),
+    freq AS (SELECT h, count(*) AS c FROM chunks GROUP BY h),
+    per_doc AS (
+        SELECT chunks.doc_id,
+               count(*) AS n_chunks,
+               sum(CASE WHEN freq.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+        FROM chunks JOIN freq USING (h)
+        GROUP BY chunks.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_chunks, 0) AS n_chunks,
+           coalesce(p.n_dup_chunks, 0) AS n_dup_chunks,
+           round(CAST(coalesce(p.n_dup_chunks, 0) AS DOUBLE)
+                 / greatest(coalesce(p.n_chunks, 0), 1), 6) AS dup_ratio,
+           (coalesce(p.n_dup_chunks, 0) * 5 <= coalesce(p.n_chunks, 0)) AS keep
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    doc="RefinedWeb/CCNet-style duplicated-chunk fraction: split each doc "
+    "into non-overlapping 20-token chunks, a chunk is boilerplate when its "
+    "hash occurs >=2 times corpus-wide (within- or cross-doc); docs are "
+    "kept when <=20% of their chunks are duplicated (integer-exact gate, "
+    "no float compare). Scale shape: map-only chunking (fan-out len/20, "
+    "chunk identity independent of partitioning), one shuffle on the "
+    "16-byte chunk hash for corpus frequencies, AQE join back on that "
+    "hash, one per-doc re-agg — never all-pairs, never a driver loop.",
+)
+def q_chunk_dup_rate(spark, sf_dir):
+    W = 20
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("t"))
+    n = F.floor(F.size(F.col("t")) / W).cast("int")
+    # Guard: sequence(0, n-1) turns DESCENDING for n=0 (same trap as
+    # functions.text.shingles) — short docs must yield zero chunks.
+    idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # Hash inside the transform so the exploded rows carry 16-byte md5s,
+    # not the token array (row width stays constant as docs grow).
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i * W + 1, W)))
+    )
+    chunks = base.select("doc_id", F.explode(hashes).alias("h"))
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+        F.round(
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_chunks", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+        (
+            F.coalesce("n_dup_chunks", F.lit(0)) * 5
+            <= F.coalesce("n_chunks", F.lit(0))
+        ).alias("keep"),
+    )

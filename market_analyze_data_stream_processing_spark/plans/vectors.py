@@ -282,3 +282,59 @@ def q_kmeans_clusters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster")
     )
+
+
+@register(
+    "q_quantize_embeddings",
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               embedding::DOUBLE[] AS e,
+               greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30)
+                   / 127.0 AS s
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           round(s, 9) AS scale,
+           CAST(list_sum(list_transform(e,
+                x -> CASE WHEN floor(x / s + 0.5) <> 0 THEN 1 ELSE 0 END)) AS BIGINT)
+               AS n_nonzero,
+           round(sqrt(list_sum(list_transform(
+                         list_transform(e, x -> x - floor(x / s + 0.5) * s),
+                         y -> y * y)) / len(e)), 9) AS rmse
+    FROM q
+    """,
+    doc="Int8 symmetric scalar quantization of the embedding column (the "
+    "4x-memory-compression step ahead of ANN serving): per-vector scale = "
+    "max|x|/127, q_i = floor(x/scale + 0.5), reported as per-vector scale, "
+    "non-zero code count, and reconstruction RMSE. floor(x+0.5) (not "
+    "round) on BOTH sides pins half-case semantics across engines. "
+    "Map-only — no shuffle at any scale; the quantized table partitions "
+    "exactly like its source.",
+)
+def q_quantize_embeddings(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = as_double(F.col("embedding"))
+    s = F.greatest(F.array_max(F.transform(emb, F.abs)), F.lit(1e-30)) / F.lit(127.0)
+    resid = F.transform(emb, lambda x: x - F.floor(x / s + F.lit(0.5)) * s)
+    sq = F.transform(resid, lambda y: y * y)
+    nnz = F.aggregate(
+        F.transform(
+            emb,
+            lambda x: F.when(F.floor(x / s + F.lit(0.5)) != 0, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    rmse = F.sqrt(
+        F.aggregate(sq, F.lit(0.0), lambda a, x: a + x) / F.size(emb)
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(s, 9).alias("scale"),
+        nnz.alias("n_nonzero"),
+        F.round(rmse, 9).alias("rmse"),
+    )
