@@ -1,16 +1,18 @@
 """Iterative clustering over embedding columns: Lloyd's k-means with
-deterministic seeding, expressed as DataFrame ops per iteration.
+deterministic seeding.
 
-The iterative-algorithm capability slot (driver loop over declarative
-steps — the shape MLlib uses internally): each iteration is
+The iterative-algorithm capability slot (driver loop over distributed
+steps — the shape MLlib's KMeans uses internally): each iteration is ONE
+fused Arrow pass (``_lloyd_step``) where every partition assigns its rows
+by a numpy matmul and emits k partial (count, vector-sum) rows; the
+driver reduces ≤ k·partitions tiny rows into the new centroids. No
+shuffle, no per-iteration codegen — centroids travel in the task
+closure, so updating them never recompiles a plan.
 
-    assign:  argmax over centroid-similarity expressions (map-only; the
-             centroids are tiny literal vectors broadcast with the plan)
-    update:  posexplode + (cluster, dim) average — one shuffle
-
-At 100 TB the assignment stage is embarrassingly parallel and the update
-shuffle carries k·dim partial sums per partition (map-side combined),
-not the corpus.
+At 100 TB the assignment stage is embarrassingly parallel and the only
+data movement per iteration is k·dim doubles per partition. The
+expression form (``assign_clusters``) remains for oracle-mirrorable
+one-shot assignment against fixed centroids.
 """
 
 from __future__ import annotations
@@ -22,18 +24,77 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double, cosine_sim, lit_vector
 
 
-def _collect_centroids(
-    df: DataFrame, cluster_col: str, vec_col: str, dim: int
+def _lloyd_step(
+    work: DataFrame, centroids: dict[int, np.ndarray], vec_col: str
 ) -> dict[int, np.ndarray]:
-    # Per-slot avg aggregates, no posexplode: the shuffle carries one
-    # k×dim row per partition (map-side combined), never |rows|·dim.
-    rows = df.groupBy(F.col(cluster_col).alias("c")).agg(
-        *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}") for i in range(dim)]
-    ).collect()
-    return {
-        int(r["c"]): np.asarray([r[f"m{i}"] for i in range(dim)], dtype=np.float64)
-        for r in rows
-    }
+    """One fused Lloyd iteration: assign + per-partition partial sums in a
+    single Arrow pass, reduced on the driver.
+
+    Each partition emits at most k rows of (partition_id, cluster, count,
+    vector_sum) — the map-side combine happens in numpy, the "shuffle" is
+    a collect of ≤ k·partitions tiny rows, and nothing re-codegens when
+    the centroid values change (they ride in the task closure). This is
+    the treeAggregate shape MLlib's KMeans uses. Driver reduction sums in
+    (cluster, partition_id) order so replays are bit-identical."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import pandas as pd
+
+    ids = sorted(centroids)
+    C = np.stack([np.asarray(centroids[c], dtype=np.float64) for c in ids])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    schema = StructType(
+        [
+            StructField("pid", IntegerType()),
+            StructField("c", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def part(batches):
+        pid = TaskContext.get().partitionId()
+        counts: dict[int, int] = {}
+        sums: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+            sims = Xn @ Cn.T
+            idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            assigned = id_arr[idx]
+            for c in np.unique(assigned):
+                m = assigned == c
+                counts[int(c)] = counts.get(int(c), 0) + int(m.sum())
+                prev = sums.get(int(c))
+                part_sum = X[m].sum(axis=0)
+                sums[int(c)] = part_sum if prev is None else prev + part_sum
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "c": sorted(counts),
+                    "n": [counts[c] for c in sorted(counts)],
+                    "s": [sums[c].tolist() for c in sorted(counts)],
+                }
+            )
+
+    rows = work.select(vec_col).mapInPandas(part, schema).collect()
+    agg: dict[int, tuple[int, np.ndarray]] = {}
+    for r in sorted(rows, key=lambda r: (r["c"], r["pid"])):
+        n, s = agg.get(r["c"], (0, np.zeros(len(r["s"]))))
+        agg[r["c"]] = (n + r["n"], s + np.asarray(r["s"], dtype=np.float64))
+    return {c: s / n for c, (n, s) in agg.items()}
 
 
 def assign_clusters(
@@ -54,6 +115,45 @@ def assign_clusters(
     return df.withColumn(out_col, F.array_max(pairs)["c"])
 
 
+def assign_clusters_arrow(
+    df: DataFrame,
+    centroids: dict[int, np.ndarray],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched matmul per batch
+    (``mapInPandas`` + numpy) — the hot-loop form ``kmeans`` iterates on.
+
+    The expression form (``assign_clusters``) re-codegens a k×dim literal
+    fold tree every iteration (centroid values are plan literals, so each
+    update forces a fresh wholestage compile — that JIT dominated the
+    bench at small SF and grows with k·dim). Here centroids ride in the
+    task closure (k·dim floats, broadcast-tiny), rows stream through as
+    Arrow batches, and the k·dim·batch similarity is one BLAS matmul —
+    the same shape MLlib's k-means uses. Same cosine semantics, ties
+    break to the highest cluster id (argmax over reversed columns)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ids = sorted(centroids)
+    C = np.stack([np.asarray(centroids[c], dtype=np.float64) for c in ids])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    schema = StructType(df.schema.fields + [StructField(out_col, IntegerType())])
+
+    def part(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+            sims = Xn @ Cn.T
+            # first max of the reversed columns = highest-id argmax,
+            # matching the expression form's struct-max tie-break
+            idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            pdf[out_col] = id_arr[idx].astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(part, schema)
+
+
 def kmeans(
     df: DataFrame,
     k: int,
@@ -70,7 +170,6 @@ def kmeans(
         i: np.asarray(list(r[vec_col]), dtype=np.float64)
         for i, r in enumerate(seed_rows)
     }
-    dim = len(centroids[0])
     # Iterative working set: spread across cores (the synthetic table is
     # one parquet file = one input split, which would serialize the
     # fold-heavy assignment) and CACHE it — every iteration re-reads the
@@ -80,12 +179,11 @@ def kmeans(
     from ..sources.tables import spread
 
     final_centroids = centroids  # iterations=0 ⇒ assign against the seeds
-    work = spread(df).persist()
+    work = spread(df.select(vec_col)).persist()
     try:
         for _ in range(iterations):
             final_centroids = centroids  # assignment uses pre-update centroids
-            assigned = assign_clusters(work, centroids, vec_col=vec_col)
-            centroids = _collect_centroids(assigned, "cluster", vec_col, dim)
+            centroids = _lloyd_step(work, centroids, vec_col=vec_col)
     finally:
         work.unpersist()
-    return assign_clusters(df, final_centroids, vec_col=vec_col)
+    return assign_clusters_arrow(df, final_centroids, vec_col=vec_col)
