@@ -988,3 +988,61 @@ def q_chunk_dup_rate(spark, sf_dir):
             <= F.coalesce("n_chunks", F.lit(0))
         ).alias("keep"),
     )
+
+
+@register(
+    "q_split_leakage",
+    rf"""
+    WITH {_JACCARD_PAIRS_CTES},
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           count(*) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard
+    FROM pairs
+    JOIN splits sa ON sa.doc_id = pairs.id_a
+    JOIN splits sb ON sb.doc_id = pairs.id_b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Split-leakage audit: near-dup pairs (exact Jaccard >= 0.1, same "
+    "inverted-index path as q_near_dup_jaccard) bucketed by the train/val/"
+    "test membership of both endpoints — the cross-split rows are eval "
+    "contamination that inflates benchmark scores. Composition of the "
+    "dedup and hash-split operators: split membership is a pure function "
+    "of doc_id (no extra scan or join against a split table), so the "
+    "audit costs one projection on top of the pair generation.",
+)
+def q_split_leakage(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(
+        d, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.1,
+        max_shingle_df=100,
+    )
+
+    def split_of(c):
+        h = F.substring(F.md5(c.cast("string")), 1, 2)
+        return F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+
+    tagged = pairs.select(
+        split_of(F.col("id_a")).alias("sa"),
+        split_of(F.col("id_b")).alias("sb"),
+        "jaccard",
+    )
+    return (
+        tagged.groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("split_a", "split_b")
+    )
