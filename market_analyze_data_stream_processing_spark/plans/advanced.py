@@ -1362,3 +1362,128 @@ def q_winsorized_stats(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_funnel_conversion",
+    """
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v AS (SELECT user_id, min(ts) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT ev.user_id, min(ev.ts) AS t_click
+        FROM ev JOIN v ON ev.user_id = v.user_id
+        WHERE ev.event_type = 'click' AND ev.ts > v.t_view
+        GROUP BY ev.user_id
+    ),
+    p AS (
+        SELECT ev.user_id, min(ev.ts) AS t_purchase
+        FROM ev JOIN c ON ev.user_id = c.user_id
+        WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click
+        GROUP BY ev.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked,
+           (SELECT count(*) FROM p) AS n_purchased,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM v), 1), 6) AS click_rate,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM c), 1), 6) AS purchase_rate
+    """,
+    doc="Ordered funnel analysis (view -> later click -> later purchase): "
+    "each stage is the min event time strictly after the previous stage's "
+    "time, per user. Three filtered min-aggregates chained by user_id "
+    "joins — every join is on the same key, so at scale one partitioning "
+    "is reused across stages (no re-shuffle under co-partitioning) and "
+    "each stage's state is one timestamp per user, never the event log.",
+)
+def q_funnel_conversion(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.round(
+            F.col("n_clicked").cast("double") / F.greatest("n_viewed", F.lit(1)), 6
+        ).alias("click_rate"),
+        F.round(
+            F.col("n_purchased").cast("double") / F.greatest("n_clicked", F.lit(1)), 6
+        ).alias("purchase_rate"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, min(d) AS cohort FROM act GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort, count(*) AS n_cohort FROM first_seen GROUP BY cohort
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
+           count(*) AS n_active,
+           round(CAST(count(*) AS DOUBLE) / max(s.n_cohort), 6) AS retention
+    FROM act a
+    JOIN first_seen f ON a.user_id = f.user_id
+    JOIN sizes s ON s.cohort = f.cohort
+    WHERE date_diff('day', f.cohort, a.d) <= 7
+    GROUP BY f.cohort, CAST(date_diff('day', f.cohort, a.d) AS INT)
+    ORDER BY f.cohort, day_offset
+    """,
+    doc="Cohort retention: users grouped by first-active date, activity "
+    "counted per day-offset (0-7), retention = active/cohort-size. The "
+    "distinct (user, day) projection collapses the event log FIRST (the "
+    "only pass over the big table); everything after operates on "
+    "users x days rows. Joins share the user_id key; cohort sizes are a "
+    "broadcast-scale dim.",
+)
+def q_cohort_retention(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first_seen = act.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    sizes = first_seen.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    off = F.datediff(F.col("d"), F.col("cohort")).cast("int")
+    return (
+        act.join(first_seen, "user_id")
+        .withColumn("day_offset", off)
+        .where(F.col("day_offset") <= 7)
+        .join(F.broadcast(sizes), "cohort")
+        .groupBy("cohort", "day_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(F.count(F.lit(1)).cast("double") / F.max("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort", "day_offset")
+    )
