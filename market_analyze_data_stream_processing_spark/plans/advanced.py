@@ -1393,36 +1393,47 @@ def q_winsorized_stats(spark, sf_dir):
     """,
     doc="Ordered funnel analysis (view -> later click -> later purchase): "
     "each stage is the min event time strictly after the previous stage's "
-    "time, per user. Three filtered min-aggregates chained by user_id "
-    "joins — every join is on the same key, so at scale one partitioning "
-    "is reused across stages (no re-shuffle under co-partitioning) and "
-    "each stage's state is one timestamp per user, never the event log.",
+    "time, per user. Spark side is ONE scan of the event log: shuffle by "
+    "user, one ordered-window pass computes running first-view / first-"
+    "qualifying-click / first-qualifying-purchase (stage membership is a "
+    "ts comparison, so intra-timestamp row order can't change the "
+    "result), then a per-user agg and a tiny global rollup. The oracle "
+    "spells the same semantics as chained min-agg joins.",
 )
 def q_funnel_conversion(spark, sf_dir):
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.select("user_id", "event_type", "ts").withColumn(
+        "t_view_so_far", first_view
     )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    first_click = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t_view_so_far")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click_so_far", first_click)
+    qualifies_purchase = (
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") > F.col("t_click_so_far"))
     )
-    counts = (
-        v.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("t_view_so_far").isNotNull()).alias("viewed"),
+        F.max(F.col("t_click_so_far").isNotNull()).alias("clicked"),
+        F.max(qualifies_purchase).alias("purchased"),
+    )
+    counts = per_user.agg(
+        F.sum(F.col("viewed").cast("long")).alias("n_viewed"),
+        F.sum(F.col("clicked").cast("long")).alias("n_clicked"),
+        F.sum(F.col("purchased").cast("long")).alias("n_purchased"),
     )
     return counts.select(
         "n_viewed",

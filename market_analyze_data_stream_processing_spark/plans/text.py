@@ -965,9 +965,15 @@ def q_chunk_dup_rate(spark, sf_dir):
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i * W + 1, W)))
     )
     chunks = base.select("doc_id", F.explode(hashes).alias("h"))
-    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    # Corpus chunk frequency as a window over the hash, NOT a groupBy +
+    # join-back: the join form re-tokenizes the whole corpus a second
+    # time (two full scans at 100 TB); the window form shuffles the
+    # 16-byte hashes once and counts within each hash group in place.
+    from pyspark.sql import Window
+
+    c = F.count(F.lit(1)).over(Window.partitionBy("h"))
     per_doc = (
-        chunks.join(freq, "h")
+        chunks.withColumn("c", c)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
