@@ -34,6 +34,11 @@ HEADLINE = [
     "q_unigram_logprob",   # vocab + doc-mean double shuffle
     "q_gopher_filters",    # zero-shuffle codegen gate
     "q_zorder_values",     # bit-interleave map
+    "q_chunk_dup_rate",    # chunk-hash window, single corpus scan
+    "q_quantize_embeddings",  # map-only int8 quantization
+    "q_funnel_conversion", # one shuffle + ordered window pass
+    "q_cohort_retention",  # distinct-collapse then small joins
+    "q_kmeans_clusters",   # fused Arrow Lloyd iterations
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
