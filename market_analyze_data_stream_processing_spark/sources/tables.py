@@ -34,12 +34,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; read nanos as long and truncate to microsecond
-    timestamps. Truncation (not rounding) matches DuckDB's TIMESTAMP_NS →
-    TIMESTAMP read, so both engines see identical instants AND identical
-    sort order (sub-microsecond nanos would otherwise break tiebreaks)."""
+    """events.parquet has shipped with ``ts`` in several physical encodings
+    across testdata regenerations (TIMESTAMP(NANOS), then timestamp[us]
+    NTZ); normalize all of them to a session-TZ TIMESTAMP so every
+    downstream plan and the DuckDB oracle see identical instants.
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read nanos
+      as long (legacy conf, scoped to this read) and truncate to micros.
+      Truncation (not rounding) matches DuckDB's TIMESTAMP_NS → TIMESTAMP
+      read, preserving both instants and sub-microsecond sort tiebreaks.
+    - timestamp[us] isAdjustedToUTC=false: Spark infers TIMESTAMP_NTZ;
+      cast to TIMESTAMP (wall-clock reinterpretation in the session TZ,
+      which is UTC here) to match DuckDB's naive TIMESTAMP.
+    - timestamp[us] UTC-adjusted: already TIMESTAMP; pass through.
+    """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     # Scope the legacy conf to this read: schema resolution (nanos→long)
     # happens eagerly at spark.read.parquet(), so restoring the previous
@@ -55,7 +65,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = e.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:

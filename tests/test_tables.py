@@ -1,0 +1,83 @@
+"""Schema-drift guard for the events loader.
+
+The driver has regenerated /root/testdata more than once, and the physical
+encoding of events.ts has changed between regenerations (TIMESTAMP(NANOS)
+in rounds 1-3, timestamp[us] NTZ in round 4). ``load_events`` must yield
+identical instants for every encoding it has ever seen — this test writes
+tiny fixture parquets in all three encodings and asserts equality.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from market_analyze_data_stream_processing_spark.sources.tables import load_events
+
+# Instants with sub-second precision; the nanos fixture adds sub-microsecond
+# digits that must TRUNCATE (not round) to these micros.
+_MICROS = [
+    dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+    dt.datetime(2024, 6, 15, 12, 30, 45, 999999),
+    dt.datetime(2025, 12, 31, 23, 59, 59, 1),
+]
+
+_EPOCH = dt.datetime(1970, 1, 1)
+_US = [int((t - _EPOCH).total_seconds()) * 1_000_000 + t.microsecond for t in _MICROS]
+
+
+def _write_events(root, name, ts_array):
+    n = len(_MICROS)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([1.5] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    d = root / name
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("events_encodings")
+    return {
+        # TIMESTAMP(NANOS): sub-microsecond digits 789 must truncate away.
+        "nanos": _write_events(
+            root, "nanos", pa.array([v * 1000 + 789 for v in _US], pa.timestamp("ns"))
+        ),
+        # timestamp[us] isAdjustedToUTC=false (NTZ) — the round-4 shape.
+        "ntz": _write_events(root, "ntz", pa.array(_US, pa.timestamp("us"))),
+        # timestamp[us] UTC-adjusted (LTZ).
+        "ltz": _write_events(root, "ltz", pa.array(_US, pa.timestamp("us", tz="UTC"))),
+    }
+
+
+def test_load_events_identical_instants_across_encodings(spark, encoded_dirs):
+    results = {}
+    for label, d in encoded_dirs.items():
+        df = load_events(spark, d)
+        assert df.schema["ts"].dataType.typeName() == "timestamp", (
+            f"{label}: expected session-TZ timestamp, got {df.schema['ts'].dataType}"
+        )
+        rows = df.orderBy("event_id").select("event_id", "ts").collect()
+        results[label] = [(r.event_id, r.ts) for r in rows]
+    assert results["nanos"] == results["ntz"] == results["ltz"]
+    # and they equal the authored instants (UTC session TZ in conftest)
+    assert [ts for _, ts in results["ntz"]] == _MICROS
+
+
+def test_load_events_matches_real_testdata(spark):
+    # Whatever encoding the driver last generated, the loader must read it.
+    df = load_events(spark, "/root/testdata/sf0.001")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.limit(1).count() == 1
