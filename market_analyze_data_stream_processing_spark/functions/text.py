@@ -107,13 +107,22 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>). Docs with fewer than n tokens
-    yield an EMPTY array — without the guard, sequence(1, size-n+1) turns
-    descending for short docs and element_at(toks, 0) hard-fails the job
-    (INVALID_ARRAY_INDEX_IN_ELEMENT_AT); one short title must never kill a
-    100 TB dedup run."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) from a pre-tokenized array.
+
+    Docs with fewer than n tokens yield an EMPTY array — without the
+    guard, sequence(1, size-n+1) turns descending for short docs and
+    element_at(toks, 0) hard-fails the job
+    (INVALID_ARRAY_INDEX_IN_ELEMENT_AT); one short title must never kill
+    a 100 TB dedup run.
+
+    Hot paths should bind ``toks`` to a MATERIALIZED column (a prior
+    ``.select(tokens(...).alias("toks"))``), not an inline ``tokens(text)``
+    expression: Spark does not common-subexpression-eliminate inside
+    ``transform`` lambdas, so an inline regex split is re-executed once
+    per ``element_at`` reference — n re-tokenizations per shingle.
+    A projection boundary is enough; CollapseProject declines to inline
+    non-cheap producer expressions that are consumed more than once."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx,
@@ -122,3 +131,10 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>) straight from text. Convenience
+    form; see shingles_from_tokens for the hot-path variant that avoids
+    per-element re-tokenization."""
+    return shingles_from_tokens(tokens(text), n)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles
+from ..functions.text import fingerprint, shingles, shingles_from_tokens, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -59,8 +59,12 @@ def minhash_signatures(
     """
     if n_hashes > 4:
         raise ValueError("sliced-md5 signature supports at most 4 hash slots")
-    hashed = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    # Tokenize behind a projection boundary — an inline tokens() inside the
+    # shingle transform lambda re-runs the regex split per element_at ref.
+    toksed = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    hashed = toksed.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("s"),
     ).select(id_col, F.md5("s").alias("h"))
     return hashed.groupBy(id_col).agg(
         *[
@@ -102,8 +106,10 @@ def lsh_bands(
     # Signature via explode + columnar min aggregation (codegen'd, map-side
     # combined) — the array-fold form recomputes the shingle array per
     # hash slot and is ~5× slower at 64+ shingles/doc.
-    hashed = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    toksed = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    hashed = toksed.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("s"),
     )
     sig = hashed.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(i), "s")).alias(f"h{i}") for i in range(n_hashes)]
@@ -192,8 +198,10 @@ def simhash_fingerprints(
     are plain codegen'd sum aggregates instead of interpreted
     higher-order-function folds, and the shuffle carries one 64-column
     row per doc per partition."""
-    hashed = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    toksed = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    hashed = toksed.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("s"),
     ).select(id_col, F.xxhash64("s").alias("h"))
     votes = hashed.groupBy(id_col).agg(
         *[
@@ -240,8 +248,12 @@ def near_dup_pipeline(
         n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
     )
     sh = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("shset"),
+        F.array_distinct(shingles_from_tokens(F.col("__toks"), shingle_n)).alias(
+            "shset"
+        ),
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sa"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sb"))
@@ -320,8 +332,12 @@ def jaccard_pairs(
     BEFORE the collect (the skew guard from dedup literature: a stopword
     shingle must never materialize a corpus-sized list)."""
     sh = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), shingle_n))
+        ).alias("sh"),
     ).localCheckpoint()
     if max_shingle_df is not None:
         rare = (

@@ -256,10 +256,13 @@ _JACCARD_PAIRS_CTES = rf"""w AS (
 def q_shingle_count(spark, sf_dir):
     d = spread(load_table(spark, sf_dir, "documents"))
     return (
-        d.where(T.token_count(F.col("text")) >= 3)
+        d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") >= 3)
         .select(
             "doc_id",
-            F.size(F.array_distinct(T.shingles(F.col("text"), 3))).alias("n_shingles"),
+            F.size(
+                F.array_distinct(T.shingles_from_tokens(F.col("toks"), 3))
+            ).alias("n_shingles"),
         )
     )
 
@@ -799,8 +802,15 @@ _SHINGLES5_SQL = (
 )
 def q_decontaminate(spark, sf_dir):
     d = spread(load_table(spark, sf_dir, "documents"))
-    base = d.where(T.token_count(F.col("text")) >= 5).select(
-        "doc_id", F.array_distinct(T.shingles(F.col("text"), 5)).alias("grams")
+    # Tokenize ONCE behind a projection boundary, then shingle from the
+    # array — inlining tokens() into the transform lambda re-runs the
+    # regex split once per element_at reference (5x per gram).
+    toksed = d.select("doc_id", T.tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 5
+    )
+    base = toksed.select(
+        "doc_id",
+        F.array_distinct(T.shingles_from_tokens(F.col("toks"), 5)).alias("grams"),
     )
     eval_grams = (
         base.where(F.col("doc_id") % 53 == 0)
@@ -876,11 +886,16 @@ def q_decontaminate(spark, sf_dir):
 )
 def q_repetition_filters(spark, sf_dir):
     d = spread(load_table(spark, sf_dir, "documents"))
-    base = d.where(T.token_count(F.col("text")) >= 5)
+    base = d.select("doc_id", T.tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 5
+    )
 
     def gram_counts(n):
         return (
-            base.select("doc_id", F.explode(T.shingles(F.col("text"), n)).alias("s"))
+            base.select(
+                "doc_id",
+                F.explode(T.shingles_from_tokens(F.col("toks"), n)).alias("s"),
+            )
             .groupBy("doc_id", "s")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
