@@ -109,14 +109,16 @@ def lint_one(plan: str) -> dict[str, int]:
     return hits
 
 
-def run(write_md: bool = True):
-    spark = get_spark("plan-lint")
+def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark("plan-lint")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict[str, int]] = {}
     errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         try:
-            df = q.fn(spark, SF_DIR)
+            df = q.fn(spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
@@ -168,7 +170,8 @@ def run(write_md: bool = True):
         with open(os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "PLANLINT.md"), "w") as f:
             f.write("\n".join(out) + "\n")
-    spark.stop()
+    if own_spark:
+        spark.stop()
     return violations, results, errors
 
 
