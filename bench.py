@@ -39,24 +39,43 @@ def main() -> None:
     warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
+    errored: list[str] = []
     for name, q in QUERIES.items():
         try:
             times[name] = round(run_one(spark, q, sf_dir), 3)
-        except Exception as e:  # a failing query shows as -1, never kills bench
+        except Exception as e:  # a failing query is listed, never kills bench
             print(f"bench error {name}: {e}", file=sys.stderr)
-            times[name] = -1.0
-    total = round(sum(t for t in times.values() if t >= 0), 3)
+            errored.append(name)
+    # `queries` holds only real durations (no -1 sentinels polluting sums
+    # or cross-round comparisons); failures are the separate `errored`
+    # list plus `n_errored`, so the JSON is self-describing.
+    total = round(sum(times.values()), 3)
     # Full-precision detail goes to a side file; the stdout line must stay
     # SHORT (driver captures only a bounded tail of stdout — round 1's
     # 3.7k-char line was truncated mid-line and failed to parse).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
-        json.dump({"metric": "suite_seconds", "value": total, "unit": "sec", "queries": times, "sf": sf}, f, indent=1)
+        json.dump(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "n_queries": len(times),
+                "n_errored": len(errored),
+                "errored": errored,
+                "sf": sf,
+            },
+            f,
+            indent=1,
+        )
     line = json.dumps(
         {
             "metric": "suite_seconds",
             "value": total,
             "unit": "sec",
             "queries": {k: round(v, 2) for k, v in times.items()},
+            "n_errored": len(errored),
+            "errored": errored,
             "sf": sf,
         },
         separators=(",", ":"),
@@ -73,7 +92,8 @@ def main() -> None:
             keep.popitem()
             line = json.dumps(
                 {"metric": "suite_seconds", "value": total, "unit": "sec",
-                 "queries": {k: round(v, 2) for k, v in keep.items()}, "sf": sf},
+                 "queries": {k: round(v, 2) for k, v in keep.items()},
+                 "n_errored": len(errored), "errored": errored, "sf": sf},
                 separators=(",", ":"),
             )
     print(line)

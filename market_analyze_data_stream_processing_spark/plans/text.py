@@ -808,10 +808,18 @@ def q_decontaminate(spark, sf_dir):
     toksed = d.select("doc_id", T.tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= 5
     )
+    # Materialize the shingled corpus ONCE (the jaccard_pairs pattern):
+    # the plan reads it in 3 branches (eval-gram set, hit counts, final
+    # join), and without the checkpoint each branch re-scans and
+    # re-shingles — worse, the explode's inferred non-empty filter gets
+    # predicate-pushed below the tokenize projection with the full
+    # shingle expression inlined (n splits per gram) into a scan-level
+    # Filter. At 100 TB this materialization is the staged shingle table
+    # a production decontamination pass would write anyway.
     base = toksed.select(
         "doc_id",
         F.array_distinct(T.shingles_from_tokens(F.col("toks"), 5)).alias("grams"),
-    )
+    ).localCheckpoint()
     eval_grams = (
         base.where(F.col("doc_id") % 53 == 0)
         .select(F.explode("grams").alias("s"))
