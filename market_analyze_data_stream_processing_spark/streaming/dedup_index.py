@@ -71,19 +71,22 @@ def merge_near_dup_index(
             f"existing_id {batch.schema[id_col].dataType.simpleString()}"
         )
 
-    # dup-within-batch: keep the lowest id of each colliding group
-    a, b = bk.alias("a"), bk.alias("b")
+    # dup-within-batch: keep the lowest id of each colliding band group.
+    # Resolved with a per-group min AGGREGATE, not a pairwise self-join:
+    # a doc is rejected iff ANY lower id shares one of its bands, which
+    # is exactly "its id exceeds the group minimum", so the rejected set
+    # is identical — but the cost is O(batch band rows) where the pair
+    # join is O(sum of group sizes squared). A heavily-duplicated batch
+    # (the common case the dedup index exists FOR) makes band groups
+    # scale with batch size and the pair form blows up quadratically
+    # (1e9+ rows from a 100k-doc near-identical batch); the aggregate
+    # form's map-side combine never materializes more than one row per
+    # (band, h) per partition. Evidence rows point at the group winner.
+    grp_min = bk.groupBy("band", "h").agg(F.min(id_col).alias("existing_id"))
     in_batch = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("new_id"),
-            F.col(f"b.{id_col}").alias("existing_id"),
-        )
+        bk.join(grp_min, ["band", "h"])
+        .where(F.col(id_col) > F.col("existing_id"))
+        .select(F.col(id_col).alias("new_id"), "existing_id")
     )
     matches = vs_index.unionByName(in_batch).distinct().localCheckpoint()
 
