@@ -15,7 +15,6 @@ stand-ins.
 
 from __future__ import annotations
 
-import math
 import re
 
 import numpy as np
@@ -85,15 +84,19 @@ _NEG_WORDS = {
 
 def _lexicon_sentiment(texts: pd.Series) -> pd.Series:
     """Stand-in for VADER compound: tanh-squashed (pos-neg)/sqrt(n) in
-    [-1, 1] — deterministic, text-sensitive, same range."""
-    vals = []
-    for t in texts.astype(str):
-        toks = re.findall(r"\w+", t.lower())
-        score = sum(tok in _POS_WORDS for tok in toks) - sum(
-            tok in _NEG_WORDS for tok in toks
-        )
-        vals.append(math.tanh(score / max(math.sqrt(len(toks) or 1), 1.0)))
-    return pd.Series(vals)
+    [-1, 1] — deterministic, text-sensitive, same range. Vectorized over
+    the Arrow batch: one str.findall + two exploded isin-sums, no Python
+    row loop."""
+    toks = texts.astype(str).str.lower().str.findall(r"\w+")
+    n = toks.str.len()
+    exploded = toks.explode()
+    pos = exploded.isin(_POS_WORDS).groupby(level=0).sum().reindex(toks.index, fill_value=0)
+    neg = exploded.isin(_NEG_WORDS).groupby(level=0).sum().reindex(toks.index, fill_value=0)
+    denom = np.maximum(np.sqrt(n.clip(lower=1).to_numpy(dtype=float)), 1.0)
+    return pd.Series(
+        np.tanh((pos.to_numpy(dtype=float) - neg.to_numpy(dtype=float)) / denom),
+        index=texts.index,
+    )
 
 
 def _try_real_vader():
