@@ -227,3 +227,43 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
         want_rt = None if pd.isna(row.rt) else int(row.rt)
         want_rv = None if pd.isna(row.rv) else float(row.rv)
         assert got[row.lid] == (want_rt, want_rv), (row.lid, got[row.lid])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5), st.integers(-100, 100)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_in_batch_group_min_rejection_equals_pairwise(spark, rows):
+    """The dedup index resolves within-batch collisions with a per-group
+    min aggregate; prove its rejected set equals the O(n^2) pairwise
+    self-join form on arbitrary (doc_id, band, h) key sets."""
+    bk = spark.createDataFrame(
+        [(d, b, h) for d, b, h in rows], "doc_id long, band int, h long"
+    )
+    grp_min = bk.groupBy("band", "h").agg(F.min("doc_id").alias("existing_id"))
+    agg_rejected = {
+        r["new_id"]
+        for r in bk.join(grp_min, ["band", "h"])
+        .where(F.col("doc_id") > F.col("existing_id"))
+        .select(F.col("doc_id").alias("new_id"))
+        .distinct()
+        .collect()
+    }
+    a, b = bk.alias("a"), bk.alias("b")
+    pair_rejected = {
+        r["new_id"]
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("new_id"))
+        .distinct()
+        .collect()
+    }
+    assert agg_rejected == pair_rejected
