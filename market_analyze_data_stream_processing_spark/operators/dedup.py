@@ -66,11 +66,26 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("s"),
     ).select(id_col, F.md5("s").alias("h"))
-    return hashed.groupBy(id_col).agg(
+    # min() over STRINGS forces SortAggregate (no fixed-size hash buffer);
+    # taking the min over the hex slice parsed as a 32-bit value is
+    # identical (fixed-width lowercase hex sorts like its numeric value)
+    # and keeps the whole aggregation in HashAggregate with map-side
+    # combine — the shape that matters when the shuffle input is 100 TB
+    # of shingles. Re-encode to the 8-char hex form afterwards.
+    sig = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.substring("h", 1 + 8 * i, 8)).alias(f"mh{i}")
+            F.min(F.conv(F.substring("h", 1 + 8 * i, 8), 16, 10).cast("long")).alias(
+                f"_m{i}"
+            )
             for i in range(n_hashes)
         ]
+    )
+    return sig.select(
+        F.col(id_col),
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"_m{i}")), 8, "0")).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
     )
 
 
