@@ -81,3 +81,29 @@ def test_load_events_matches_real_testdata(spark):
     df = load_events(spark, "/root/testdata/sf0.001")
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     assert df.limit(1).count() == 1
+
+
+_EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_retailprice"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"},
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+def test_all_tables_load_with_expected_columns(spark):
+    """Early warning for future testdata regenerations: every table the
+    registry depends on loads, and the columns the queries reference are
+    present (supersets allowed — the driver may add columns)."""
+    from market_analyze_data_stream_processing_spark.sources.tables import load_table
+
+    for name, expected in _EXPECTED_COLUMNS.items():
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        missing = expected - set(df.columns)
+        assert not missing, f"{name}: missing columns {missing}"
