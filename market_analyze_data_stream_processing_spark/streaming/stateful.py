@@ -79,6 +79,84 @@ def _make_latest_fn(ttl_ms: int | None):
     return _latest_fn
 
 
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def _make_ewma_fn(alpha: float):
+    def _ewma_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Recursive (adjust=False) EWMA continued across micro-batches:
+        e_t = (1-alpha)*e_{t-1} + alpha*x_t, seeded from state. Rows at
+        or before the last processed seq are dropped (late-replay guard),
+        so replays emit identical values. State per key is ONE (seq,
+        ewma) pair — unlike the batch kernel (operators/analytics q_ewma
+        path) no history is held, which is what makes the recursion the
+        streaming-native form of the operator."""
+        last_seq, last = state.get if state.exists else (-1, None)
+        parts = [p for p in pdfs if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values("seq", kind="mergesort")
+        pdf = pdf[pdf["seq"] > last_seq]
+        if pdf.empty:
+            return
+        vals = pdf["value"].astype(float)
+        if last is None:
+            ewma = vals.ewm(alpha=alpha, adjust=False).mean()
+        else:
+            # Prepend the state value as the seed row, then drop it:
+            # ewm(adjust=False) starts the recursion at its first element.
+            seeded = pd.concat([pd.Series([last]), vals], ignore_index=True)
+            ewma = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+        out = pd.DataFrame(
+            {
+                "key": key[0],
+                "seq": pdf["seq"].astype("int64").to_numpy(),
+                "value": vals.to_numpy(),
+                "ewma": ewma.to_numpy(),
+            }
+        )
+        state.update((int(out["seq"].iloc[-1]), float(out["ewma"].iloc[-1])))
+        yield out
+
+    return _ewma_fn
+
+
+def ewma_per_key_stateful(
+    stream: DataFrame, alpha: float = 0.1, key_col: str = "key"
+) -> DataFrame:
+    """X3/A-family streaming form: per-key recursive EWMA via
+    applyInPandasWithState. Emits one row per input row with the running
+    smoothed value; state is a single (seq, ewma) pair per key, so state
+    size is O(live keys) regardless of stream length — the unbounded-
+    history operator the batch window form cannot express incrementally."""
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            _make_ewma_fn(alpha),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def latest_per_key_stateful(
     stream: DataFrame, key_col: str = "key", ttl_ms: int | None = None
 ) -> DataFrame:

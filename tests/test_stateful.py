@@ -131,3 +131,77 @@ def test_latest_per_key_stateful_ttl_evicts_idle_keys(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_ewma_stateful_matches_pandas_across_batches(spark, tmp_path):
+    """Streaming recursive EWMA must equal pandas ewm(adjust=False) over
+    the concatenated series, with state carrying the seed across
+    micro-batches and late replays (seq <= last) dropped."""
+    import pandas as pd
+
+    from market_analyze_data_stream_processing_spark.streaming.stateful import (
+        ewma_per_key_stateful,
+    )
+
+    d = tmp_path / "in_ewma"
+    d.mkdir()
+    a_vals = [10.0, 30.0, 20.0, 40.0, 25.0]
+    b_vals = [5.0, 6.0]
+    (d / "b0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"key": "A", "seq": 1, "value": a_vals[0], "payload": ""},
+                {"key": "A", "seq": 2, "value": a_vals[1], "payload": ""},
+                {"key": "B", "seq": 1, "value": b_vals[0], "payload": ""},
+            ]
+        )
+    )
+    (d / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"key": "A", "seq": 2, "value": 999.0, "payload": "replay"},
+                {"key": "A", "seq": 3, "value": a_vals[2], "payload": ""},
+                {"key": "A", "seq": 4, "value": a_vals[3], "payload": ""},
+                {"key": "B", "seq": 2, "value": b_vals[1], "payload": ""},
+            ]
+        )
+    )
+    (d / "b2.json").write_text(
+        json.dumps({"key": "A", "seq": 5, "value": a_vals[4], "payload": ""})
+    )
+    # FileStreamSource orders batches by modification time; same-tick
+    # writes can replay out of order, so pin strictly increasing mtimes.
+    import os
+    import time
+
+    now = time.time()
+    for i, f in enumerate(["b0.json", "b1.json", "b2.json"]):
+        os.utime(d / f, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .select("key", "seq", "value")
+    )
+    out = ewma_per_key_stateful(stream, alpha=0.25)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM ewma_state ORDER BY key, seq").collect()
+    got = {(r["key"], r["seq"]): r["ewma"] for r in rows}
+    # one emission per accepted row; the seq=2 replay must not re-emit
+    assert len(rows) == len(a_vals) + len(b_vals)
+    expect_a = pd.Series(a_vals).ewm(alpha=0.25, adjust=False).mean()
+    expect_b = pd.Series(b_vals).ewm(alpha=0.25, adjust=False).mean()
+    for i, e in enumerate(expect_a):
+        assert abs(got[("A", i + 1)] - e) < 1e-12
+    for i, e in enumerate(expect_b):
+        assert abs(got[("B", i + 1)] - e) < 1e-12
