@@ -636,20 +636,21 @@ _EWMA_DEN_SQL = " + ".join(
     """,
     doc="Exponentially weighted moving average (alpha=0.1, adjusted, "
     "100-term truncated kernel) as an Arrow-batched numpy convolution "
-    "per key: the j-loop accumulates num[i] += price[i-j]*w_j in the "
+    "over HALO BLOCKS: each key's row sequence is cut into 4096-row "
+    "blocks and the 99 rows preceding a block are replicated into it, "
+    "so every emitted row sees its full truncated kernel while no task "
+    "ever holds more than one block (+ halo) in memory. This removes "
+    "the one-task-per-key wall of a naive groupBy(key).applyInPandas — "
+    "an oversized key (one hot ticker with billions of rows at 100 TB) "
+    "parallelizes across blocks, and state per task is O(block), not "
+    "O(history). The j-loop accumulates num[i] += price[i-j]*w_j in the "
     "SAME left-associated order as the oracle's lag-sum, so the double-"
-    "op sequence is identical on both sides (hash-exact; +0.0 terms for "
-    "missing lags are IEEE no-ops). Measured at sf0.1: 1.2 s vs 6.8 s "
-    "for the equivalent 200-window-expression WindowExec plan and 4.2 s "
-    "for the 101-expression form — a 100-term lag kernel is where per-"
-    "row window evaluation loses to one vectorized kernel. Same shuffle "
-    "shape as the window form (one exchange on the key). Scale note: "
-    "applyInPandas holds one key's history in memory (unlike WindowExec "
-    "it cannot spill); because the kernel is truncated at 100 terms, an "
-    "oversized key can be split into time blocks with a 99-row halo — "
-    "the window form remains the drop-in fallback. The truncation "
-    "(0.9^100 ~ 3e-5) is what makes EWMA a *windowed* operator at scale "
-    "instead of an unbounded scan-order recursion.",
+    "op sequence is bitwise identical on both sides (hash-exact; halo "
+    "rows are computed then dropped; +0.0 terms for missing lags are "
+    "IEEE no-ops). The truncation (0.9^100 ~ 3e-5) is exactly what "
+    "makes EWMA a *windowed* operator at scale instead of an unbounded "
+    "scan-order recursion — the streaming-native recursive form is "
+    "streaming/stateful.ewma_per_key_stateful.",
 )
 def q_ewma(spark, sf_dir):
     import numpy as np
@@ -665,8 +666,11 @@ def q_ewma(spark, sf_dir):
         acc = acc + wt
         prefix.append(acc)
 
+    BLOCK = 4096  # rows per block; must exceed the kernel length
+    HALO = len(weights) - 1  # preceding rows replicated into the next block
+
     def ewma_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "seq"], kind="mergesort")
+        pdf = pdf.sort_values("rn", kind="mergesort")
         price = pdf["price"].to_numpy(dtype=np.float64)
         n = len(price)
         num = np.zeros(n, dtype=np.float64)
@@ -674,13 +678,40 @@ def q_ewma(spark, sf_dir):
             if j >= n:
                 break
             num[j:] += price[: n - j] * wt
+        # local index == global rn for block 0; for later blocks every
+        # EMITTED row has local index >= HALO=99 so min(·,99) caps out —
+        # halo rows get wrong denominators but are dropped below.
         den = np.array(prefix, dtype=np.float64)[np.minimum(np.arange(n), 99)]
         ewma = np.floor(num / den * 1e6 + 0.5) / 1e6  # stable_round(·, 6)
-        return pd.DataFrame({"ticker": pdf["ticker"], "seq": pdf["seq"], "ewma": ewma})
+        own = (pdf["rn"].to_numpy() // BLOCK) == pdf["blk"].to_numpy()
+        return pd.DataFrame(
+            {
+                "ticker": pdf["ticker"].to_numpy()[own],
+                "seq": pdf["seq"].to_numpy()[own],
+                "ewma": ewma[own],
+            }
+        )
 
-    return (
+    w = Window.partitionBy("ticker").orderBy("ts", "seq")
+    rows = (
         b.select("ticker", "ts", "seq", "price")
-        .groupBy("ticker")
+        .withColumn("rn", F.row_number().over(w) - 1)
+    )
+    blk = (F.col("rn") / BLOCK).cast("long")
+    pos = F.col("rn") % BLOCK
+    # Rows in the last HALO positions of a block are ALSO sent to the
+    # next block (a key's final partial block spills a few halo copies
+    # into a phantom block that emits nothing — harmless).
+    exploded = rows.withColumn(
+        "blk",
+        F.explode(
+            F.when(pos >= BLOCK - HALO, F.array(blk, blk + F.lit(1))).otherwise(
+                F.array(blk)
+            )
+        ),
+    )
+    return (
+        exploded.groupBy("ticker", "blk")
         .applyInPandas(ewma_kernel, "ticker string, seq bigint, ewma double")
         .orderBy("ticker", "seq")
     )
