@@ -39,6 +39,8 @@ HEADLINE = [
     "q_funnel_conversion", # one shuffle + ordered window pass
     "q_cohort_retention",  # distinct-collapse then small joins
     "q_kmeans_clusters",   # fused Arrow Lloyd iterations
+    "q_decontaminate",     # checkpointed shingle base, broadcast eval set
+    "q_near_dup_jaccard",  # DF-pruned inverted index
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
