@@ -653,11 +653,20 @@ _EWMA_DEN_SQL = " + ".join(
     "streaming/stateful.ewma_per_key_stateful.",
 )
 def q_ewma(spark, sf_dir):
+    return ewma_blocked(_bars(spark, sf_dir))
+
+
+def ewma_blocked(b, block_size: int = 4096):
+    """Halo-block EWMA execution over a (ticker, ts, seq, price) frame;
+    see q_ewma's registration doc. ``block_size`` must exceed the
+    100-term kernel so a block's halo lives entirely in its predecessor;
+    tests shrink it to force many boundary crossings."""
     import numpy as np
     import pandas as pd
 
-    b = _bars(spark, sf_dir)
     weights = list(_EWMA_WEIGHTS)
+    if block_size < len(weights):
+        raise ValueError("block_size must be >= the kernel length")
     # prefix[k-1] = left-associated sum of the first k weights == the
     # oracle's CASE-chain denominator for a row with k non-null lags
     prefix = []
@@ -666,7 +675,7 @@ def q_ewma(spark, sf_dir):
         acc = acc + wt
         prefix.append(acc)
 
-    BLOCK = 4096  # rows per block; must exceed the kernel length
+    BLOCK = block_size
     HALO = len(weights) - 1  # preceding rows replicated into the next block
 
     def ewma_kernel(pdf: pd.DataFrame) -> pd.DataFrame:

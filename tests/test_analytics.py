@@ -154,3 +154,32 @@ def test_approx_percentile_tolerance(spark):
     for r in exact_rows:
         for got, want in zip(approx[r["o_orderpriority"]], r["p"]):
             assert abs(got - want) / want < 0.01, (r["o_orderpriority"], got, want)
+
+
+def test_ewma_blocked_invariant_to_block_size(spark):
+    """Halo-block EWMA must produce bitwise-identical results whatever
+    the block size: a huge block (whole key in one task, the original
+    form) vs the kernel-length minimum (maximum boundary crossings)."""
+    import random
+
+    from market_analyze_data_stream_processing_spark.plans.market import ewma_blocked
+
+    rng = random.Random(7)
+    rows = [
+        (t, i, float(i), round(rng.uniform(1.0, 500.0), 4))
+        for t in ("AA", "BB")
+        for i in range(997)  # not a multiple of any block size used
+    ]
+    bars = spark.createDataFrame(
+        rows, "ticker string, seq long, ts double, price double"
+    ).withColumn("ts", F.col("ts"))
+    big = {
+        (r["ticker"], r["seq"]): r["ewma"]
+        for r in ewma_blocked(bars, block_size=10**6).collect()
+    }
+    small = {
+        (r["ticker"], r["seq"]): r["ewma"]
+        for r in ewma_blocked(bars, block_size=100).collect()
+    }
+    assert big == small  # bitwise equality, no tolerance
+    assert len(big) == 2 * 997
