@@ -24,7 +24,15 @@ def run_one(spark, q, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = q.fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # The localCheckpoint-based queries (shingle base, CC iterations,
+    # jaccard inverted index) pin blocks in the block manager; across a
+    # 122-query session those accumulate into GC pressure that skews
+    # later measurements. Drop them once they're timed.
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(m.keySet().toArray()):
+        m.get(rid).unpersist()
+    return elapsed
 
 
 def main() -> None:

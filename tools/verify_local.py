@@ -51,6 +51,13 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    def drop_checkpoints():
+        # localCheckpoint blocks accumulate across the 122-query session
+        # (shingle bases, CC iterations); unpersist after each query.
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(m.keySet().toArray()):
+            m.get(rid).unpersist()
+
     n_pass = n_fail = n_rowsonly = 0
     for name, q in QUERIES.items():
         if only and name not in only:
@@ -64,6 +71,8 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            drop_checkpoints()
         if q.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
