@@ -314,13 +314,28 @@ def q_kmeans_clusters(spark, sf_dir):
 )
 def q_quantize_embeddings(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
-    emb = as_double(F.col("embedding"))
-    s = F.greatest(F.array_max(F.transform(emb, F.abs)), F.lit(1e-30)) / F.lit(127.0)
-    resid = F.transform(emb, lambda x: x - F.floor(x / s + F.lit(0.5)) * s)
+    # Materialize the vector and its scale behind projection boundaries:
+    # referencing the scale EXPRESSION inside the per-element lambdas
+    # would re-evaluate its array_max once per element (no CSE inside
+    # HOF lambdas) — O(dim^2) per row across three expression trees.
+    base = e.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    scaled = base.select(
+        "vec_id",
+        "label",
+        "v",
+        (
+            F.greatest(F.array_max(F.transform(F.col("v"), F.abs)), F.lit(1e-30))
+            / F.lit(127.0)
+        ).alias("s"),
+    )
+    v, s = F.col("v"), F.col("s")
+    resid = F.transform(v, lambda x: x - F.floor(x / s + F.lit(0.5)) * s)
     sq = F.transform(resid, lambda y: y * y)
     nnz = F.aggregate(
         F.transform(
-            emb,
+            v,
             lambda x: F.when(F.floor(x / s + F.lit(0.5)) != 0, F.lit(1)).otherwise(
                 F.lit(0)
             ),
@@ -328,10 +343,8 @@ def q_quantize_embeddings(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    rmse = F.sqrt(
-        F.aggregate(sq, F.lit(0.0), lambda a, x: a + x) / F.size(emb)
-    )
-    return e.select(
+    rmse = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x) / F.size(v))
+    return scaled.select(
         "vec_id",
         "label",
         F.round(s, 9).alias("scale"),
