@@ -205,3 +205,70 @@ def test_ewma_stateful_matches_pandas_across_batches(spark, tmp_path):
         assert abs(got[("A", i + 1)] - e) < 1e-12
     for i, e in enumerate(expect_b):
         assert abs(got[("B", i + 1)] - e) < 1e-12
+
+
+def test_ewma_stateful_survives_query_restart(spark, tmp_path):
+    """Stop the streaming query, add data, start a NEW query from the
+    same checkpoint: the EWMA must continue from recovered state, not
+    restart the recursion."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from market_analyze_data_stream_processing_spark.streaming.stateful import (
+        ewma_per_key_stateful,
+    )
+
+    d = tmp_path / "in_restart"
+    d.mkdir()
+    vals = [10.0, 30.0, 20.0, 40.0]
+    (d / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"key": "A", "seq": i + 1, "value": v, "payload": ""})
+            for i, v in enumerate(vals[:2])
+        )
+    )
+    cp = str(tmp_path / "cp_restart")
+    out_dir = str(tmp_path / "out_restart")
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch can.
+        stream = (
+            spark.readStream.schema(IN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+            .select("key", "seq", "value")
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            ewma_per_key_stateful(stream, alpha=0.5)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    first = spark.read.parquet(out_dir).collect()
+    assert {r["seq"] for r in first} == {1, 2}
+
+    (d / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"key": "A", "seq": i + 3, "value": v, "payload": ""})
+            for i, v in enumerate(vals[2:])
+        )
+    )
+    os.utime(d / "b1.json", (time.time() + 5, time.time() + 5))
+    run_once()  # new query instance, same checkpoint
+    rows = spark.read.parquet(out_dir).orderBy("seq").collect()
+    got = {r["seq"]: r["ewma"] for r in rows}
+    expect = pd.Series(vals).ewm(alpha=0.5, adjust=False).mean()
+    # seqs 3-4 continue the recursion seeded from the recovered (2, e2)
+    for i, e in enumerate(expect):
+        assert abs(got[i + 1] - e) < 1e-12, (i + 1, got.get(i + 1), e)
