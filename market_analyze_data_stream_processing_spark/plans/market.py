@@ -60,7 +60,12 @@ def _bars(spark, sf_dir):
            w50  AS (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
            w200 AS (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
     """,
-    doc="A3/W3 rolling MA10/50/200 + A4 gated emission (0.0 until window fills).",
+    doc="A3/W3 rolling MA10/50/200 + A4 gated emission (0.0 until window "
+    "fills). One WindowExec computes all four frames (shared sort, one "
+    "shuffle on the key); WindowExec spills, so a hot key degrades to "
+    "serial-but-bounded — the halo-block lowering demonstrated by q_ewma "
+    "(bounded 199-row frames) is the drop-in fix if a single key ever "
+    "dominates.",
 )
 def q_ma_rolling(spark, sf_dir):
     # Single window pass over one partitioning — all four outputs share the
