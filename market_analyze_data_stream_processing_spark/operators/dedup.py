@@ -294,32 +294,91 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
     (SemDeDup-style: cluster/cell assignment first, exact cosine only
-    WITHIN a block). The pair join's key is the block id, so the shuffle
-    is per-block and the quadratic cost is bounded by the largest block —
-    never all-pairs over the corpus. At 100 TB the block id comes from
-    k-means/IVF cell assignment and the table is partitioned by it."""
-    from ..functions.vectors import as_double, dot, l2_norm
+    WITHIN a block). One shuffle on the block id brings each block to a
+    single ``applyInPandas`` task; the quadratic pair work then runs as
+    vectorized numpy inside the task — never as a row-at-a-time join,
+    and never all-pairs over the corpus. At 100 TB the block id comes
+    from k-means/IVF cell assignment and the table is partitioned by it.
 
-    # Norms are computed ONCE per row before the pair join (the join
-    # multiplies row counts, so anything computable pre-join must be);
-    # each pair then costs a single dot-product fold.
-    base = df.select(
-        F.col(block_col).alias("b"),
-        F.col(id_col).alias("id"),
-        as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("nrm", l2_norm(F.col("v")))
-    a = base.select(
-        "b", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    Numeric contract: the kernel accumulates ``outer(A[:,k], B[:,k])``
+    over k IN ELEMENT ORDER, so every pair's dot product is bitwise
+    identical to the sequential ``aggregate()`` fold (and to DuckDB's
+    ``list_inner_product``) in float64 — the oracle hash-matches without
+    any tolerance. A BLAS ``M @ M.T`` would be ~d× fewer passes but uses
+    blocked summation, which can flip the last ulp; exactness wins here.
+
+    Memory is bounded: the similarity matrix is computed in row chunks
+    of ``CHUNK`` (CHUNK×n floats live at once, not n×n), so a 100k-row
+    IVF cell at CHUNK=1024 peaks around 800 MB of float64 scratch per
+    task rather than 80 GB."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    blk_type = df.schema[block_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField(block_col, blk_type),
+            StructField("sim", DoubleType()),
+        ]
     )
-    b = base.select(
-        "b", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    thr = float(threshold)
+    CHUNK = 1024
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pdf["__id"][:0], "id_b": pdf["__id"][:0],
+             block_col: pdf["__b"][:0], "sim": pd.Series(dtype="float64")}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        ids = pdf["__id"].to_numpy()
+        M = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        d = M.shape[1]
+        # k-ordered accumulation == the sequential fold, vectorized over rows.
+        nrm2 = np.zeros(n)
+        for k in range(d):
+            c = M[:, k]
+            nrm2 = nrm2 + c * c
+        nrm = np.sqrt(nrm2)
+        col = np.arange(n)
+        out_a, out_b, out_s = [], [], []
+        for s in range(0, n - 1, CHUNK):
+            e = min(s + CHUNK, n)
+            G = np.zeros((e - s, n))
+            for k in range(d):
+                G = G + np.multiply.outer(M[s:e, k], M[:, k])
+            sims = G / np.multiply.outer(nrm[s:e], nrm)
+            # sorted by id ⇒ strictly-upper triangle is exactly id_a < id_b
+            mask = (sims >= thr) & (col[None, :] > np.arange(s, e)[:, None])
+            ii, jj = np.nonzero(mask)
+            out_a.append(ids[ii + s])
+            out_b.append(ids[jj])
+            out_s.append(sims[ii, jj])
+        if not out_a:
+            return empty
+        id_a = np.concatenate(out_a)
+        if not len(id_a):
+            return empty
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": np.concatenate(out_b),
+             block_col: pdf["__b"].iloc[0], "sim": np.concatenate(out_s)}
+        )
+
+    base = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
     )
     return (
-        a.join(b, ["b"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-        .where(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.col("b").alias(block_col), F.round("sim", 6).alias("sim"))
+        base.groupBy("__b")
+        .applyInPandas(block_pairs, schema=out_schema)
+        .select("id_a", "id_b", block_col, F.round("sim", 6).alias("sim"))
     )
 
 
@@ -424,15 +483,20 @@ def connected_components(
     chains, same per-round shuffle shape). The per-iteration
     ``localCheckpoint`` truncates lineage so the plan stays flat, and
     convergence is detected from ``sum(component)`` — labels only ever
-    decrease, so an unchanged sum means a fixed point: one scalar
-    aggregate per round, no plan-vs-plan join."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
-    sym = sym.localCheckpoint()  # pair generation runs once, not per iteration
+    decrease, so an unchanged sum means a fixed point. The checkpoint is
+    LAZY (``eager=False``): the ``sum(comp)`` aggregate is the action
+    that materializes it, so each round launches exactly ONE job that
+    both persists the new labels and returns the convergence scalar —
+    not a materialize-then-probe pair."""
+    # Checkpoint the EDGES (not the symmetrized union): a union of the
+    # edge plan with its reversal executes pair generation twice — often
+    # the most expensive part of the whole clustering. Materialize the
+    # pairs once; symmetrization is then a cheap map over stored blocks.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (
         sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["v"] == labels["node"]).select(
@@ -443,7 +507,10 @@ def connected_components(
             .union(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # This aggregate is the ONLY action this round: it computes the
+        # new labels, persists them via the lazy checkpoint, and returns
+        # the convergence scalar in a single job.
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             break
