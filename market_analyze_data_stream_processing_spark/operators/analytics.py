@@ -53,22 +53,45 @@ def with_moving_averages(
     use subtract-on-evict / segment trees), so two engines can disagree
     in the low bits; the decimal-sum formulation is bit-identical across
     engines — required for oracle differential checks.
+
+    Exact mode is also the FAST path: Spark's sliding-frame WindowExec
+    re-aggregates the whole frame per row (O(n) for MA-n, no retract),
+    so exact MAs are lowered to running-sum differences — one O(1)
+    unbounded-preceding sum/count pass, then ``S(i) - lag(S, n)`` per
+    window. Decimal arithmetic makes the difference EQUAL to the frame
+    sum, so the lowering is invisible to the oracle. Both WindowExecs
+    share one shuffle and one sort. Float mode keeps the natural frame
+    avg (a float running-diff would NOT be bit-identical to a frame
+    recompute).
     """
     base = _series_window(key, order)
+    if exact:
+        run = base.rowsBetween(Window.unboundedPreceding, 0)
+        out = df.withColumn(
+            "__run_s", F.sum(F.col(value_col).cast("decimal(18,4)")).over(run)
+        ).withColumn("__run_c", F.count(value_col).over(run))
+        for n in windows:
+            s_n = F.col("__run_s") - F.coalesce(
+                F.lag("__run_s", n).over(base), F.lit(0).cast("decimal(28,4)")
+            )
+            cnt = F.col("__run_c") - F.coalesce(F.lag("__run_c", n).over(base), F.lit(0))
+            ma = s_n.cast("double") / cnt
+            if round_to is not None:
+                # inputs are bit-identical across engines, so use the
+                # portable floor-form rounding (see stable_round).
+                ma = stable_round(ma, round_to)
+            if min_fill:
+                ma = F.when(cnt < n, F.lit(0.0)).otherwise(ma)
+            elif strict:
+                ma = F.when(cnt < n, F.lit(float("nan"))).otherwise(ma)
+            out = out.withColumn(f"ma{n}", ma)
+        return out.drop("__run_s", "__run_c")
     out = df
     for n in windows:
         frame = base.rowsBetween(-(n - 1), 0)
-        if exact:
-            ma = (
-                F.sum(F.col(value_col).cast("decimal(18,4)")).over(frame).cast("double")
-                / F.count(value_col).over(frame)
-            )
-        else:
-            ma = F.avg(value_col).over(frame)
+        ma = F.avg(value_col).over(frame)
         if round_to is not None:
-            # exact mode: inputs are bit-identical across engines, so use
-            # the portable floor-form rounding (see stable_round).
-            ma = stable_round(ma, round_to) if exact else F.round(ma, round_to)
+            ma = F.round(ma, round_to)
         if min_fill:
             cnt = F.count(value_col).over(frame)
             ma = F.when(cnt < n, F.lit(0.0)).otherwise(ma)

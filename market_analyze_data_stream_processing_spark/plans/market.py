@@ -61,35 +61,48 @@ def _bars(spark, sf_dir):
            w200 AS (PARTITION BY ticker ORDER BY ts, seq ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
     """,
     doc="A3/W3 rolling MA10/50/200 + A4 gated emission (0.0 until window "
-    "fills). One WindowExec computes all four frames (shared sort, one "
-    "shuffle on the key); WindowExec spills, so a hot key degrades to "
-    "serial-but-bounded — the halo-block lowering demonstrated by q_ewma "
-    "(bounded 199-row frames) is the drop-in fix if a single key ever "
-    "dominates.",
+    "fills). Each MA is a RUNNING-SUM DIFFERENCE (sum over unbounded "
+    "preceding, lagged by n) — O(1) per row, versus Spark's sliding-frame "
+    "WindowExec which re-aggregates the full frame per row (O(200) for "
+    "ma200; Spark has no retract path). Decimal accumulation makes "
+    "S(i)-S(i-n) exactly equal to the frame sum, so oracle hashes are "
+    "unchanged. Two WindowExecs share one shuffle + one sort; a hot key "
+    "degrades to serial-but-bounded — the halo-block lowering demonstrated "
+    "by q_ewma is the drop-in fix if a single key ever dominates.",
 )
 def q_ma_rolling(spark, sf_dir):
-    # Single window pass over one partitioning — all four outputs share the
-    # (ticker, ts, seq) sort, so Spark computes them in one WindowExec; no
-    # join, no second shuffle.
+    # Pass 1: incremental running sum/count (UnboundedPreceding frames are
+    # O(1) per row). Pass 2 reads only lag() offsets of pass-1 columns —
+    # same (ticker, ts, seq) partitioning+sort, so Catalyst stacks the two
+    # WindowExecs on ONE exchange and ONE sort; no frame re-aggregation.
     bars = _bars(spark, sf_dir)
     base = Window.partitionBy("ticker").orderBy("ts", "seq")
-
-    def ma_exact(n):
-        fr = base.rowsBetween(-(n - 1), 0)
-        return stable_round(
-            F.sum(F.col("price").cast("decimal(18,4)")).over(fr).cast("double")
-            / F.count("price").over(fr),
-            4,
-        )
-
-    ma50 = ma_exact(50)
-    cnt50 = F.count("price").over(base.rowsBetween(-49, 0))
-    return bars.select(
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    cum = bars.select(
         "ticker",
         "seq",
-        ma_exact(10).alias("ma10"),
+        "ts",
+        F.sum(F.col("price").cast("decimal(18,4)")).over(run).alias("s"),
+        F.count("price").over(run).alias("c"),
+    )
+
+    def ma_exact(n):
+        # Decimal running-sum difference == the n-row frame sum, exactly.
+        s_n = F.col("s") - F.coalesce(
+            F.lag("s", n).over(base), F.lit(0).cast("decimal(28,4)")
+        )
+        c_n = F.col("c") - F.coalesce(F.lag("c", n).over(base), F.lit(0))
+        return stable_round(s_n.cast("double") / c_n, 4), c_n
+
+    ma10, _ = ma_exact(10)
+    ma50, cnt50 = ma_exact(50)
+    ma200, _ = ma_exact(200)
+    return cum.select(
+        "ticker",
+        "seq",
+        ma10.alias("ma10"),
         ma50.alias("ma50"),
-        ma_exact(200).alias("ma200"),
+        ma200.alias("ma200"),
         F.when(cnt50 < 50, F.lit(0.0)).otherwise(ma50).alias("ma50_gated"),
     )
 
