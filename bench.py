@@ -76,34 +76,39 @@ def main() -> None:
             f,
             indent=1,
         )
-    line = json.dumps(
-        {
-            "metric": "suite_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in times.items()},
-            "n_errored": len(errored),
-            "errored": errored,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
     # The driver captures only the LAST 2000 chars of stdout (both r01 and
     # r02 artifacts show a 2000-char tail with the JSON line head-truncated
     # and "parsed": null).  Keep the line safely under that window by
-    # dropping the FASTEST queries first (the full dict always lands in
-    # BENCH_DETAIL.json).
+    # dropping the FASTEST queries first — but keep the line
+    # SELF-CONTAINED: `others_sec` carries the exact summed time of every
+    # dropped query and `n_queries` the full count, so value == sum(queries
+    # values) + others_sec always holds without consulting BENCH_DETAIL.
+    # `ok` makes failures explicit: a query that starts erroring cannot
+    # silently improve the headline number (it flips ok to false).
     MAX_LINE = 1800
-    if len(line) > MAX_LINE:
-        keep = dict(sorted(times.items(), key=lambda kv: -kv[1]))
-        while len(line) > MAX_LINE and keep:
-            keep.popitem()
-            line = json.dumps(
-                {"metric": "suite_seconds", "value": total, "unit": "sec",
-                 "queries": {k: round(v, 2) for k, v in keep.items()},
-                 "n_errored": len(errored), "errored": errored, "sf": sf},
-                separators=(",", ":"),
-            )
+    keep = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+
+    def make_line() -> str:
+        return json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "ok": not errored,
+                "queries": {k: round(v, 2) for k, v in keep.items()},
+                "others_sec": round(total - sum(keep.values()), 3),
+                "n_queries": len(times),
+                "n_errored": len(errored),
+                "errored": errored,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+
+    line = make_line()
+    while len(line) > MAX_LINE and keep:
+        keep.popitem()
+        line = make_line()
     print(line)
     spark.stop()
 
