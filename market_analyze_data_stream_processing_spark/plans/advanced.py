@@ -1280,30 +1280,52 @@ def q_asof_join(spark, sf_dir):
 
 @register(
     "q_approx_percentiles",
-    None,  # sketch-based: tolerance vs the exact path is pinned in pytest
+    """
+    SELECT o_orderpriority,
+           floor(quantile_cont(o_totalprice, 0.5)  * 100 + 0.5) / 100 AS p50,
+           floor(quantile_cont(o_totalprice, 0.9)  * 100 + 0.5) / 100 AS p90,
+           floor(quantile_cont(o_totalprice, 0.99) * 100 + 0.5) / 100 AS p99,
+           count(*)::BIGINT AS n,
+           TRUE AS sketch_rank_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     doc="GK-sketch approximate percentiles (accuracy=10000) per order "
     "priority — the constant-memory quantile path for 100 TB (exact "
     "percentile_disc shuffles every value per group; the sketch merges "
-    "map-side partials). Tolerance vs q_percentiles' exact form is "
-    "asserted in tests/test_analytics.py::test_approx_percentile_tolerance.",
+    "map-side partials). Oracle contract: the row carries the EXACT "
+    "continuous percentiles (hash-matched against quantile_cont) plus a "
+    "sketch verdict computed in-plan — each GK estimate must fall inside "
+    "the exact [p-0.01, p+0.01] percentile bracket, which accuracy=10000 "
+    "(rank error ≤ n/10000 ≪ 0.01·n) guarantees deterministically. "
+    "Tolerance is additionally pinned in "
+    "tests/test_analytics.py::test_approx_percentile_tolerance.",
 )
 def q_approx_percentiles(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "o_orderpriority",
-            F.round(F.col("pcts")[0], 2).alias("p50"),
-            F.round(F.col("pcts")[1], 2).alias("p90"),
-            F.round(F.col("pcts")[2], 2).alias("p99"),
-            "n",
-        )
-        .orderBy("o_orderpriority")
+    # Exact brackets for the verdict: GK's estimate is an actual data
+    # value within n/10000 ranks of the target, and quantile_cont is
+    # monotone, so estimate ∈ [cont(p-0.01), cont(p+0.01)] always holds
+    # for an intact sketch (0.99+0.01 caps at 1.0 = max).
+    brackets = [0.49, 0.51, 0.89, 0.91, 0.98, 1.0]
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+        F.percentile("o_totalprice", F.lit([0.5, 0.9, 0.99])).alias("ex"),
+        F.percentile("o_totalprice", F.lit(brackets)).alias("br"),
+        F.count(F.lit(1)).alias("n"),
     )
+    ok = (
+        (F.col("pcts")[0] >= F.col("br")[0]) & (F.col("pcts")[0] <= F.col("br")[1])
+        & (F.col("pcts")[1] >= F.col("br")[2]) & (F.col("pcts")[1] <= F.col("br")[3])
+        & (F.col("pcts")[2] >= F.col("br")[4]) & (F.col("pcts")[2] <= F.col("br")[5])
+    )
+    return agg.select(
+        "o_orderpriority",
+        stable_round(F.col("ex")[0], 2).alias("p50"),
+        stable_round(F.col("ex")[1], 2).alias("p90"),
+        stable_round(F.col("ex")[2], 2).alias("p99"),
+        "n",
+        ok.alias("sketch_rank_ok"),
+    ).orderBy("o_orderpriority")
 
 
 @register(

@@ -124,27 +124,59 @@ def q_embedding_norms(spark, sf_dir):
     )
 
 
-@register(
-    "q_ann_lsh",
-    None,  # approximate: no SQL oracle; recall vs exact is tested in pytest
-    doc="U2 scale path: sign-LSH bucketed ANN (8 seeded hyperplanes → bucket "
-    "pruning → exact cosine within bucket). At 100 TB the table is "
-    "partitioned by bucket ⇒ partition-pruned scan of ~1/256 of the data.",
-)
-def q_ann_lsh(spark, sf_dir):
-    qv = _query_vec(spark, sf_dir, 0)
-    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    return ann_lsh(e, qv, k=20, n_planes=8, vec_col="embedding", id_col="vec_id").select(
-        "vec_id", "label", "sim"
+def _ann_recall_contract(ann_df, exact_df, k: int, min_hits: float):
+    """Single-row ANN recall contract: join the ANN top-k against the
+    in-plan exact top-k and emit (k, n_ann, recall_ok). Both inputs are
+    k-row DataFrames, so the join/aggregate is a 1-row scalar reduction —
+    the oracle asserts the deterministic verdict (recall is a pure
+    function of the stored vectors; no randomness at query time)."""
+    hits = exact_df.select("vec_id").withColumn("__hit", F.lit(1))
+    return (
+        ann_df.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_ann"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            F.lit(k).alias("k"),
+            "n_ann",
+            (F.col("n_hits") >= F.lit(min_hits)).alias("recall_ok"),
+        )
     )
 
 
 @register(
+    "q_ann_lsh",
+    "SELECT 20 AS k, CAST(20 AS BIGINT) AS n_ann, TRUE AS recall_ok",
+    doc="U2 scale path: sign-LSH bucketed ANN (8 seeded hyperplanes, "
+    "multi-probe Hamming≤2 → bucket pruning → exact cosine within). At "
+    "100 TB the table is partitioned by bucket ⇒ partition-pruned scan of "
+    "~37/256 of the data. Oracle contract: recall@20 vs the IN-PLAN exact "
+    "kNN as a checked threshold row (floor 0.10 = theory floor for "
+    "uniform-random vectors, measured 0.40 — COVERAGE.md); the bucket "
+    "must also yield a full k results (n_ann = 20).",
+)
+def q_ann_lsh(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir, 0)
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    ann = ann_lsh(
+        e, qv, k=20, n_planes=8, vec_col="embedding", id_col="vec_id",
+        probe_hamming=2,
+    )
+    exact = knn_exact(e, qv, k=20, vec_col="embedding", id_col="vec_id")
+    return _ann_recall_contract(ann, exact, k=20, min_hits=2)
+
+
+@register(
     "q_ann_ivf",
-    None,  # approximate: recall vs exact is tested in pytest
+    "SELECT 20 AS k, CAST(20 AS BIGINT) AS n_ann, TRUE AS recall_ok",
     doc="U2 scale path #2: IVF-style ANN — coarse centroid cells, probe "
     "the 2 nearest cells, exact cosine within. At 100 TB the corpus is "
-    "partitioned by cell id ⇒ probing is partition pruning.",
+    "partitioned by cell id ⇒ probing is partition pruning. Oracle "
+    "contract: recall@20 vs the IN-PLAN exact kNN as a checked threshold "
+    "row (floor 0.15 = theory floor for uniform-random vectors, measured "
+    "0.35 — COVERAGE.md) plus full-k delivery (n_ann = 20).",
 )
 def q_ann_ivf(spark, sf_dir):
     qv = _query_vec(spark, sf_dir, 0)
@@ -157,9 +189,9 @@ def q_ann_ivf(spark, sf_dir):
     import os
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
-    return ann_ivf(e, qv, k=20, n_probe=2, cache_key=("ivf", sf_dir, mtime)).select(
-        "vec_id", "label", "sim"
-    )
+    ann = ann_ivf(e, qv, k=20, n_probe=2, cache_key=("ivf", sf_dir, mtime))
+    exact = knn_exact(e, qv, k=20, vec_col="embedding", id_col="vec_id")
+    return _ann_recall_contract(ann, exact, k=20, min_hits=3)
 
 
 @register(
@@ -245,10 +277,18 @@ def q_retrieval_pipeline(spark, sf_dir):
 
 @register(
     "q_approx_distinct",
-    None,  # HLL sketch is engine-specific; exact counterpart is q_distinct_agg
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     doc="Sketch path: approx_count_distinct (HyperLogLog++) per event_type "
-    "— the constant-memory form of COUNT(DISTINCT) at 100 TB. Rows-only "
-    "check; the exact counterpart is oracle-checked in q_distinct_agg.",
+    "— the constant-memory form of COUNT(DISTINCT) at 100 TB. Oracle "
+    "contract: the exact count is computed IN-PLAN alongside the sketch "
+    "and the row carries the sketch-accuracy verdict (|approx-exact| ≤ "
+    "max(5%·exact, 2)); the oracle hash-matches the exact column and "
+    "asserts the verdict TRUE, so a degraded sketch fails the driver "
+    "gate deterministically (HLL++ is a pure function of the value set).",
 )
 def q_approx_distinct(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
@@ -261,7 +301,18 @@ def q_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     )
     exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
-    return approx.join(exact, "event_type").orderBy("event_type")
+    return (
+        approx.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(2.0), F.col("exact_users") * 0.05)
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @register(
