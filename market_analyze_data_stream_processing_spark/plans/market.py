@@ -706,9 +706,11 @@ def ewma_blocked(b, block_size: int = 4096):
                 break
             num[j:] += price[: n - j] * wt
         # local index == global rn for block 0; for later blocks every
-        # EMITTED row has local index >= HALO=99 so min(·,99) caps out —
-        # halo rows get wrong denominators but are dropped below.
-        den = np.array(prefix, dtype=np.float64)[np.minimum(np.arange(n), 99)]
+        # EMITTED row has local index >= HALO so min(·, HALO) caps out —
+        # halo rows get wrong denominators but are dropped below. The cap
+        # derives from the kernel length (HALO = len(weights)-1) so a
+        # kernel change cannot desync the denominator lookup.
+        den = np.array(prefix, dtype=np.float64)[np.minimum(np.arange(n), HALO)]
         ewma = np.floor(num / den * 1e6 + 0.5) / 1e6  # stable_round(·, 6)
         own = (pdf["rn"].to_numpy() // BLOCK) == pdf["blk"].to_numpy()
         return pd.DataFrame(

@@ -113,6 +113,11 @@ def _make_ewma_fn(alpha: float):
             return
         pdf = pd.concat(parts).sort_values("seq", kind="mergesort")
         pdf = pdf[pdf["seq"] > last_seq]
+        # The seq > last_seq guard only drops duplicates from EARLIER
+        # micro-batches; two copies of one seq inside the same batch
+        # would both advance the recursion. Keep the first per seq so
+        # in-batch replays emit once, like cross-batch ones.
+        pdf = pdf.drop_duplicates(subset=["seq"], keep="first")
         if pdf.empty:
             return
         vals = pdf["value"].astype(float)

@@ -164,6 +164,9 @@ def test_ewma_stateful_matches_pandas_across_batches(spark, tmp_path):
                 {"key": "A", "seq": 2, "value": 999.0, "payload": "replay"},
                 {"key": "A", "seq": 3, "value": a_vals[2], "payload": ""},
                 {"key": "A", "seq": 4, "value": a_vals[3], "payload": ""},
+                # duplicate seq INSIDE one micro-batch: must emit once and
+                # advance the recursion once (first copy wins)
+                {"key": "A", "seq": 4, "value": 999.0, "payload": "dup-in-batch"},
                 {"key": "B", "seq": 2, "value": b_vals[1], "payload": ""},
             ]
         )
@@ -197,8 +200,10 @@ def test_ewma_stateful_matches_pandas_across_batches(spark, tmp_path):
     q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM ewma_state ORDER BY key, seq").collect()
     got = {(r["key"], r["seq"]): r["ewma"] for r in rows}
-    # one emission per accepted row; the seq=2 replay must not re-emit
+    # one emission per accepted row; neither the cross-batch seq=2 replay
+    # nor the in-batch seq=4 duplicate may re-emit or double-advance
     assert len(rows) == len(a_vals) + len(b_vals)
+    assert not any(r["value"] == 999.0 for r in rows)
     expect_a = pd.Series(a_vals).ewm(alpha=0.25, adjust=False).mean()
     expect_b = pd.Series(b_vals).ewm(alpha=0.25, adjust=False).mean()
     for i, e in enumerate(expect_a):
