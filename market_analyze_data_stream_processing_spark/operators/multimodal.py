@@ -2,12 +2,13 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages
 (the LLM-training-pipeline media operators).
 
-The container has no image/audio codecs, so the *decode* kernels are
-pluggable: the default is a deterministic fake decoder over this
-module's own synthetic media format (so every Spark-side piece —
-schema, batching, partitioning, UDF signatures, output shapes — is real
-and tested), and the real-codec path raises ``NotImplementedError``
-with the exact dependency needed.
+The decode kernels are pluggable: the default is a deterministic fake
+decoder over this module's own synthetic media format (so every
+Spark-side piece — schema, batching, partitioning, UDF signatures,
+output shapes — is real and tested). ``decoder='real'`` dispatches on
+magic bytes: WAV decodes via stdlib ``wave`` (executed + tested in this
+container), PNG/JPEG via Pillow where installed, and anything else
+raises ``NotImplementedError`` naming the exact dependency (PyAV).
 
 Scale design:
 - media rows are big (MBs); all stages are ``mapInPandas`` over the
@@ -80,12 +81,60 @@ def _decode_fake(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload[16:], dtype=np.uint8).reshape(n, h, w)
 
 
-def _decode_real(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Real-codec path: requires Pillow / PyAV, absent in this container."""
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Real RIFF/WAVE bytes (16-bit mono PCM) from an int16 sample array —
+    stdlib ``wave``, no third-party codec. The audio twin of
+    encode_fake_image for exercising the real-decode path."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_real(payload: bytes) -> np.ndarray:
+    """Real-codec path, dispatched on the container's magic bytes:
+
+    - RIFF/WAVE → stdlib ``wave`` (always available): 16-bit mono PCM
+      mapped to u8 as ``(s >> 8) + 128``, shaped (1, 1, n_samples) so
+      every downstream feature stage treats audio as a 1-pixel-tall
+      "frame" — same schema, no special-casing.
+    - PNG/JPEG → Pillow, greyscale-converted, shaped (1, h, w); gated on
+      import (absent in this container, executed where installed).
+    - anything else → NotImplementedError naming the dependency (PyAV
+      for video). The synthetic decoder exercises identical plumbing.
+    """
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise NotImplementedError("only 16-bit mono PCM WAV is decoded")
+            raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        u8 = ((raw.astype(np.int64) >> 8) + 128).astype(np.uint8)
+        return u8.reshape(1, 1, -1)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
+        try:
+            from PIL import Image  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "real image decode requires Pillow; install it or use the "
+                "synthetic decoder, which exercises identical Spark plumbing"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8)[None, :, :]
     raise NotImplementedError(
-        "real image/video decode requires Pillow (images) or PyAV (video); "
-        "install and swap decoder='real'. The synthetic decoder exercises "
-        "the identical Spark plumbing."
+        "unrecognized media container: real video decode requires PyAV; "
+        "WAV (stdlib) and PNG/JPEG (Pillow) are the supported real codecs. "
+        "The synthetic decoder exercises the identical Spark plumbing."
     )
 
 
