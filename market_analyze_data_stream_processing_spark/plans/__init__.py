@@ -23,8 +23,9 @@ from . import media  # noqa: E402,F401
 # only (rows-only queries can never contribute a green row, so front
 # slots spent on them depress the round's pass count for no coverage
 # gain; their correctness is pinned in pytest and COVERAGE.md):
-#   1-4:   newly oracle-flipped contracts (approx sketches + ANN recall)
-#          — never had a driver row as oracle queries;
+#   1-5:   newly oracle-flipped contracts (approx sketches, ANN recall,
+#          LSH exact-dup coverage) — never had a driver row as oracle
+#          queries;
 #   5-10:  queries whose PLANS changed this round (running-sum MAs,
 #          vectorized cosine near-dup kernel, CC edge checkpoint) —
 #          fresh evidence on the new plans;
@@ -39,6 +40,7 @@ _SWEEP_FRONT = [
     "q_approx_percentiles",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_lsh_band_candidates",
     "q_ma_rolling",
     "q_chart_frame",
     "q_message_daily_summary",
@@ -84,7 +86,6 @@ _SWEEP_FRONT = [
     "q_date_functions",
     "q_doc_chunks",
     "q_domain_mix_sample",
-    "q_dq_checks",
 ]
 
 

@@ -403,14 +403,53 @@ def q_simhash(spark, sf_dir):
 
 @register(
     "q_lsh_band_candidates",
-    None,  # xxhash64-based banding; candidate semantics tested in pytest
+    r"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+    )
+    SELECT count(*)::BIGINT AS n_exact_dup_pairs,
+           count(*)::BIGINT AS n_covered,
+           TRUE AS all_covered
+    FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
     doc="MinHash-LSH banded candidate pairs (8 hashes, 4 bands): the "
     "at-scale near-dup candidate generator — shuffles band keys, never "
-    "all-pairs. Rows-only check.",
+    "all-pairs. Oracle contract (the banding hash is engine-specific, so "
+    "pairs can't be hash-matched directly): LSH candidates must COVER "
+    "every exact-duplicate pair — identical raw text ⇒ identical tokens "
+    "⇒ identical signature ⇒ all bands collide, deterministically. The "
+    "oracle hash-matches the exact-dup pair count (computed in-plan by a "
+    "text self-join, restricted to shingle-eligible docs with ≥3 tokens) "
+    "and asserts full coverage. Candidate-set semantics beyond the "
+    "invariant stay pinned in pytest (test_dedup_similarity).",
 )
 def q_lsh_band_candidates(spark, sf_dir):
+    from ..functions.text import token_count
+
     d = spread(load_table(spark, sf_dir, "documents"))
-    return lsh_band_candidates(d, id_col="doc_id", text_col="text", n_hashes=8, bands=4)
+    cand = lsh_band_candidates(
+        d, id_col="doc_id", text_col="text", n_hashes=8, bands=4
+    )
+    eligible = d.where(token_count(F.col("text")) >= 3).select("doc_id", "text")
+    a = eligible.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = eligible.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    dups = (
+        a.join(b, (F.col("ta") == F.col("tb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+    )
+    return (
+        dups.join(cand.withColumn("__c", F.lit(1)), ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_dup_pairs"),
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("n_covered"),
+        )
+        .select(
+            "n_exact_dup_pairs",
+            "n_covered",
+            (F.col("n_exact_dup_pairs") == F.col("n_covered")).alias("all_covered"),
+        )
+    )
 
 
 @register(

@@ -254,6 +254,18 @@ def test_embedding_near_dup_blocked_pairs(spark):
     assert [(r["id_a"], r["id_b"], r["sim"]) for r in pairs] == [(0, 1, 1.0)]
 
 
+def test_lsh_coverage_contract_non_vacuous_at_sf01(spark):
+    """q_lsh_band_candidates' oracle contract: every exact-duplicate pair
+    must be an LSH candidate. sf0.1 has real duplicate docs (sf0.01 has
+    none, making the driver row vacuously true there), so assert here
+    that the invariant binds on actual duplicates."""
+    from market_analyze_data_stream_processing_spark.plans import QUERIES
+
+    r = QUERIES["q_lsh_band_candidates"].fn(spark, "/root/testdata/sf0.1").collect()[0]
+    assert r["n_exact_dup_pairs"] > 0, "sf0.1 testdata lost its duplicate docs"
+    assert r["all_covered"] and r["n_covered"] == r["n_exact_dup_pairs"]
+
+
 def test_approx_distinct_within_hll_error(spark):
     """HLL sketch contract (q_approx_distinct): approx_count_distinct at
     rsd=0.01 stays within 5% of the exact per-group distinct count on
