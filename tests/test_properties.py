@@ -267,3 +267,113 @@ def test_in_batch_group_min_rejection_equals_pairwise(spark, rows):
         .collect()
     }
     assert agg_rejected == pair_rejected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),  # vec_id (dedup below)
+            st.integers(min_value=0, max_value=2),  # block label
+            st.lists(finite, min_size=4, max_size=4),  # embedding
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_near_dup_kernel_matches_hof_fold_exactly(spark, rows):
+    """The numpy near-dup kernel claims BITWISE parity with the
+    sequential HOF fold (k-ordered accumulation). Prove it: the
+    applyInPandas operator and an inline fold-based join must emit
+    identical (id_a, id_b, sim) sets — exact float equality after the
+    shared round(·, 6), no tolerance."""
+    from market_analyze_data_stream_processing_spark.functions.vectors import (
+        dot,
+        l2_norm,
+    )
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    seen = set()
+    uniq = []
+    for vid, blk, vec in rows:
+        if vid not in seen and any(x != 0 for x in vec):  # zero vec → 0/0 NaN
+            seen.add(vid)
+            uniq.append((vid, vec, blk))
+    if len(uniq) < 2:
+        return
+    df = spark.createDataFrame(
+        uniq, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_near_dup_pairs(df, threshold=-2.0).collect()
+    }
+    base = df.select(
+        "label", "vec_id", F.col("embedding").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = base.select(
+        "label", F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        "label", F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in a.join(b, ["label"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+        .collect()
+    }
+    assert got == want  # exact equality, including every rounded sim
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1), finite),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_running_sum_ma_equals_frame_sum_ma(spark, rows):
+    """The O(1)-per-row running-sum-difference MA must equal the
+    O(frame) sliding-frame form EXACTLY (decimal arithmetic), for every
+    window size — the equivalence q_ma_rolling's rewrite rests on."""
+    from pyspark.sql import Window
+
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        stable_round as sr,
+    )
+
+    data = [(str(k), i, float(v)) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "ticker string, seq long, price double")
+    base = Window.partitionBy("ticker").orderBy("seq")
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    out = df.withColumn(
+        "s", F.sum(F.col("price").cast("decimal(18,4)")).over(run)
+    ).withColumn("c", F.count("price").over(run))
+    for n in (1, 3, 10):
+        frame = base.rowsBetween(-(n - 1), 0)
+        s_n = F.col("s") - F.coalesce(
+            F.lag("s", n).over(base), F.lit(0).cast("decimal(28,4)")
+        )
+        c_n = F.col("c") - F.coalesce(F.lag("c", n).over(base), F.lit(0))
+        cmp = out.select(
+            sr(s_n.cast("double") / c_n, 4).alias("fast"),
+            sr(
+                F.sum(F.col("price").cast("decimal(18,4)")).over(frame).cast("double")
+                / F.count("price").over(frame),
+                4,
+            ).alias("slow"),
+        ).collect()
+        assert all(r["fast"] == r["slow"] for r in cmp), f"MA{n} diverged"
