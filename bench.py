@@ -45,6 +45,14 @@ def main() -> None:
     # the plan, not first-call JIT.
     warm = QUERIES["q01_pricing_summary"]
     warm.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    # Python-worker warmup: the first Arrow-batched stage of the session
+    # spawns the python worker pool (~seconds on local[32]); without
+    # this, whichever pandas-backed query runs first absorbs that cost.
+    import pandas as _pd  # noqa: F401
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     errored: list[str] = []
