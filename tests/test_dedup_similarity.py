@@ -353,18 +353,37 @@ def test_connected_components_chains_and_stars(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """A 30-node path is the adversarial diameter case — min-label
-    propagation must still reach the fixed point within max_iter."""
+    """A path graph is the adversarial diameter case. Pointer-jumping
+    makes rounds O(log diameter): a 120-node chain must converge well
+    inside max_iter=10 (pure min-propagation would need 119 rounds and,
+    before the round-6 fix, SILENTLY returned wrong labels when capped —
+    34 of 60 nodes mislabeled on a 60-chain at max_iter=25)."""
     from market_analyze_data_stream_processing_spark.operators.dedup import (
         connected_components,
     )
 
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+        [(i, i + 1) for i in range(120)], ["id_a", "id_b"]
     )
-    rows = connected_components(edges, "id_a", "id_b", max_iter=40).collect()
+    rows = connected_components(edges, "id_a", "id_b", max_iter=10).collect()
     assert {r["component"] for r in rows} == {0}
-    assert len(rows) == 31
+    assert len(rows) == 121
+
+
+def test_connected_components_raises_rather_than_truncates(spark):
+    """Non-convergence must be LOUD: truncated labels are wrong answers,
+    so an insufficient max_iter raises instead of returning them."""
+    import pytest as _pytest
+
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "id_a", "id_b", max_iter=2)
 
 
 def test_incremental_near_dup_index_batches(spark, tmp_path):
