@@ -405,13 +405,13 @@ def q_simhash(spark, sf_dir):
     "q_lsh_band_candidates",
     r"""
     WITH d AS (
-        SELECT doc_id, text FROM documents
+        SELECT doc_id, md5(text) AS th FROM documents
         WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
     )
     SELECT count(*)::BIGINT AS n_exact_dup_pairs,
            count(*)::BIGINT AS n_covered,
            TRUE AS all_covered
-    FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+    FROM d a JOIN d b ON a.th = b.th AND a.doc_id < b.doc_id
     """,
     doc="MinHash-LSH banded candidate pairs (8 hashes, 4 bands): the "
     "at-scale near-dup candidate generator — shuffles band keys, never "
@@ -431,11 +431,15 @@ def q_lsh_band_candidates(spark, sf_dir):
     cand = lsh_band_candidates(
         d, id_col="doc_id", text_col="text", n_hashes=8, bands=4
     )
-    eligible = d.where(token_count(F.col("text")) >= 3).select("doc_id", "text")
-    a = eligible.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
-    b = eligible.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    # Dup identity = md5(text), the same 16-byte key exact_dedup shuffles
+    # on — raw text as a join key would shuffle full documents at scale.
+    eligible = d.where(token_count(F.col("text")) >= 3).select(
+        "doc_id", F.md5("text").alias("th")
+    )
+    a = eligible.select(F.col("doc_id").alias("id_a"), F.col("th").alias("ha"))
+    b = eligible.select(F.col("doc_id").alias("id_b"), F.col("th").alias("hb"))
     dups = (
-        a.join(b, (F.col("ta") == F.col("tb")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, (F.col("ha") == F.col("hb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b")
     )
     return (
