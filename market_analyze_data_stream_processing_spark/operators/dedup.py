@@ -391,20 +391,26 @@ def jaccard_pairs(
     max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs sharing ≥1
-    shingle, via a GROUPED inverted index: explode shingles once
-    (checkpointed so the tokenize+explode runs once, not per consumer),
-    prune by document frequency, collect the ≤``max_shingle_df`` doc ids
-    per surviving shingle, and expand pairs map-side from each sorted
-    list — no self-join. Versus the join form this removes one full
-    shuffle of the inverted index and the join build, and the pair
-    fan-out is bounded per-shingle by construction (df_cap·(df_cap-1)/2)
-    instead of by join-skew luck. Measured at sf0.1: 4.6 s cold vs
-    13.6 s for the self-join form (warm equal — toy-scale cost is stage
-    scheduling, not the algorithm).
+    shingle, via a GROUPED inverted index: explode shingles once, prune
+    by document frequency, collect the ≤``max_shingle_df`` doc ids per
+    surviving shingle, and expand pairs map-side from each sorted list —
+    no self-join. The pair fan-out is bounded per-shingle by
+    construction (df_cap·(df_cap-1)/2) instead of by join-skew luck.
 
     ``max_shingle_df`` drops shingles occurring in more than N documents
     BEFORE the collect (the skew guard from dedup literature: a stopword
-    shingle must never materialize a corpus-sized list)."""
+    shingle must never materialize a corpus-sized list). The DF count is
+    a WINDOW count over ``partitionBy(sh)``, not a groupBy + self-join:
+    one shuffle of the exploded set instead of two (count partials +
+    join probe), and the hot-shingle partition is a sort-based spillable
+    run — rows, never an in-memory corpus-sized list — so the guard
+    itself cannot OOM on the skew it exists to cut. The PRUNED set is
+    what gets checkpointed (strictly smaller than the raw explode; the
+    stopword shingles a real corpus is full of never hit storage), and
+    both consumers (per-doc sizes, per-shingle id lists) read from that
+    materialization instead of re-running tokenize+explode."""
+    from pyspark.sql import Window
+
     sh = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).select(
@@ -412,17 +418,15 @@ def jaccard_pairs(
         F.explode(
             F.array_distinct(shingles_from_tokens(F.col("__toks"), shingle_n))
         ).alias("sh"),
-    ).localCheckpoint()
+    )
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
-            .where(F.col("df_cnt") <= max_shingle_df)
-            .select("sh")
-        )
-        sh = sh.join(rare, "sh")
+        df_cnt = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        sh = sh.withColumn("__df", df_cnt).where(
+            F.col("__df") <= max_shingle_df
+        ).drop("__df")
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # rare-join output is already hash-partitioned on sh, so this groupBy
-    # adds no exchange; lists are capped by the df filter above
+    # lists are capped at max_shingle_df elements by the filter above
     grouped = (
         sh.groupBy("sh").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
