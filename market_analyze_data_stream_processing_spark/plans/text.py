@@ -392,13 +392,55 @@ def q_doc_source_stats(spark, sf_dir):
 
 @register(
     "q_simhash",
-    None,  # xxhash64-based: engine-specific hash, no SQL oracle (tests cover goldens)
-    doc="SimHash 64-bit fingerprints (sign-aggregated shingle hash bits), "
-    "pure array expressions — map-only at scale. Rows-only check.",
+    r"""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS th FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT th)::BIGINT AS n_text_groups,
+           TRUE AS fp_per_text_unique,
+           TRUE AS full_coverage
+    FROM d
+    """,
+    doc="SimHash 64-bit fingerprints (sign-aggregated shingle hash bits "
+    "via one 64-column vote aggregate — map-side combined, one row per "
+    "doc per partition on the shuffle). The fingerprint VALUE is a pure "
+    "function of xxhash64, so it can't be hash-matched by another "
+    "engine; the oracle contract checks the deterministic claims "
+    "instead: every doc with ≥2 tokens gets exactly one fingerprint "
+    "(full_coverage: in-plan count vs the eligible-doc count), and "
+    "identical texts get identical fingerprints (fp_per_text_unique: "
+    "one distinct fingerprint per md5(text) group — same tokens ⇒ same "
+    "shingle hashes ⇒ same bit votes, deterministically). Per-doc "
+    "fingerprint values and hamming behavior stay pinned in pytest "
+    "(test_dedup_similarity).",
 )
 def q_simhash(spark, sf_dir):
     d = spread(load_table(spark, sf_dir, "documents"))
-    return simhash_fingerprints(d, id_col="doc_id", text_col="text", bits=64, shingle_n=2)
+    eligible = d.where(T.token_count(F.col("text")) >= 2).select(
+        "doc_id", F.md5("text").alias("th")
+    )
+    fp = simhash_fingerprints(d, id_col="doc_id", text_col="text", bits=64, shingle_n=2)
+    per_text = (
+        eligible.join(fp, "doc_id", "left")
+        .groupBy("th")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_group"),
+            F.count("fingerprint").alias("n_fp"),
+            F.countDistinct("fingerprint").alias("n_distinct_fp"),
+        )
+    )
+    return per_text.agg(
+        F.coalesce(F.sum("n_in_group"), F.lit(0)).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_text_groups"),
+        F.coalesce(F.every(F.col("n_distinct_fp") == 1), F.lit(True)).alias(
+            "fp_per_text_unique"
+        ),
+        F.coalesce(F.every(F.col("n_fp") == F.col("n_in_group")), F.lit(True)).alias(
+            "full_coverage"
+        ),
+    )
 
 
 @register(
@@ -775,19 +817,67 @@ def q_token_pack(spark, sf_dir):
 
 @register(
     "q_near_dup_pipeline",
-    None,  # LSH banding (xxhash64) is engine-specific; soundness + recall pinned in pytest
+    r"""
+    WITH d AS (
+        SELECT doc_id, md5(text) AS th FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+    )
+    SELECT count(*)::BIGINT AS n_exact_dup_pairs,
+           count(*)::BIGINT AS n_exact_dup_covered,
+           TRUE AS all_exact_dups_found,
+           TRUE AS all_sound
+    FROM d a JOIN d b ON a.th = b.th AND a.doc_id < b.doc_id
+    """,
     doc="Composed production near-dup: MinHash-LSH banding generates "
     "candidates (band-key shuffle, never all-pairs) -> exact Jaccard "
     "verifies only those pairs (array intersect/union per candidate). "
-    "Sound by construction (reported pairs carry exact jaccard >= 0.5); "
-    "recall follows the banding S-curve. The 100 TB default; "
-    "q_near_dup_jaccard is the exact-path twin (SCALING.md crossover).",
+    "The pair SET depends on the engine's banding hash (xxhash64), so "
+    "it can't be hash-matched directly; the oracle contract checks the "
+    "two deterministic claims instead. Soundness: every emitted pair "
+    "carries exact jaccard >= 0.5 (all_sound, computed in-plan over the "
+    "pipeline's own output). Coverage: identical texts ⇒ identical "
+    "signatures ⇒ every band collides, so the pipeline must report "
+    "every exact-duplicate pair (jaccard 1.0); the oracle hash-matches "
+    "the exact-dup pair count from a text self-join and asserts "
+    "n_exact_dup_covered equals it. Recall S-curve behavior stays "
+    "pinned in pytest. q_near_dup_jaccard is the exact-path twin "
+    "(SCALING.md crossover).",
 )
 def q_near_dup_pipeline(spark, sf_dir):
     from ..operators.dedup import near_dup_pipeline
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    return near_dup_pipeline(d, threshold=0.5).orderBy("id_a", "id_b")
+    pipe = near_dup_pipeline(d, threshold=0.5)
+    eligible = d.where(T.token_count(F.col("text")) >= 3).select(
+        "doc_id", F.md5("text").alias("th")
+    )
+    a = eligible.select(F.col("doc_id").alias("id_a"), F.col("th").alias("ha"))
+    b = eligible.select(F.col("doc_id").alias("id_b"), F.col("th").alias("hb"))
+    dups = a.join(
+        b, (F.col("ha") == F.col("hb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    coverage = (
+        dups.join(pipe.select("id_a", "id_b", F.lit(1).alias("__hit")), ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs"),
+            # sum over zero rows is NULL: no exact dups ⇒ 0 covered
+            F.coalesce(F.sum(F.coalesce("__hit", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_exact_dup_covered"),
+        )
+    )
+    # every() over zero rows is NULL; an empty pair set is vacuously sound
+    sound = pipe.agg(
+        F.coalesce(F.every(F.col("jaccard") >= 0.5), F.lit(True)).alias("all_sound")
+    )
+    return coverage.crossJoin(sound).select(
+        "n_exact_dup_pairs",
+        "n_exact_dup_covered",
+        (F.col("n_exact_dup_covered") == F.col("n_exact_dup_pairs")).alias(
+            "all_exact_dups_found"
+        ),
+        "all_sound",
+    )
 
 
 #: DuckDB mirror of functions.text.shingles(n=2): list of word bigrams.

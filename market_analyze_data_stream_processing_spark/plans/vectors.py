@@ -5,7 +5,7 @@ generalized to the ANN family a training pipeline needs).
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine_sim, lit_vector
@@ -317,21 +317,78 @@ def q_approx_distinct(spark, sf_dir):
 
 @register(
     "q_kmeans_clusters",
-    None,  # iterative algorithm: no single SQL equivalent; coherence tested in pytest
+    """
+    SELECT count(*)::BIGINT AS n_vecs,
+           5::BIGINT AS n_clusters_nonempty,
+           TRUE AS partition_complete,
+           TRUE AS tighter_than_global
+    FROM embeddings
+    """,
     doc="Iterative Lloyd k-means (3 iterations, deterministic lowest-id "
-    "seeding): per-cluster sizes + intra-cluster mean similarity. The "
-    "iterative-algorithm slot — assignment is a map-only expression "
-    "ladder, the update shuffle carries k*dim partial sums.",
+    "seeding) — the iterative-algorithm slot: assignment is a map-only "
+    "expression ladder, the update shuffle carries k*dim partial sums. "
+    "No single SQL can replay the iteration, so the oracle contract "
+    "checks the deterministic outcome instead: the assignment is a "
+    "complete partition (partition_complete: cluster sizes sum to the "
+    "corpus count, hash-matched as n_vecs), all 5 clusters are "
+    "non-empty, and the clustering is genuinely tighter than no "
+    "clustering (tighter_than_global: mean cosine of each vector to its "
+    "OWN post-update centroid ≥ mean cosine to the single global "
+    "centroid, computed in-plan — Lloyd's objective can't lose to the "
+    "k=1 solution on this data, and the whole computation is "
+    "deterministic). Centroid values and convergence behavior stay "
+    "pinned in pytest (test_dedup_similarity).",
 )
 def q_kmeans_clusters(spark, sf_dir):
+    from ..functions.vectors import as_double
     from ..operators.clustering import kmeans
 
     e = load_table(spark, sf_dir, "embeddings")
     assigned = kmeans(e, k=5, iterations=3)
+    dim = e.select(F.size("embedding")).first()[0]  # O(1): one row, schema probe
+    v = as_double(F.col("embedding"))
+    base = assigned.select(
+        "cluster", *[F.element_at(v, i + 1).alias(f"x{i}") for i in range(dim)]
+    )
+    # Post-update centroids (the same groupBy-avg the Lloyd update runs)
+    # and the global (k=1) centroid, each k·dim scalars broadcast back.
+    cents = base.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.avg(f"x{i}").alias(f"c{i}") for i in range(dim)],
+    )
+    glob = base.agg(*[F.avg(f"x{i}").alias(f"g{i}") for i in range(dim)])
+
+    def _cos(prefix_a: str, prefix_b: str) -> Column:
+        dot = sum(F.col(f"{prefix_a}{i}") * F.col(f"{prefix_b}{i}") for i in range(dim))
+        na = F.sqrt(sum(F.col(f"{prefix_a}{i}") ** 2 for i in range(dim)))
+        nb = F.sqrt(sum(F.col(f"{prefix_b}{i}") ** 2 for i in range(dim)))
+        return dot / (na * nb)
+
+    scored = (
+        base.join(F.broadcast(cents), "cluster")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            _cos("x", "c").alias("sim_own"),
+            _cos("x", "g").alias("sim_glob"),
+        )
+    )
+    quality = scored.agg(
+        (F.avg("sim_own") >= F.avg("sim_glob")).alias("tighter_than_global")
+    )
+    shape = cents.agg(
+        F.sum("n_members").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters_nonempty"),
+    )
+    total = e.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
-        assigned.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .orderBy("cluster")
+        shape.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(quality))
+        .select(
+            "n_vecs",
+            "n_clusters_nonempty",
+            (F.col("n_vecs") == F.col("n_total")).alias("partition_complete"),
+            "tighter_than_global",
+        )
     )
 
 
