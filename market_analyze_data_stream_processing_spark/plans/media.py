@@ -1,5 +1,9 @@
-"""Multimodal queries (rows-only checks — binary media has no SQL
-oracle; correctness is covered by tests/test_multimodal.py goldens).
+"""Multimodal queries. Pixel/embedding VALUES are fake-codec-specific
+(goldens in tests/test_multimodal.py), but the media parameters are
+pure functions of the id — so each query emits an oracle-checkable
+contract: SQL replays the (media_id, kind, n_frames / frame_idx)
+structure exactly, and per-row boolean verdicts pin the value-range
+claims in-plan.
 
 Media is generated deterministically ON THE EXECUTORS (mapInPandas over
 spark.range) — no driver-side byte shuffling, the same shape a real
@@ -56,42 +60,100 @@ def synthetic_media(spark: SparkSession) -> DataFrame:
 
 @register(
     "q_media_features",
-    None,
+    f"""
+    SELECT i AS media_id,
+           CASE WHEN i < {N_IMAGES} THEN 'image' ELSE 'video' END AS kind,
+           CAST(CASE WHEN i < {N_IMAGES} THEN 1 ELSE 4 + (i % 4) * 2 END
+                AS INTEGER) AS n_frames,
+           TRUE AS stats_ok
+    FROM range(0, {N_IMAGES + N_VIDEOS}) t(i)
+    ORDER BY media_id
+    """,
     doc="Multimodal: binary payload → intensity stats + 16-bin histogram "
     "via mapInPandas (decode kernel pluggable; fake codec in this env). "
-    "Rows-only check; golden values in tests/test_multimodal.py.",
+    "Pixel values are codec-specific, but the media PARAMETERS are pure "
+    "functions of the id, so the oracle hash-matches one row per media "
+    "item — (media_id, kind, n_frames) replayed in SQL — plus an "
+    "in-plan stats verdict (mean intensity in [0,255], std ≥ 0, per "
+    "row). Exercises the full Spark plumbing: executor-side generation, "
+    "binary decode batch shape, metadata propagation through the UDF "
+    "schema. Golden pixel values stay in tests/test_multimodal.py.",
 )
 def q_media_features(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     feats = extract_features(synthetic_media(spark))
-    return feats.select("media_id", "kind", "n_frames", "mean_intensity", "std_intensity")
+    stats_ok = (
+        F.col("mean_intensity").between(0.0, 255.0)
+        & (F.col("std_intensity") >= 0.0)
+    )
+    return (
+        feats.select("media_id", "kind", "n_frames", stats_ok.alias("stats_ok"))
+        .orderBy("media_id")
+    )
 
 
 @register(
     "q_media_frame_sample",
-    None,
+    f"""
+    SELECT v.i AS media_id,
+           CAST(f.j AS INTEGER) AS frame_idx,
+           TRUE AS intensity_ok
+    -- frame_idx 0,2,4,... below every_n=2 over n_frames=4+(id%4)*2
+    FROM range({N_IMAGES}, {N_IMAGES + N_VIDEOS}) v(i),
+         unnest(list_filter(range(0, 4 + (v.i % 4) * 2), x -> x % 2 = 0)) f(j)
+    ORDER BY media_id, frame_idx
+    """,
     doc="Multimodal: video frame sampling (row-expanding mapInPandas, one "
-    "row per kept frame). Rows-only check.",
+    "row per kept frame). The kept-frame SET is a pure function of the "
+    "video parameters — every_n=2 over n_frames = 4+(id%4)*2 — so the "
+    "oracle replays the exact (media_id, frame_idx) expansion in SQL "
+    "and hash-matches it, pinning the row-expansion shape of the UDF; "
+    "frame pixel stats are checked in-plan as a per-row verdict.",
 )
 def q_media_frame_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     media = synthetic_media(spark)
     frames = sample_frames(media.where("kind = 'video'"), every_n=2)
-    return frames.select("media_id", "frame_idx", "mean_intensity")
+    return (
+        frames.select(
+            "media_id",
+            "frame_idx",
+            F.col("mean_intensity").between(0.0, 255.0).alias("intensity_ok"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
 
 
 @register(
     "q_media_embedding",
-    None,
+    f"""
+    SELECT i AS media_id,
+           CASE WHEN i < {N_IMAGES} THEN 'image' ELSE 'video' END AS kind,
+           TRUE AS unit_norm_ok
+    FROM range(0, {N_IMAGES + N_VIDEOS}) t(i)
+    ORDER BY media_id
+    """,
     doc="Multimodal: media → unit-norm embedding (histogram features "
-    "through a fixed projection; CLIP-encoder stand-in). Rows-only check.",
+    "through a fixed projection; CLIP-encoder stand-in). Embedding "
+    "VALUES are codec-specific; the contract the encoder must meet — "
+    "one embedding per media item, unit L2 norm — is engine-checkable: "
+    "the oracle hash-matches (media_id, kind) coverage and asserts the "
+    "in-plan |‖e‖²−1| < 1e-3 verdict per row.",
 )
 def q_media_embedding(spark, sf_dir):
     from pyspark.sql import functions as F
 
     emb = media_embedding(synthetic_media(spark), dim=32)
-    # scalar projection of the vector so the row check sees stable values
     norm = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )
-    return emb.select("media_id", "kind", F.round(norm, 4).alias("sq_norm"))
+    return (
+        emb.select(
+            "media_id", "kind", (F.abs(norm - 1.0) < 1e-3).alias("unit_norm_ok")
+        )
+        .orderBy("media_id")
+    )
