@@ -19,19 +19,19 @@ from . import media  # noqa: E402,F401
 # registry entries per round (each of rounds 1-4 recorded exactly 50 in
 # registration order). Rotate queries that still lack a green driver row
 # to the front so evidence accumulates across rounds. Round-6 front-set,
-# computed from the union of CORRECTNESS_r01-r05 — ORACLE-BACKED queries
-# only (rows-only queries can never contribute a green row, so front
-# slots spent on them depress the round's pass count for no coverage
-# gain; their correctness is pinned in pytest and COVERAGE.md):
-#   1-5:   newly oracle-flipped contracts (approx sketches, ANN recall,
-#          LSH exact-dup coverage) — never had a driver row as oracle
-#          queries;
-#   5-10:  queries whose PLANS changed this round (running-sum MAs,
-#          vectorized cosine near-dup kernel, CC edge checkpoint) —
-#          fresh evidence on the new plans;
-#   11-17: last green in r01 (oldest evidence);
-#   18-34: last green in r02;
-#   35-50: last green in r04, name order — the r04/r05 remainder rotates
+# computed from the union of CORRECTNESS_r01-r05 — every registry query
+# is now oracle-backed (the last rows-only entries were flipped to
+# hash-matched contracts this round):
+#   1-11:  newly oracle-flipped contracts (approx sketches, ANN recall,
+#          LSH exact-dup coverage, simhash/near-dup-pipeline/k-means,
+#          media structure contracts) — never had a driver row as
+#          oracle queries;
+#   12-17: queries whose PLANS changed this round (running-sum MAs,
+#          vectorized cosine near-dup kernel, window-based DF pruning,
+#          CC pointer-jump) — fresh evidence on the new plans;
+#   18-23: last green in r01 (oldest evidence);
+#   24-40: last green in r02;
+#   41-50: last green in r04, name order — the r04/r05 remainder rotates
 #          forward next round.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all expose
 # the same full set.
@@ -41,6 +41,12 @@ _SWEEP_FRONT = [
     "q_ann_lsh",
     "q_ann_ivf",
     "q_lsh_band_candidates",
+    "q_simhash",
+    "q_near_dup_pipeline",
+    "q_kmeans_clusters",
+    "q_media_features",
+    "q_media_frame_sample",
+    "q_media_embedding",
     "q_ma_rolling",
     "q_chart_frame",
     "q_message_daily_summary",
@@ -79,13 +85,7 @@ _SWEEP_FRONT = [
     "q18_large_volume_customers",
     "q19_disjunctive_predicates",
     "q22_global_sales_opportunity",
-    "q_array_functions",
     "q_bpe_tokens",
-    "q_cube_status",
-    "q_cumulative_spend",
-    "q_date_functions",
-    "q_doc_chunks",
-    "q_domain_mix_sample",
 ]
 
 
