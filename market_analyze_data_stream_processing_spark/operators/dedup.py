@@ -505,7 +505,11 @@ def connected_components(
     labels = (
         sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # No init-materialization job: the baseline for convergence is
+    # sum(node), which is invariant across rounds, so round 0's aggregate
+    # computes it alongside its own sum(comp) — one job per round, full
+    # stop, including the first.
+    prev_sum = None
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["v"] == labels["node"]).select(
             sym["u"].alias("node"), F.col("comp")
@@ -534,8 +538,11 @@ def connected_components(
         ).localCheckpoint(eager=False)
         # This aggregate is the ONLY action this round: it computes the
         # new labels, persists them via the lazy checkpoint, and returns
-        # the convergence scalar in a single job.
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        # the convergence scalar (plus, in round 0, the baseline
+        # sum(node) = the initial label sum) in a single job.
+        cur_sum, node_sum = labels.agg(F.sum("comp"), F.sum("node")).first()
+        if prev_sum is None:
+            prev_sum = node_sum
         if cur_sum == prev_sum:
             return labels.select("node", F.col("comp").alias("component"))
         prev_sum = cur_sum
