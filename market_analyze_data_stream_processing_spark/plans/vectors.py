@@ -340,53 +340,51 @@ def q_approx_distinct(spark, sf_dir):
     "pinned in pytest (test_dedup_similarity).",
 )
 def q_kmeans_clusters(spark, sf_dir):
-    from ..functions.vectors import as_double
     from ..operators.clustering import kmeans
 
     e = load_table(spark, sf_dir, "embeddings")
     assigned = kmeans(e, k=5, iterations=3)
     dim = e.select(F.size("embedding")).first()[0]  # O(1): one row, schema probe
     v = as_double(F.col("embedding"))
-    base = assigned.select(
-        "cluster", *[F.element_at(v, i + 1).alias(f"x{i}") for i in range(dim)]
-    )
-    # Post-update centroids (the same groupBy-avg the Lloyd update runs)
-    # and the global (k=1) centroid, each k·dim scalars broadcast back.
-    cents = base.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        *[F.avg(f"x{i}").alias(f"c{i}") for i in range(dim)],
-    )
-    glob = base.agg(*[F.avg(f"x{i}").alias(f"g{i}") for i in range(dim)])
-
-    def _cos(prefix_a: str, prefix_b: str) -> Column:
-        dot = sum(F.col(f"{prefix_a}{i}") * F.col(f"{prefix_b}{i}") for i in range(dim))
-        na = F.sqrt(sum(F.col(f"{prefix_a}{i}") ** 2 for i in range(dim)))
-        nb = F.sqrt(sum(F.col(f"{prefix_b}{i}") ** 2 for i in range(dim)))
-        return dot / (na * nb)
-
-    scored = (
-        base.join(F.broadcast(cents), "cluster")
-        .crossJoin(F.broadcast(glob))
-        .select(
-            _cos("x", "c").alias("sim_own"),
-            _cos("x", "g").alias("sim_glob"),
+    # Post-update centroids via per-slot avg aggregates (the ivf_index
+    # shape: map-side combined, k·(dim+1) tiny rows collected — O(1) in
+    # corpus size) and the global k=1 centroid derived driver-side as
+    # the size-weighted centroid mean. Broadcasting them back as LITERAL
+    # vectors keeps the quality pass map-only: one cosine fold against
+    # the own-cluster centroid (5-branch CASE) and one against the
+    # global centroid, then a single scalar aggregate — no wide-column
+    # join, no codegen blow-up.
+    cents = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)],
         )
+        .collect()
     )
-    quality = scored.agg(
+    n_vecs = sum(r["n"] for r in cents)
+    n_nonempty = sum(1 for r in cents if r["n"] > 0)
+    glob = [
+        sum(r["n"] * r[f"m{i}"] for r in cents) / n_vecs for i in range(dim)
+    ]
+    sim_own = None
+    for r in cents:
+        s = cosine_sim(v, lit_vector([r[f"m{i}"] for i in range(dim)]))
+        cond = F.col("cluster") == int(r["cluster"])
+        sim_own = s if sim_own is None else F.when(cond, s).otherwise(sim_own)
+    quality = assigned.select(
+        sim_own.alias("sim_own"),
+        cosine_sim(v, lit_vector(glob)).alias("sim_glob"),
+    ).agg(
         (F.avg("sim_own") >= F.avg("sim_glob")).alias("tighter_than_global")
-    )
-    shape = cents.agg(
-        F.sum("n_members").cast("long").alias("n_vecs"),
-        F.count(F.lit(1)).cast("long").alias("n_clusters_nonempty"),
     )
     total = e.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return (
-        shape.crossJoin(F.broadcast(total))
-        .crossJoin(F.broadcast(quality))
+        total.crossJoin(F.broadcast(quality))
         .select(
-            "n_vecs",
-            "n_clusters_nonempty",
-            (F.col("n_vecs") == F.col("n_total")).alias("partition_complete"),
+            F.lit(n_vecs).cast("long").alias("n_vecs"),
+            F.lit(n_nonempty).cast("long").alias("n_clusters_nonempty"),
+            (F.lit(n_vecs) == F.col("n_total")).alias("partition_complete"),
             "tighter_than_global",
         )
     )
