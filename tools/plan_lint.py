@@ -79,6 +79,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_unigram_logprob": {
         "NLJ": "1-row corpus-total token count broadcast for log-prob normalization",
     },
+    "q_near_dup_pipeline": {
+        "NLJ": "contract row: 1-row coverage and soundness aggregates cross-joined",
+    },
+    "q_kmeans_clusters": {
+        "NLJ": "contract row: 1-row total-count and quality-verdict aggregates cross-joined",
+    },
 }
 
 
