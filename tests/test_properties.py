@@ -377,3 +377,61 @@ def test_running_sum_ma_equals_frame_sum_ma(spark, rows):
             ).alias("slow"),
         ).collect()
         assert all(r["fast"] == r["slow"] for r in cmp), f"MA{n} diverged"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=10),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_jaccard_pairs_matches_bruteforce(spark, token_lists, df_cap):
+    """The window-DF-pruned inverted index == per-pair brute force on any
+    corpus, including the pruning semantics: a shingle appearing in more
+    than df_cap documents is dropped from BOTH the pair candidates and
+    the per-doc set sizes before Jaccard is computed."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_pairs(
+            df, shingle_n=3, threshold=0.1, max_shingle_df=df_cap
+        ).collect()
+    }
+
+    # Brute-force reference: distinct 3-gram shingles per doc, global DF
+    # pruning at df_cap, then exact pairwise Jaccard over the pruned sets.
+    sets = {}
+    for i, toks in enumerate(token_lists):
+        sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        if sh:
+            sets[i] = sh
+    df_count: dict = {}
+    for sh in sets.values():
+        for s in sh:
+            df_count[s] = df_count.get(s, 0) + 1
+    pruned = {
+        i: {s for s in sh if df_count[s] <= df_cap} for i, sh in sets.items()
+    }
+    expect = {}
+    ids = sorted(pruned)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            common = pruned[a] & pruned[b]
+            if not common:
+                continue
+            jac = len(common) / (len(pruned[a]) + len(pruned[b]) - len(common))
+            if jac >= 0.1:
+                expect[(a, b)] = (len(common), jac)
+    assert set(got) == set(expect)
+    for k, (n, jac) in expect.items():
+        assert got[k][0] == n
+        assert math.isclose(got[k][1], jac, rel_tol=1e-12)
