@@ -22,6 +22,8 @@ engine path; the md5 family is the oracle-checkable one.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -205,6 +207,7 @@ def simhash_fingerprints(
     text_col: str = "text",
     bits: int = 64,
     shingle_n: int = 2,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """SimHash at scale: explode shingle hashes → 64 per-bit vote sums in
     ONE hash aggregate (map-side combined) → recombine bits.
@@ -212,13 +215,19 @@ def simhash_fingerprints(
     ~50× faster than the per-row array-fold form for 64 bits: the votes
     are plain codegen'd sum aggregates instead of interpreted
     higher-order-function folds, and the shuffle carries one 64-column
-    row per doc per partition."""
-    toksed = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    row per doc per partition.
+
+    ``carry_cols``: extra per-doc columns to ride through the aggregate
+    as additional group keys (functionally dependent on ``id_col``, e.g.
+    a text hash) — a few bytes on the one-row-per-doc-per-partition
+    shuffle instead of a second corpus scan plus a join afterwards."""
+    keys = [id_col, *carry_cols]
+    toksed = df.select(*keys, tokens(F.col(text_col)).alias("__toks"))
     hashed = toksed.select(
-        F.col(id_col),
+        *keys,
         F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("s"),
-    ).select(id_col, F.xxhash64("s").alias("h"))
-    votes = hashed.groupBy(id_col).agg(
+    ).select(*keys, F.xxhash64("s").alias("h"))
+    votes = hashed.groupBy(*keys).agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -233,7 +242,7 @@ def simhash_fingerprints(
                 F.lit(0).cast("long")
             )
         )
-    return votes.select(F.col(id_col), fp.alias("fingerprint"))
+    return votes.select(*keys, fp.alias("fingerprint"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -399,8 +399,7 @@ def q_doc_source_stats(spark, sf_dir):
     )
     SELECT count(*)::BIGINT AS n_docs,
            count(DISTINCT th)::BIGINT AS n_text_groups,
-           TRUE AS fp_per_text_unique,
-           TRUE AS full_coverage
+           TRUE AS fp_per_text_unique
     FROM d
     """,
     doc="SimHash 64-bit fingerprints (sign-aggregated shingle hash bits "
@@ -409,36 +408,32 @@ def q_doc_source_stats(spark, sf_dir):
     "function of xxhash64, so it can't be hash-matched by another "
     "engine; the oracle contract checks the deterministic claims "
     "instead: every doc with ≥2 tokens gets exactly one fingerprint "
-    "(full_coverage: in-plan count vs the eligible-doc count), and "
-    "identical texts get identical fingerprints (fp_per_text_unique: "
-    "one distinct fingerprint per md5(text) group — same tokens ⇒ same "
-    "shingle hashes ⇒ same bit votes, deterministically). Per-doc "
+    "(n_docs counts the engine's FINGERPRINT rows and the oracle counts "
+    "eligible docs independently — the hash-match IS the coverage "
+    "proof), and identical texts get identical fingerprints "
+    "(fp_per_text_unique: one distinct fingerprint per md5(text) group "
+    "— same tokens ⇒ same shingle hashes ⇒ same bit votes, "
+    "deterministically). The text hash rides through the vote aggregate "
+    "as a carried group key — no second corpus scan, no join. Per-doc "
     "fingerprint values and hamming behavior stay pinned in pytest "
     "(test_dedup_similarity).",
 )
 def q_simhash(spark, sf_dir):
     d = spread(load_table(spark, sf_dir, "documents"))
-    eligible = d.where(T.token_count(F.col("text")) >= 2).select(
-        "doc_id", F.md5("text").alias("th")
+    fp = simhash_fingerprints(
+        d.withColumn("th", F.md5("text")),
+        id_col="doc_id", text_col="text", bits=64, shingle_n=2,
+        carry_cols=["th"],
     )
-    fp = simhash_fingerprints(d, id_col="doc_id", text_col="text", bits=64, shingle_n=2)
-    per_text = (
-        eligible.join(fp, "doc_id", "left")
-        .groupBy("th")
-        .agg(
-            F.count(F.lit(1)).alias("n_in_group"),
-            F.count("fingerprint").alias("n_fp"),
-            F.countDistinct("fingerprint").alias("n_distinct_fp"),
-        )
+    per_text = fp.groupBy("th").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.countDistinct("fingerprint").alias("n_distinct_fp"),
     )
     return per_text.agg(
-        F.coalesce(F.sum("n_in_group"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_fp"), F.lit(0)).cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_text_groups"),
         F.coalesce(F.every(F.col("n_distinct_fp") == 1), F.lit(True)).alias(
             "fp_per_text_unique"
-        ),
-        F.coalesce(F.every(F.col("n_fp") == F.col("n_in_group")), F.lit(True)).alias(
-            "full_coverage"
         ),
     )
 
