@@ -355,6 +355,12 @@ def embedding_near_dup_pairs(
             c = M[:, k]
             nrm2 = nrm2 + c * c
         nrm = np.sqrt(nrm2)
+        # Cosine is undefined for zero-norm vectors (including values
+        # whose squares underflow float64); a 0/0 here would leak
+        # inf/nan sims as silently-wrong pairs. Exclude those rows from
+        # pairing instead of dividing by zero.
+        valid = nrm > 0.0
+        nrm_safe = np.where(valid, nrm, 1.0)
         col = np.arange(n)
         out_a, out_b, out_s = [], [], []
         for s in range(0, n - 1, CHUNK):
@@ -362,9 +368,14 @@ def embedding_near_dup_pairs(
             G = np.zeros((e - s, n))
             for k in range(d):
                 G = G + np.multiply.outer(M[s:e, k], M[:, k])
-            sims = G / np.multiply.outer(nrm[s:e], nrm)
+            sims = G / np.multiply.outer(nrm_safe[s:e], nrm_safe)
             # sorted by id ⇒ strictly-upper triangle is exactly id_a < id_b
-            mask = (sims >= thr) & (col[None, :] > np.arange(s, e)[:, None])
+            mask = (
+                (sims >= thr)
+                & (col[None, :] > np.arange(s, e)[:, None])
+                & valid[None, :]
+                & valid[s:e, None]
+            )
             ii, jj = np.nonzero(mask)
             out_a.append(ids[ii + s])
             out_b.append(ids[jj])

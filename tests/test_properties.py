@@ -298,7 +298,10 @@ def test_near_dup_kernel_matches_hof_fold_exactly(spark, rows):
     seen = set()
     uniq = []
     for vid, blk, vec in rows:
-        if vid not in seen and any(x != 0 for x in vec):  # zero vec → 0/0 NaN
+        # zero-NORM vectors (incl. values whose squares underflow float64)
+        # have no defined cosine: the kernel drops them, the ANSI fold
+        # raises DIVIDE_BY_ZERO — keep them out of the parity comparison
+        if vid not in seen and any(x * x > 0.0 for x in vec):
             seen.add(vid)
             uniq.append((vid, vec, blk))
     if len(uniq) < 2:
