@@ -424,11 +424,17 @@ def jaccard_pairs(
     one shuffle of the exploded set instead of two (count partials +
     join probe), and the hot-shingle partition is a sort-based spillable
     run — rows, never an in-memory corpus-sized list — so the guard
-    itself cannot OOM on the skew it exists to cut. The PRUNED set is
-    what gets checkpointed (strictly smaller than the raw explode; the
-    stopword shingles a real corpus is full of never hit storage), and
-    both consumers (per-doc sizes, per-shingle id lists) read from that
-    materialization instead of re-running tokenize+explode."""
+    itself cannot OOM on the skew it exists to cut.
+
+    Per-doc set sizes ride INSIDE the inverted index: a window count
+    over ``partitionBy(id)`` attaches ``n_sh`` before grouping, so each
+    expanded pair already carries both sizes and the Jaccard ratio needs
+    NO join after pair aggregation. The joinless form trades one extra
+    shuffle of the pruned shingle set for two shuffles of the PAIR
+    stream — the largest intermediate at corpus scale (up to
+    df_cap·(df_cap−1)/2 pairs per shingle vs df_cap rows). The whole
+    plan is one linear chain (explode → df-prune → size → group →
+    expand → aggregate), so nothing needs checkpointing."""
     from pyspark.sql import Window
 
     sh = df.select(
@@ -444,11 +450,18 @@ def jaccard_pairs(
         sh = sh.withColumn("__df", df_cnt).where(
             F.col("__df") <= max_shingle_df
         ).drop("__df")
-    sh = sh.localCheckpoint()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # lists are capped at max_shingle_df elements by the filter above
+    sized = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    # lists are capped at max_shingle_df elements by the filter above;
+    # sort_array on (i, n) structs orders by doc id (the first field)
     grouped = (
-        sh.groupBy("sh").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        sized.groupBy("sh")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("n_sh").alias("n")))
+            ).alias("ids")
+        )
         .where(F.size("ids") >= 2)
     )
     common = (
@@ -459,22 +472,27 @@ def jaccard_pairs(
                         "ids",
                         lambda x, i: F.transform(
                             F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                            lambda y: F.struct(
+                                x["i"].alias("id_a"),
+                                x["n"].alias("n_a"),
+                                y["i"].alias("id_b"),
+                                y["n"].alias("n_b"),
+                            ),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b")
+        .select("p.id_a", "p.n_a", "p.id_b", "p.n_b")
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("n_a").alias("n_a"),  # constant within the group
+            F.max("n_b").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
