@@ -539,7 +539,18 @@ def connected_components(
     # the most expensive part of the whole clustering. Materialize the
     # pairs once; symmetrization is then a cheap map over stored blocks.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Cache the symmetrized set PRE-PARTITIONED on the join key: persist
+    # (unlike localCheckpoint) keeps the repartition in the plan, so the
+    # cached partitioning satisfies every round's join requirement and
+    # the 2|E|-row edge side is shuffled ONCE at cache fill instead of
+    # once per round — per-round shuffle volume drops to the |V|-row
+    # label side. (The iterated LABELS still use localCheckpoint: their
+    # lineage grows per round and must be truncated; sym's is static.)
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("v"))
+        .persist()
+    )
     labels = (
         sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint(eager=False)
