@@ -7,11 +7,12 @@ Design for 100 TB:
 - MinHash signatures are computed per-row with array expressions (zero
   shuffle, whole-stage codegen); only the LSH band join shuffles, and it
   shuffles on short band keys, not documents.
-- Jaccard pairs go through an inverted shingle index (explode → join on
-  shingle) — this is the standard candidate-pair generation; frequent
-  shingles are the skew risk, so `max_shingle_df` drops shingles that
-  occur in more than N docs (stopword-shingle suppression), which bounds
-  the join fan-out exactly like minhash banding does probabilistically.
+- Jaccard pairs go through a grouped inverted shingle index (explode →
+  window DF-prune → per-shingle id lists → map-side pair expansion) —
+  one linear chain, no self-join; frequent shingles are the skew risk,
+  so `max_shingle_df` drops shingles that occur in more than N docs
+  (stopword-shingle suppression), which bounds the pair fan-out exactly
+  like minhash banding does probabilistically.
 
 MinHash here uses min(md5(seed || shingle)) over the *hex string* order —
 a valid min-wise hash family that both Spark and DuckDB can evaluate
