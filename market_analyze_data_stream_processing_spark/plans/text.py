@@ -1014,9 +1014,13 @@ def q_decontaminate(spark, sf_dir):
     doc="Gopher repetition rules (the in-document half of the quality "
     "gate, complementing q_gopher_filters' static rules): fraction of "
     "the doc occupied by its most frequent bigram, and fraction of "
-    "5-gram occurrences that are repeats. Two explode->count passes "
-    "whose shuffles key on (doc_id, gram) — fan-out is doc length, "
-    "never corpus-quadratic — joined back per doc. Rejection thresholds "
+    "5-gram occurrences that are repeats. Per-DOC metrics need no "
+    "shuffle at any scale: every gram of a doc lives in its own row, so "
+    "a sorted-array run-length fold (aggregate over array_sort — equal "
+    "grams are adjacent; track current run, max run, and the sum of "
+    "runs ≥ 2) computes both statistics MAP-ONLY. The previous form "
+    "paid two explode → groupBy(doc_id, gram) → groupBy(doc_id) shuffle "
+    "chains plus a join for the same numbers. Rejection thresholds "
     "(top2 > 0.2, dup5 > 0.3) follow the Gopher paper's repetition "
     "table, adapted to token fractions.",
 )
@@ -1026,29 +1030,57 @@ def q_repetition_filters(spark, sf_dir):
         F.size("toks") >= 5
     )
 
-    def gram_counts(n):
-        return (
-            base.select(
-                "doc_id",
-                F.explode(T.shingles_from_tokens(F.col("toks"), n)).alias("s"),
-            )
-            .groupBy("doc_id", "s")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    def run_stats(arr):
+        """(max_run, dup_sum) over a sorted gram array — one linear fold."""
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("top"), F.lit(0).alias("dup"),
+        )
+        close_run = lambda acc: (  # noqa: E731 — fold-local helper
+            F.greatest(acc["top"], acc["run"]),
+            acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(0),
         )
 
-    g2 = gram_counts(2).groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_n")
-    )
-    g5 = gram_counts(5).groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_5grams"),
-        F.coalesce(
-            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt"))), F.lit(0)
-        ).alias("dup_5gram_n"),
+        def step(acc, x):
+            top, dup = close_run(acc)
+            return F.when(
+                x == acc["prev"],
+                F.struct(
+                    x.alias("prev"), (acc["run"] + 1).alias("run"),
+                    acc["top"].alias("top"), acc["dup"].alias("dup"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"), F.lit(1).alias("run"),
+                    top.alias("top"), dup.alias("dup"),
+                )
+            )
+
+        def finish(acc):
+            top, dup = close_run(acc)
+            return F.struct(top.alias("top"), dup.alias("dup"))
+
+        return F.aggregate(F.array_sort(arr), init, step, finish)
+
+    stats = base.select(
+        "doc_id",
+        F.size(T.shingles_from_tokens(F.col("toks"), 2))
+        .cast("long")
+        .alias("n_bigrams"),
+        run_stats(T.shingles_from_tokens(F.col("toks"), 2))["top"]
+        .cast("long")
+        .alias("top_bigram_n"),
+        F.size(T.shingles_from_tokens(F.col("toks"), 5))
+        .cast("long")
+        .alias("n_5grams"),
+        run_stats(T.shingles_from_tokens(F.col("toks"), 5))["dup"]
+        .cast("long")
+        .alias("dup_5gram_n"),
     )
     top2 = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
     dup5 = F.col("dup_5gram_n").cast("double") / F.col("n_5grams")
     return (
-        g2.join(g5, "doc_id")
+        stats
         .select(
             "doc_id",
             "n_bigrams",
