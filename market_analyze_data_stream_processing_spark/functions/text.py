@@ -138,3 +138,48 @@ def shingles(text: Column, n: int = 3) -> Column:
     form; see shingles_from_tokens for the hot-path variant that avoids
     per-element re-tokenization."""
     return shingles_from_tokens(tokens(text), n)
+
+
+def gram_run_stats(arr: Column) -> Column:
+    """Per-row repetition statistics over a gram array, map-only: returns
+    ``struct(top, dup)`` where ``top`` is the highest occurrence count of
+    any single gram and ``dup`` is the total number of occurrences of
+    grams appearing ≥ 2 times.
+
+    Sort the array so equal grams are adjacent, then one linear fold
+    tracks (current run, max run, Σ runs ≥ 2). Zero shuffle at any data
+    size — the per-doc alternative (explode → groupBy(doc, gram) →
+    groupBy(doc) → join) pays two full shuffle chains for numbers every
+    row can compute about itself. Used by the Gopher repetition gate
+    (plans/text.q_repetition_filters)."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("top"), F.lit(0).alias("dup"),
+    )
+
+    def close_run(acc):
+        return (
+            F.greatest(acc["top"], acc["run"]),
+            acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(0),
+        )
+
+    def step(acc, x):
+        top, dup = close_run(acc)
+        return F.when(
+            x == acc["prev"],
+            F.struct(
+                x.alias("prev"), (acc["run"] + 1).alias("run"),
+                acc["top"].alias("top"), acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"), F.lit(1).alias("run"),
+                top.alias("top"), dup.alias("dup"),
+            )
+        )
+
+    def finish(acc):
+        top, dup = close_run(acc)
+        return F.struct(top.alias("top"), dup.alias("dup"))
+
+    return F.aggregate(F.array_sort(arr), init, step, finish)

@@ -1030,50 +1030,18 @@ def q_repetition_filters(spark, sf_dir):
         F.size("toks") >= 5
     )
 
-    def run_stats(arr):
-        """(max_run, dup_sum) over a sorted gram array — one linear fold."""
-        init = F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"),
-            F.lit(0).alias("top"), F.lit(0).alias("dup"),
-        )
-        close_run = lambda acc: (  # noqa: E731 — fold-local helper
-            F.greatest(acc["top"], acc["run"]),
-            acc["dup"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(0),
-        )
-
-        def step(acc, x):
-            top, dup = close_run(acc)
-            return F.when(
-                x == acc["prev"],
-                F.struct(
-                    x.alias("prev"), (acc["run"] + 1).alias("run"),
-                    acc["top"].alias("top"), acc["dup"].alias("dup"),
-                ),
-            ).otherwise(
-                F.struct(
-                    x.alias("prev"), F.lit(1).alias("run"),
-                    top.alias("top"), dup.alias("dup"),
-                )
-            )
-
-        def finish(acc):
-            top, dup = close_run(acc)
-            return F.struct(top.alias("top"), dup.alias("dup"))
-
-        return F.aggregate(F.array_sort(arr), init, step, finish)
-
     stats = base.select(
         "doc_id",
         F.size(T.shingles_from_tokens(F.col("toks"), 2))
         .cast("long")
         .alias("n_bigrams"),
-        run_stats(T.shingles_from_tokens(F.col("toks"), 2))["top"]
+        T.gram_run_stats(T.shingles_from_tokens(F.col("toks"), 2))["top"]
         .cast("long")
         .alias("top_bigram_n"),
         F.size(T.shingles_from_tokens(F.col("toks"), 5))
         .cast("long")
         .alias("n_5grams"),
-        run_stats(T.shingles_from_tokens(F.col("toks"), 5))["dup"]
+        T.gram_run_stats(T.shingles_from_tokens(F.col("toks"), 5))["dup"]
         .cast("long")
         .alias("dup_5gram_n"),
     )

@@ -438,3 +438,36 @@ def test_jaccard_pairs_matches_bruteforce(spark, token_lists, df_cap):
     for k, (n, jac) in expect.items():
         assert got[k][0] == n
         assert math.isclose(got[k][1], jac, rel_tol=1e-12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_gram_run_stats_matches_counter(spark, gram_lists):
+    """The map-only run-length fold == collections.Counter on any gram
+    multiset: top = max count of one gram, dup = total occurrences of
+    grams appearing >= 2 times."""
+    from collections import Counter
+
+    from market_analyze_data_stream_processing_spark.functions.text import (
+        gram_run_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [str(g) for g in grams]) for i, grams in enumerate(gram_lists)],
+        "i long, grams array<string>",
+    )
+    got = {
+        r["i"]: (r["s"]["top"], r["s"]["dup"])
+        for r in df.select("i", gram_run_stats(F.col("grams")).alias("s")).collect()
+    }
+    for i, grams in enumerate(gram_lists):
+        c = Counter(grams)
+        top = max(c.values(), default=0)
+        dup = sum(v for v in c.values() if v >= 2)
+        assert got[i] == (top, dup), (i, grams)
