@@ -26,12 +26,13 @@ from . import media  # noqa: E402,F401
 #          LSH exact-dup coverage, simhash/near-dup-pipeline/k-means,
 #          media structure contracts) — never had a driver row as
 #          oracle queries;
-#   12-17: queries whose PLANS changed this round (running-sum MAs,
-#          vectorized cosine near-dup kernel, window-based DF pruning,
-#          CC pointer-jump) — fresh evidence on the new plans;
-#   18-23: last green in r01 (oldest evidence);
-#   24-40: last green in r02;
-#   41-50: last green in r04, name order — the r04/r05 remainder rotates
+#   12-20: queries whose PLANS changed this round (running-sum MAs,
+#          vectorized cosine near-dup kernel, joinless window-pruned
+#          Jaccard, map-only repetition fold, CC pointer-jump + cached
+#          edge partitioning) — fresh evidence on the new plans;
+#   21-26: last green in r01 (oldest evidence);
+#   27-43: last green in r02;
+#   44-50: last green in r04, name order — the r04/r05 remainder rotates
 #          forward next round.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all expose
 # the same full set.
@@ -53,6 +54,9 @@ _SWEEP_FRONT = [
     "q_trend_classify",
     "q_embedding_near_dup",
     "q_dup_clusters",
+    "q_near_dup_jaccard",
+    "q_split_leakage",
+    "q_repetition_filters",
     "q06_forecast_revenue",
     "q10_returned_items",
     "q14_promo_revenue",
@@ -83,9 +87,6 @@ _SWEEP_FRONT = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    "q_bpe_tokens",
 ]
 
 
