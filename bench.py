@@ -16,6 +16,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from market_analyze_data_stream_processing_spark.operators.similarity import (
+    invalidate_ivf_index,
+)
 from market_analyze_data_stream_processing_spark.plans import QUERIES
 from market_analyze_data_stream_processing_spark.session import get_spark
 
@@ -32,6 +35,12 @@ def run_one(spark, q, sf_dir: str) -> float:
     m = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in list(m.keySet().toArray()):
         m.get(rid).unpersist()
+    # The IVF index cache is a DRIVER-side dict, untouched by the RDD
+    # unpersist above; left alone it would survive into the second timed
+    # pass and q_ann_ivf's min-of-two would measure a cache hit, not a
+    # complete execution (build-once is the production serving shape,
+    # but this bench promises full end-to-end plans).
+    invalidate_ivf_index()
     return elapsed
 
 
@@ -129,8 +138,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "ok": not errored,
+                # others_sec is computed from the ROUNDED kept values so
+                # the advertised identity value == sum(queries) +
+                # others_sec holds exactly on the printed line.
                 "queries": {k: round(v, 2) for k, v in keep.items()},
-                "others_sec": round(total - sum(keep.values()), 3),
+                "others_sec": round(total - sum(round(v, 2) for v in keep.values()), 3),
                 "n_queries": len(times),
                 "n_errored": len(errored),
                 "errored": errored,

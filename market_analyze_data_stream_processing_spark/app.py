@@ -69,10 +69,11 @@ def data_now(bars: DataFrame) -> float:
     return float(bars.agg(F.max(F.unix_timestamp("ts"))).first()[0]) + 60.0
 
 
-def build_watch_docs(daily: DataFrame, bars: DataFrame, now: float) -> DataFrame:
+def build_watch_docs(daily: DataFrame, bars: DataFrame) -> DataFrame:
     """The market-watch slice of the doc store: latest close + previous
     close per ticker in the intraday_metrics shape serving.market_watch
-    reads (main.py:156-217)."""
+    reads (main.py:156-217). Freshness timestamps come from the bar
+    table itself (max ts per ticker), not from a caller-supplied clock."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("ticker").orderBy("date")
@@ -269,7 +270,7 @@ def run_dashboard(
     daily = build_daily(bars)
     now = data_now(bars)
 
-    watch = market_watch(build_watch_docs(daily, bars, now), now)
+    watch = market_watch(build_watch_docs(daily, bars), now)
     watch_rows = watch.orderBy("ticker").collect()
     print(render_market_watch(watch_rows), file=out)
 

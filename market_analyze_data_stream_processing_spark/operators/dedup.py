@@ -343,13 +343,45 @@ def embedding_near_dup_pairs(
             {"id_a": pdf["__id"][:0], "id_b": pdf["__id"][:0],
              block_col: pdf["__b"][:0], "sim": pd.Series(dtype="float64")}
         )
-        n = len(pdf)
-        if n < 2:
+        # Null vectors can't pair (the replaced join form computed a
+        # null sim the threshold filter dropped); drop them up front so
+        # np.stack below can't crash the task on a None element.
+        pdf = pdf[pdf["__v"].notna()]
+        if len(pdf) < 2:
             return empty
         pdf = pdf.sort_values("__id").reset_index(drop=True)
-        ids = pdf["__id"].to_numpy()
-        M = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-        d = M.shape[1]
+        lens = pdf["__v"].map(len).to_numpy()
+        out_a, out_b, out_s = [], [], []
+        # Pair within each vector LENGTH group: the join form's
+        # zip_with fold yielded null (dropped) for mixed-length pairs
+        # but real sims for same-length pairs, so a ragged block must
+        # neither crash np.stack nor invent cross-length pairs.
+        for L in np.unique(lens):
+            if L == 0:
+                continue
+            sel = lens == L
+            if sel.sum() < 2:
+                continue
+            sub = pdf[sel]
+            a, b, s = pairs_within(
+                sub["__id"].to_numpy(),
+                np.stack(sub["__v"].to_numpy()).astype(np.float64),
+            )
+            if len(a):
+                out_a.append(a)
+                out_b.append(b)
+                out_s.append(s)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             block_col: pdf["__b"].iloc[0], "sim": np.concatenate(out_s)}
+        )
+
+    def pairs_within(ids, M):
+        """Chunked cosine pairs over one dimension-consistent row set;
+        returns (id_a, id_b, sim) numpy arrays (possibly empty)."""
+        n, d = M.shape
         # k-ordered accumulation == the sequential fold, vectorized over rows.
         nrm2 = np.zeros(n)
         for k in range(d):
@@ -362,7 +394,6 @@ def embedding_near_dup_pairs(
         # pairing instead of dividing by zero.
         valid = nrm > 0.0
         nrm_safe = np.where(valid, nrm, 1.0)
-        col = np.arange(n)
         out_a, out_b, out_s = [], [], []
         for s in range(0, n - 1, CHUNK):
             e = min(s + CHUNK, n)
@@ -370,10 +401,12 @@ def embedding_near_dup_pairs(
             for k in range(d):
                 G = G + np.multiply.outer(M[s:e, k], M[:, k])
             sims = G / np.multiply.outer(nrm_safe[s:e], nrm_safe)
-            # sorted by id ⇒ strictly-upper triangle is exactly id_a < id_b
+            # Pair on id VALUES (id_a < id_b), not row indices: with a
+            # duplicated id in the block an index-triangle mask emits a
+            # bogus (x, x) self-pair the join form never produced.
             mask = (
                 (sims >= thr)
-                & (col[None, :] > np.arange(s, e)[:, None])
+                & (ids[None, :] > ids[s:e, None])
                 & valid[None, :]
                 & valid[s:e, None]
             )
@@ -382,13 +415,12 @@ def embedding_near_dup_pairs(
             out_b.append(ids[jj])
             out_s.append(sims[ii, jj])
         if not out_a:
-            return empty
-        id_a = np.concatenate(out_a)
-        if not len(id_a):
-            return empty
-        return pd.DataFrame(
-            {"id_a": id_a, "id_b": np.concatenate(out_b),
-             block_col: pdf["__b"].iloc[0], "sim": np.concatenate(out_s)}
+            z = ids[:0]
+            return z, z, np.array([], dtype=np.float64)
+        return (
+            np.concatenate(out_a),
+            np.concatenate(out_b),
+            np.concatenate(out_s),
         )
 
     base = df.select(
@@ -534,7 +566,30 @@ def connected_components(
     LAZY (``eager=False``): the ``sum(comp)`` aggregate is the action
     that materializes it, so each round launches exactly ONE job that
     both persists the new labels and returns the convergence scalar —
-    not a materialize-then-probe pair."""
+    not a materialize-then-probe pair.
+
+    Memory discipline: the edge checkpoint, the cached symmetrized set,
+    and every per-round labels checkpoint are RELEASED before returning
+    (the converged labels are re-checkpointed first — one extra tiny
+    |V|-row job — so the returned frame survives the cleanup). Without
+    this, each call pinned a 2|E|-row cache plus one |V|-row checkpoint
+    per round for the session lifetime. The cleanup unpersists every
+    persistent RDD that appeared during the call, which assumes no
+    CONCURRENT caching work in the same session — fine for a batch
+    pipeline stage; run it serially with other cache-creating jobs."""
+    sc = edges.sparkSession.sparkContext
+
+    def _persistent_ids():
+        m = sc._jsc.getPersistentRDDs()
+        return {rid for rid in m.keySet().toArray()}
+
+    def _release(ids):
+        m = sc._jsc.getPersistentRDDs()
+        for rid in list(m.keySet().toArray()):
+            if rid in ids:
+                m.get(rid).unpersist()
+
+    pre_ids = _persistent_ids()
     # Checkpoint the EDGES (not the symmetrized union): a union of the
     # edge plan with its reversal executes pair generation twice — often
     # the most expensive part of the whole clustering. Materialize the
@@ -559,6 +614,20 @@ def connected_components(
     # sum(node), which is invariant across rounds, so round 0's aggregate
     # computes it alongside its own sum(comp) — one job per round, full
     # stop, including the first.
+    try:
+        converged = _cc_iterate(sym, labels, max_iter)
+        mid_ids = _persistent_ids()
+        # Re-checkpoint the result EAGERLY so it no longer reads the
+        # per-round checkpoints we are about to release.
+        result = converged.localCheckpoint()
+        _release(mid_ids - pre_ids)
+        return result
+    except Exception:
+        _release(_persistent_ids() - pre_ids)
+        raise
+
+
+def _cc_iterate(sym, labels, max_iter):
     prev_sum = None
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["v"] == labels["node"]).select(

@@ -290,6 +290,13 @@ class _LatestProcessor(StatefulProcessor):
                 best_value = float(row["value"])
                 best_payload = str(row["payload"])
                 changed = True
+        if not changed and self._state.exists():
+            # TTL parity with the legacy applyInPandasWithState form,
+            # which calls setTimeoutDuration on EVERY invocation: any
+            # activity — even all-stale (seq <= best_seq) rows — keeps
+            # the key alive. TWS value-state TTL refreshes on write, so
+            # re-writing the unchanged best row is the refresh.
+            self._state.update((best_seq, best_value, best_payload))
         if changed:
             self._state.update((best_seq, best_value, best_payload))
             yield pd.DataFrame(

@@ -254,6 +254,76 @@ def test_embedding_near_dup_blocked_pairs(spark):
     assert [(r["id_a"], r["id_b"], r["sim"]) for r in pairs] == [(0, 1, 1.0)]
 
 
+def test_embedding_near_dup_tolerates_null_ragged_and_dup_ids(spark):
+    """Degenerate-input contract of the blocked kernel, mirroring the
+    replaced join form's behavior: a NULL vector never crashes the task
+    (it simply can't pair), a raggedly-sized vector pairs only with
+    same-dimension vectors (zip_with on mixed lengths folded to null →
+    dropped), and a duplicated id never emits an (x, x) self-pair
+    (id_a < id_b is a VALUE comparison, not a row-index triangle)."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    v3 = [1.0, 0.0, 0.0]
+    schema = StructType(
+        [
+            StructField("vec_id", IntegerType()),
+            StructField("embedding", ArrayType(DoubleType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    rows = [
+        (0, v, 0), (1, v, 0),     # normal pair
+        (2, None, 0),             # null vector: droppable, not fatal
+        (3, v3, 0), (4, v3, 0),   # ragged dimension: pairs within its size group
+        (5, v, 0), (5, v, 0),     # duplicated id: no (5, 5) self-pair
+    ]
+    df = spark.createDataFrame(rows, schema)
+    pairs = embedding_near_dup_pairs(df, threshold=0.9).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    # (0,1),(0,5)x2,(1,5)x2 in dim-4; (3,4) in dim-3; never (5,5) or a
+    # cross-dimension or null pair.
+    assert (5, 5) not in got
+    assert all(a < b for a, b in got)
+    assert (0, 1) in got and (3, 4) in got
+    assert not any(2 in p for p in got)
+    assert got.count((0, 5)) == 2 and got.count((1, 5)) == 2
+
+
+def test_connected_components_releases_its_caches(spark):
+    """Every persistent RDD created during a CC call (edge checkpoint,
+    symmetrized cache, per-round label checkpoints) must be released
+    before returning — a session running CC per micro-batch or notebook
+    cell must not accumulate pinned blocks. Only the returned frame's
+    own checkpoint may survive, and the frame stays collectable."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def persistent_count():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return len(list(m.keySet().toArray()))
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    before = persistent_count()
+    result = connected_components(edges, "id_a", "id_b")
+    after = persistent_count()
+    assert after - before <= 1  # the returned frame's checkpoint only
+    got = {r["node"]: r["component"] for r in result.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_lsh_coverage_contract_non_vacuous_at_sf01(spark):
     """q_lsh_band_candidates' oracle contract: every exact-duplicate pair
     must be an LSH candidate. sf0.1 has real duplicate docs (sf0.01 has
