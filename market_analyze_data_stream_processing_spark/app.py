@@ -66,7 +66,10 @@ def build_daily(bars: DataFrame) -> DataFrame:
 def data_now(bars: DataFrame) -> float:
     """Deterministic 'now': one minute past the newest bar (wall-clock
     would make freshness strings nondeterministic on a fixed dataset)."""
-    return float(bars.agg(F.max(F.unix_timestamp("ts"))).first()[0]) + 60.0
+    latest = bars.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    # max() over zero bars is NULL — an empty feed renders empty panels
+    # (epoch-zero clock) instead of crashing the dashboard.
+    return float(latest) + 60.0 if latest is not None else 60.0
 
 
 def build_watch_docs(daily: DataFrame, bars: DataFrame) -> DataFrame:

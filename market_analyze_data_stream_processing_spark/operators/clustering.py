@@ -166,6 +166,16 @@ def kmeans(
     seed_rows = (
         df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
     )
+    if not seed_rows:
+        # Empty corpus: there are no seeds and the only total answer is
+        # the empty assignment (same schema, zero rows) — a filter that
+        # eliminated every row upstream must not crash the pipeline.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import IntegerType
+
+        return df.withColumn("cluster", F.lit(None).cast(IntegerType())).where(
+            F.lit(False)
+        )
     centroids = {
         i: np.asarray(list(r[vec_col]), dtype=np.float64)
         for i, r in enumerate(seed_rows)

@@ -114,7 +114,10 @@ def ivf_index(
     if cache_key is not None and cache_key in _IVF_INDEX_CACHE:
         return _IVF_INDEX_CACHE[cache_key]
     if dim is None:
-        dim = df.select(F.size(vec_col)).first()[0]
+        row = df.select(F.size(vec_col)).first()
+        if row is None:
+            return {}  # empty corpus → empty index (not cached)
+        dim = row[0]
     # Per-slot avg aggregates instead of posexplode: no |rows|·dim row
     # explosion, map-side combined, one row per cluster per partition on
     # the shuffle — the cheapest possible full-corpus centroid pass.
@@ -181,6 +184,13 @@ def ann_ivf(
         centroids = ivf_index(
             df, vec_col=vec_col, cluster_col=cluster_col,
             cache_key=cache_key, dim=len(list(query_vec)),
+        )
+    if not centroids:
+        # Empty corpus → empty index → nothing to probe; the total
+        # answer is the empty top-k, same schema as the populated path.
+        return knn_exact(
+            df.where(F.lit(False)), query_vec, k=k,
+            vec_col=vec_col, id_col=id_col, round_to=round_to,
         )
     qv = np.asarray(list(query_vec), dtype=np.float64)
 

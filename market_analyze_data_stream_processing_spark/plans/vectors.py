@@ -26,6 +26,9 @@ _QV_CACHE: dict[tuple[str, int], list[float]] = {}
 
 
 def _query_vec(spark, sf_dir, vec_id: int = 0):
+    """The probe vector for the kNN/ANN/retrieval family, or ``None``
+    when the corpus has no such row (a missing probe is NOT cached — a
+    later load of the same path must see fresh data)."""
     key = (sf_dir, vec_id)
     if key not in _QV_CACHE:
         row = (
@@ -34,8 +37,24 @@ def _query_vec(spark, sf_dir, vec_id: int = 0):
             .select("embedding")
             .first()
         )
+        if row is None:
+            return None
         _QV_CACHE[key] = [float(x) for x in row["embedding"]]
     return _QV_CACHE[key]
+
+
+def _probe_plan(spark, sf_dir, vec_id, build):
+    """Totality on an empty corpus / missing probe row: the probe vector
+    is this family's only driver-side input, so when it doesn't exist
+    the query degenerates to the SAME plan over a dummy vector filtered
+    to zero rows — schema preserved, no crash. This is the behavior a
+    row-eliminating filter produces anywhere else in the engine, and at
+    100 TB a partition/filter combination that leaves no probe row is
+    routine, not exceptional."""
+    qv = _query_vec(spark, sf_dir, vec_id)
+    if qv is not None:
+        return build(qv)
+    return build([0.0]).where(F.lit(False))
 
 
 @register(
@@ -56,10 +75,12 @@ def _query_vec(spark, sf_dir, vec_id: int = 0):
     "per-partition top-k, driver merges k·partitions rows; no corpus shuffle.",
 )
 def q_knn_exact(spark, sf_dir):
-    qv = _query_vec(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    return knn_exact(e, qv, k=20, vec_col="embedding", id_col="vec_id").select(
-        "vec_id", "label", "sim"
+    return _probe_plan(
+        spark, sf_dir, 0,
+        lambda qv: knn_exact(
+            e, qv, k=20, vec_col="embedding", id_col="vec_id"
+        ).select("vec_id", "label", "sim"),
     )
 
 
@@ -81,16 +102,19 @@ def q_knn_exact(spark, sf_dir):
     doc="Partitioned top-k: 3 nearest neighbours per label (grouped retrieval).",
 )
 def q_knn_per_label(spark, sf_dir):
-    qv = _query_vec(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    sim = cosine_sim(as_double(F.col("embedding")), lit_vector(qv))
     w = Window.partitionBy("label").orderBy(F.desc("__sim"), F.asc("vec_id"))
-    return (
-        e.withColumn("__sim", sim)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("vec_id", "label", F.round("__sim", 6).alias("sim"), "rn")
-    )
+
+    def build(qv):
+        sim = cosine_sim(as_double(F.col("embedding")), lit_vector(qv))
+        return (
+            e.withColumn("__sim", sim)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("vec_id", "label", F.round("__sim", 6).alias("sim"), "rn")
+        )
+
+    return _probe_plan(spark, sf_dir, 0, build)
 
 
 @register(
@@ -158,14 +182,17 @@ def _ann_recall_contract(ann_df, exact_df, k: int, min_hits: float):
     "must also yield a full k results (n_ann = 20).",
 )
 def q_ann_lsh(spark, sf_dir):
-    qv = _query_vec(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
-    ann = ann_lsh(
-        e, qv, k=20, n_planes=8, vec_col="embedding", id_col="vec_id",
-        probe_hamming=2,
-    )
-    exact = knn_exact(e, qv, k=20, vec_col="embedding", id_col="vec_id")
-    return _ann_recall_contract(ann, exact, k=20, min_hits=2)
+
+    def build(qv):
+        ann = ann_lsh(
+            e, qv, k=20, n_planes=8, vec_col="embedding", id_col="vec_id",
+            probe_hamming=2,
+        )
+        exact = knn_exact(e, qv, k=20, vec_col="embedding", id_col="vec_id")
+        return _ann_recall_contract(ann, exact, k=20, min_hits=2)
+
+    return _probe_plan(spark, sf_dir, 0, build)
 
 
 @register(
@@ -179,7 +206,6 @@ def q_ann_lsh(spark, sf_dir):
     "0.35 — COVERAGE.md) plus full-k delivery (n_ann = 20).",
 )
 def q_ann_ivf(spark, sf_dir):
-    qv = _query_vec(spark, sf_dir, 0)
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     # cache_key = table path + source mtime: the IVF index is built once
     # per corpus VERSION and reused across queries, as a stored index
@@ -189,9 +215,13 @@ def q_ann_ivf(spark, sf_dir):
     import os
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
-    ann = ann_ivf(e, qv, k=20, n_probe=2, cache_key=("ivf", sf_dir, mtime))
-    exact = knn_exact(e, qv, k=20, vec_col="embedding", id_col="vec_id")
-    return _ann_recall_contract(ann, exact, k=20, min_hits=3)
+
+    def build(qv):
+        ann = ann_ivf(e, qv, k=20, n_probe=2, cache_key=("ivf", sf_dir, mtime))
+        exact = knn_exact(e, qv, k=20, vec_col="embedding", id_col="vec_id")
+        return _ann_recall_contract(ann, exact, k=20, min_hits=3)
+
+    return _probe_plan(spark, sf_dir, 0, build)
 
 
 @register(
@@ -253,26 +283,26 @@ def q_embedding_near_dup(spark, sf_dir):
     "Size-decay stands in for time-decay (deterministic on these tables).",
 )
 def q_retrieval_pipeline(spark, sf_dir):
-    from ..functions.scalars import composite_relevance
-
-    qv = _query_vec(spark, sf_dir, 0)
     d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     joined = d.join(e, d.doc_id == e.vec_id).select("doc_id", "n_chars", "embedding")
-    sim = cosine_sim(as_double(F.col("embedding")), lit_vector(qv))
     decay = F.exp(-F.col("n_chars") / 1000.0)
-    score = composite_relevance(F.lit(0.0) + sim, decay, F.lit("REAL_TIME"))
-    return (
-        joined.withColumn("__sim", sim)
-        .withColumn("__score", F.lit(0.6) * F.col("__sim") + F.lit(0.4) * decay)
-        .orderBy(F.desc("__score"), F.asc("doc_id"))
-        .limit(8)
-        .select(
-            "doc_id",
-            F.round("__sim", 6).alias("sim"),
-            F.round("__score", 6).alias("score"),
+
+    def build(qv):
+        sim = cosine_sim(as_double(F.col("embedding")), lit_vector(qv))
+        return (
+            joined.withColumn("__sim", sim)
+            .withColumn("__score", F.lit(0.6) * F.col("__sim") + F.lit(0.4) * decay)
+            .orderBy(F.desc("__score"), F.asc("doc_id"))
+            .limit(8)
+            .select(
+                "doc_id",
+                F.round("__sim", 6).alias("sim"),
+                F.round("__score", 6).alias("score"),
+            )
         )
-    )
+
+    return _probe_plan(spark, sf_dir, 0, build)
 
 
 @register(
@@ -344,7 +374,17 @@ def q_kmeans_clusters(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     assigned = kmeans(e, k=5, iterations=3)
-    dim = e.select(F.size("embedding")).first()[0]  # O(1): one row, schema probe
+    dim_row = e.select(F.size("embedding")).first()  # O(1): one row, schema probe
+    if dim_row is None:
+        # Empty corpus: no vectors, no clusters — the total answer is
+        # the empty contract frame, not a crash in the centroid math.
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n_vecs"),
+            F.lit(0).cast("long").alias("n_clusters_nonempty"),
+            F.lit(True).alias("partition_complete"),
+            F.lit(True).alias("tighter_than_global"),
+        ).where(F.lit(False))
+    dim = dim_row[0]
     v = as_double(F.col("embedding"))
     # Post-update centroids via per-slot avg aggregates (the ivf_index
     # shape: map-side combined, k·(dim+1) tiny rows collected — O(1) in

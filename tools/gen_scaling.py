@@ -246,6 +246,60 @@ def main() -> None:
         "(`streaming/dedup_index.py`)."
     )
 
+    # ---- dedup-family soak: 10×-duplicated corpus (50k docs) ----------
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        near_dup_pipeline,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    # 10 replicas with distinct ids and IDENTICAL text: every document
+    # becomes a ≥10-member duplicate clique — the adversarial case for
+    # pair fan-out (C(10,2)·bands candidates per group) and for CC
+    # (every component is a dense clique). doc_id stays unique.
+    docs10 = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("rep"))
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
+    )
+    n_docs10 = docs10.count()
+
+    t0 = time.perf_counter()
+    kept = exact_dedup(docs10).count()
+    t_exact = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pairs10 = near_dup_pipeline(docs10, threshold=0.5)
+    comp10 = connected_components(pairs10, "id_a", "id_b")
+    n_nodes = comp10.count()
+    n_comps = comp10.select("component").distinct().count()
+    t_near = time.perf_counter() - t0
+
+    out += [
+        "",
+        "## Dedup-family soak (10×-duplicated corpus: every doc a ≥10-clique)",
+        "",
+        "| workload | input docs | output | seconds | docs/sec |",
+        "|---|---|---|---|---|",
+        f"| exact dedup (md5, keep-lowest-id) | {n_docs10:,} | "
+        f"{kept:,} kept | {t_exact:.2f} | {n_docs10 / t_exact:,.0f} |",
+        f"| LSH-band → Jaccard-verify → CC clusters | {n_docs10:,} | "
+        f"{n_nodes:,} nodes / {n_comps:,} clusters | {t_near:.2f} | "
+        f"{n_docs10 / t_near:,.0f} |",
+        "",
+        "Replicating every document 10× with fresh ids is the worst case "
+        "for near-dup machinery — every text is a dense duplicate clique, "
+        "so candidate generation, exact verification, and clustering all "
+        "run at their maximum per-doc fan-out (C(10,2) pairs per clique). "
+        "End-to-end cost stays linear-ish in corpus size because no stage "
+        "is ever corpus-quadratic: banding shuffles band keys, the verify "
+        "join touches only candidates, and CC converges in O(log diameter) "
+        "rounds (cliques: 1-2) with one shuffle per round.",
+    ]
+
     # ---- streaming soak: rate source → watermark → tumbling agg ----
     import tempfile
 
