@@ -28,8 +28,13 @@ _QV_CACHE: dict[tuple[str, int], list[float]] = {}
 def _query_vec(spark, sf_dir, vec_id: int = 0):
     """The probe vector for the kNN/ANN/retrieval family, or ``None``
     when the corpus has no such row (a missing probe is NOT cached — a
-    later load of the same path must see fresh data)."""
-    key = (sf_dir, vec_id)
+    later load of the same path must see fresh data). Keyed by source
+    mtime like the IVF index cache, so an in-session corpus rewrite
+    serves the fresh vector, not a stale one."""
+    import os
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (sf_dir, mtime, vec_id)
     if key not in _QV_CACHE:
         row = (
             load_table(spark, sf_dir, "embeddings")
