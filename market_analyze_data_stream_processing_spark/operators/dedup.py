@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, shingles_from_tokens, tokens
@@ -153,18 +153,49 @@ def lsh_band_candidates(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents agreeing on any band of
     ``n_hashes/bands`` consecutive signature slots. Returns (id_a, id_b)
     with id_a < id_b. Join key = (band_idx, band_hash) — short keys, and
-    the shuffle is on candidate buckets, never all-pairs."""
+    the shuffle is on candidate buckets, never all-pairs.
+
+    ``max_bucket`` is the VIRAL-DUPLICATE skew guard: a bucket of n docs
+    emits C(n,2) clique pairs, so one document duplicated a million
+    times (routine in web corpora) would emit 5·10^11 pairs per band and
+    kill the job. Buckets larger than the cap instead emit a STAR — each
+    member paired with the bucket's smallest id, O(n) edges. The
+    downstream consumer is connected-components clustering, for which a
+    star and a clique induce the SAME component; what's lost is only
+    per-pair candidate enumeration inside oversized buckets (borderline
+    members whose star edge fails exact verification may split off,
+    where some clique edge might have held them — the standard
+    trade-off, since an oversized bucket is overwhelmingly one
+    duplicate crowd). ``max_bucket=None`` disables the guard."""
     banded = lsh_bands(
         df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
         bands=bands, shingle_n=shingle_n,
     )
+    if max_bucket is not None:
+        # Bucket size + representative in one window pass over the same
+        # (band, h) partitioning the join shuffles on anyway. WindowExec
+        # buffers one bucket per task and spills if a bucket is huge —
+        # O(n) per bucket, never O(n²).
+        w = Window.partitionBy("band", "h")
+        banded = (
+            banded.withColumn("__n", F.count(F.lit(1)).over(w))
+            .withColumn("__mn", F.min(id_col).over(w))
+        )
+        star = (
+            banded.where(
+                (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__mn"))
+            )
+            .select(F.col("__mn").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        banded = banded.where(F.col("__n") <= max_bucket).drop("__n", "__mn")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -172,8 +203,10 @@ def lsh_band_candidates(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
+    if max_bucket is not None:
+        pairs = pairs.union(star)
+    return pairs.distinct()
 
 
 def simhash(text: Column, bits: int = 64, shingle_n: int = 2) -> Column:
@@ -259,9 +292,11 @@ def near_dup_pipeline(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """THE production near-dup shape at 100 TB: LSH banding generates
-    candidate pairs (band-key shuffle, never all-pairs), then exact
+    candidate pairs (band-key shuffle, never all-pairs, oversized
+    buckets star-capped — see ``lsh_band_candidates``), then exact
     n-gram Jaccard verifies ONLY those candidates (per-pair array
     intersect/union — the candidate set is tiny relative to the corpus).
     Sound by construction: every reported pair's Jaccard is exact and
@@ -271,6 +306,7 @@ def near_dup_pipeline(
     cands = lsh_band_candidates(
         df, id_col=id_col, text_col=text_col,
         n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+        max_bucket=max_bucket,
     )
     sh = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")

@@ -299,6 +299,40 @@ def test_embedding_near_dup_tolerates_null_ragged_and_dup_ids(spark):
     assert got.count((0, 5)) == 2 and got.count((1, 5)) == 2
 
 
+def test_lsh_viral_duplicate_bucket_is_star_capped(spark):
+    """The viral-duplicate skew guard: one text repeated n times puts
+    all n docs in the same band buckets; an uncapped join would emit
+    C(n,2) clique pairs per band (the 100 TB job-killer), the cap emits
+    n-1 star edges instead — and the downstream clustering recovers the
+    IDENTICAL single component either way."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+        lsh_band_candidates,
+        near_dup_pipeline,
+    )
+
+    n = 60
+    rows = [(i, "the same viral document text repeated everywhere") for i in range(n)]
+    rows += [(1000, "a completely different unique document body here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = lsh_band_candidates(df, max_bucket=10)
+    got = capped.collect()
+    # star: every clone linked to the min id, no quadratic enumeration
+    assert len(got) == n - 1
+    assert all(r["id_a"] == 0 for r in got)
+
+    uncapped = lsh_band_candidates(df, max_bucket=None)
+    assert uncapped.count() == n * (n - 1) // 2
+
+    # the clustering consumer sees the same single component either way
+    comp = connected_components(
+        near_dup_pipeline(df, max_bucket=10), "id_a", "id_b"
+    )
+    labels = {r["component"] for r in comp.collect()}
+    assert labels == {0} and comp.count() == n
+
+
 def test_connected_components_releases_its_caches(spark):
     """Every persistent RDD created during a CC call (edge checkpoint,
     symmetrized cache, per-round label checkpoints) must be released
