@@ -127,6 +127,45 @@ def test_latest_processor_logic_keeps_max_seq():
     proc.close()
 
 
+def test_latest_processor_stale_activity_rewrites_state_for_ttl():
+    """TTL parity with the legacy form: ANY activity keeps the key
+    alive. TWS value-state TTL refreshes on write, so an all-stale batch
+    must RE-WRITE the unchanged best row (no emission) — a key fed only
+    stale replays would otherwise expire and re-emit as brand new."""
+    import pandas as pd
+
+    from market_analyze_data_stream_processing_spark.streaming.stateful import (
+        _LatestProcessor,
+    )
+
+    class _CountingState(_FakeValueState):
+        def __init__(self):
+            super().__init__()
+            self.writes = 0
+
+        def update(self, v):
+            self.writes += 1
+            super().update(v)
+
+    class _CountingHandle(_FakeHandle):
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.states[name] = _CountingState()
+            return self.states[name]
+
+    proc = _LatestProcessor(ttl_ms=60_000)
+    handle = _CountingHandle()
+    proc.init(handle)
+    state = handle.states["latest"]
+    fresh = [pd.DataFrame({"seq": [5], "value": [50.0], "payload": ["a5"]})]
+    stale = [pd.DataFrame({"seq": [2], "value": [20.0], "payload": ["old"]})]
+    assert len(list(proc.handleInputRows(("A",), fresh, None))) == 1
+    w0 = state.writes
+    assert list(proc.handleInputRows(("A",), stale, None)) == []
+    assert state.writes == w0 + 1  # rewritten (TTL refresh), not skipped
+    assert state.get() == (5, 50.0, "a5")  # ...with the UNCHANGED best row
+    proc.close()
+
+
 @pytest.fixture()
 def tws_spark(spark):
     """transformWithState requires the RocksDB state store provider;
