@@ -170,7 +170,6 @@ def kmeans(
         # Empty corpus: there are no seeds and the only total answer is
         # the empty assignment (same schema, zero rows) — a filter that
         # eliminated every row upstream must not crash the pipeline.
-        from pyspark.sql import functions as F
         from pyspark.sql.types import IntegerType
 
         return df.withColumn("cluster", F.lit(None).cast(IntegerType())).where(

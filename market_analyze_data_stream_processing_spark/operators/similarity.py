@@ -128,7 +128,11 @@ def ivf_index(
         int(r["c"]): np.asarray([r[f"m{i}"] for i in range(dim)], dtype=np.float64)
         for r in cents
     }
-    if cache_key is not None:
+    if cache_key is not None and centroids:
+        # An EMPTY index is never cached (mirrors the dim-probe early
+        # return): caching {} for an empty-at-the-time corpus would pin
+        # permanently-empty ANN results after the table is populated
+        # under the same key.
         _IVF_INDEX_CACHE[cache_key] = centroids
     return centroids
 

@@ -465,8 +465,14 @@ def q_lsh_band_candidates(spark, sf_dir):
     from ..functions.text import token_count
 
     d = spread(load_table(spark, sf_dir, "documents"))
+    # max_bucket=None: this query's contract is PAIR-LEVEL coverage
+    # (every exact-dup pair is a candidate edge), which only the
+    # uncapped clique form guarantees. The production default keeps the
+    # star-cap (component-level coverage, O(n) edges per viral bucket);
+    # its semantics are pinned in test_dedup_similarity.
     cand = lsh_band_candidates(
-        d, id_col="doc_id", text_col="text", n_hashes=8, bands=4
+        d, id_col="doc_id", text_col="text", n_hashes=8, bands=4,
+        max_bucket=None,
     )
     # Dup identity = md5(text), the same 16-byte key exact_dedup shuffles
     # on — raw text as a join key would shuffle full documents at scale.
@@ -842,7 +848,10 @@ def q_near_dup_pipeline(spark, sf_dir):
     from ..operators.dedup import near_dup_pipeline
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    pipe = near_dup_pipeline(d, threshold=0.5)
+    # max_bucket=None: the all-exact-dups-found contract is pair-level,
+    # which only the uncapped clique candidates guarantee (see
+    # q_lsh_band_candidates; star-capped behavior is pinned in pytest).
+    pipe = near_dup_pipeline(d, threshold=0.5, max_bucket=None)
     eligible = d.where(T.token_count(F.col("text")) >= 3).select(
         "doc_id", F.md5("text").alias("th")
     )

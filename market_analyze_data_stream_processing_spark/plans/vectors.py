@@ -22,7 +22,8 @@ _SIM_SQL = (
 )
 
 
-_QV_CACHE: dict[tuple[str, int], list[float]] = {}
+#: (sf_dir, source mtime, vec_id) → probe vector
+_QV_CACHE: dict[tuple[str, float, int], list[float]] = {}
 
 
 def _query_vec(spark, sf_dir, vec_id: int = 0):
@@ -30,7 +31,9 @@ def _query_vec(spark, sf_dir, vec_id: int = 0):
     when the corpus has no such row (a missing probe is NOT cached — a
     later load of the same path must see fresh data). Keyed by source
     mtime like the IVF index cache, so an in-session corpus rewrite
-    serves the fresh vector, not a stale one."""
+    serves the fresh vector, not a stale one; superseded-mtime entries
+    for the same path are evicted on insert (the cache stays O(live
+    corpora), not O(rewrites))."""
     import os
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
@@ -44,6 +47,8 @@ def _query_vec(spark, sf_dir, vec_id: int = 0):
         )
         if row is None:
             return None
+        for stale in [k for k in _QV_CACHE if k[0] == sf_dir and k[1] != mtime]:
+            del _QV_CACHE[stale]
         _QV_CACHE[key] = [float(x) for x in row["embedding"]]
     return _QV_CACHE[key]
 
@@ -55,11 +60,17 @@ def _probe_plan(spark, sf_dir, vec_id, build):
     to zero rows — schema preserved, no crash. This is the behavior a
     row-eliminating filter produces anywhere else in the engine, and at
     100 TB a partition/filter combination that leaves no probe row is
-    routine, not exceptional."""
+    routine, not exceptional. (The constant-row oracle contracts of the
+    ANN queries describe populated corpora; on a probe-less corpus the
+    truthful contract is vacuous — zero rows.)
+
+    ``build(qv, missing)``: ``missing=True`` marks the dummy-vector
+    path, where the plan's rows will be discarded — builders must not
+    run eager driver-side work (index builds, cache writes) there."""
     qv = _query_vec(spark, sf_dir, vec_id)
     if qv is not None:
-        return build(qv)
-    return build([0.0]).where(F.lit(False))
+        return build(qv, False)
+    return build([0.0], True).where(F.lit(False))
 
 
 @register(
@@ -83,7 +94,7 @@ def q_knn_exact(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     return _probe_plan(
         spark, sf_dir, 0,
-        lambda qv: knn_exact(
+        lambda qv, _missing: knn_exact(
             e, qv, k=20, vec_col="embedding", id_col="vec_id"
         ).select("vec_id", "label", "sim"),
     )
@@ -110,7 +121,7 @@ def q_knn_per_label(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     w = Window.partitionBy("label").orderBy(F.desc("__sim"), F.asc("vec_id"))
 
-    def build(qv):
+    def build(qv, _missing):
         sim = cosine_sim(as_double(F.col("embedding")), lit_vector(qv))
         return (
             e.withColumn("__sim", sim)
@@ -189,7 +200,7 @@ def _ann_recall_contract(ann_df, exact_df, k: int, min_hits: float):
 def q_ann_lsh(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
 
-    def build(qv):
+    def build(qv, _missing):
         ann = ann_lsh(
             e, qv, k=20, n_planes=8, vec_col="embedding", id_col="vec_id",
             probe_hamming=2,
@@ -221,8 +232,16 @@ def q_ann_ivf(spark, sf_dir):
 
     mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
 
-    def build(qv):
-        ann = ann_ivf(e, qv, k=20, n_probe=2, cache_key=("ivf", sf_dir, mtime))
+    def build(qv, missing):
+        # On the dummy path the rows are discarded anyway; pass an empty
+        # index explicitly so no full-corpus aggregation runs at plan
+        # construction and no wrong-dimension centroids can land in the
+        # cache under the real corpus key.
+        ann = ann_ivf(
+            e, qv, k=20, n_probe=2,
+            centroids={} if missing else None,
+            cache_key=None if missing else ("ivf", sf_dir, mtime),
+        )
         exact = knn_exact(e, qv, k=20, vec_col="embedding", id_col="vec_id")
         return _ann_recall_contract(ann, exact, k=20, min_hits=3)
 
@@ -293,7 +312,7 @@ def q_retrieval_pipeline(spark, sf_dir):
     joined = d.join(e, d.doc_id == e.vec_id).select("doc_id", "n_chars", "embedding")
     decay = F.exp(-F.col("n_chars") / 1000.0)
 
-    def build(qv):
+    def build(qv, _missing):
         sim = cosine_sim(as_double(F.col("embedding")), lit_vector(qv))
         return (
             joined.withColumn("__sim", sim)
@@ -378,11 +397,12 @@ def q_kmeans_clusters(spark, sf_dir):
     from ..operators.clustering import kmeans
 
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans(e, k=5, iterations=3)
     dim_row = e.select(F.size("embedding")).first()  # O(1): one row, schema probe
     if dim_row is None:
         # Empty corpus: no vectors, no clusters — the total answer is
         # the empty contract frame, not a crash in the centroid math.
+        # Probed BEFORE kmeans so the seed-collect job never runs on
+        # the path whose rows are discarded anyway.
         return spark.range(1).select(
             F.lit(0).cast("long").alias("n_vecs"),
             F.lit(0).cast("long").alias("n_clusters_nonempty"),
@@ -390,6 +410,7 @@ def q_kmeans_clusters(spark, sf_dir):
             F.lit(True).alias("tighter_than_global"),
         ).where(F.lit(False))
     dim = dim_row[0]
+    assigned = kmeans(e, k=5, iterations=3)
     v = as_double(F.col("embedding"))
     # Post-update centroids via per-slot avg aggregates (the ivf_index
     # shape: map-side combined, k·(dim+1) tiny rows collected — O(1) in

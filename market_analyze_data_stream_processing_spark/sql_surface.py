@@ -10,13 +10,18 @@
   operator catalog becomes composable SQL relations
   (``SELECT * FROM q_daily_summary JOIN ...``).
 
-Views are LAZY: registering 122 of them costs plan construction only;
-nothing executes until a view is selected from, and Catalyst inlines a
-view into the consuming query (filters push through it, columns prune
-through it), so querying a view costs the same as calling the
-DataFrame function directly. This is the batch stand-in for a catalog:
-at 100 TB the same ``install`` body would issue ``CREATE VIEW`` against
-a metastore once, not per session.
+Most views are pure lazy plans: registering them costs plan
+construction only, nothing executes until the view is selected from,
+and Catalyst inlines a view into the consuming query (filters push
+through it, columns prune through it), so querying one costs the same
+as calling the DataFrame function directly. The exceptions are the
+driver-probing and iterative queries (vector probes collect one row;
+k-means and connected components run their driver-driven stages once
+at registration, and their views then serve the finished, materialized
+plan — including the checkpointed state it references, which stays
+cached for the session because the view depends on it). This is the
+batch stand-in for a catalog: at 100 TB the same body would issue
+``CREATE VIEW`` against a metastore once, not per session.
 """
 
 from __future__ import annotations
