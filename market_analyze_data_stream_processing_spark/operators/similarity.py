@@ -273,3 +273,56 @@ def ann_lsh(
         id_col=id_col,
         round_to=round_to,
     )
+
+
+def write_lsh_layout(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus PARTITIONED BY its sign-LSH bucket — the
+    build-once half of the at-scale ANN serving path. One map-only pass
+    computes each row's bucket (an expression, no shuffle beyond the
+    partitioned write); the layout then makes every probe a PARTITION
+    PRUNE instead of a full scan. The planes are a pure function of
+    (dim, n_planes, seed), so the prober recomputes them — nothing but
+    parquet needs shipping."""
+    planes = hyperplanes(dim=df.selectExpr(f"size({vec_col})").first()[0],
+                         n_planes=n_planes, seed=seed)
+    with_lsh_bucket(df, planes, vec_col=vec_col).write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def ann_lsh_stored(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 20,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """Probe a ``write_lsh_layout`` corpus: the bucket filter lands in
+    the scan's PartitionFilters (directory-level pruning — only the
+    probed ~sum(C(n,i) for i<=h)/2^n of the data is READ, the property
+    the expression-form ``ann_lsh`` can only claim). Results are
+    identical to ``ann_lsh`` on the unstored table for the same
+    (n_planes, seed): both derive the bucket from the same planes."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    q_bucket = int(
+        sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, qv)) > 0)
+    )
+    probed = probe_buckets(q_bucket, n_planes, probe_hamming)
+    stored = spark.read.parquet(path).where(F.col("bucket").isin(probed))
+    return knn_exact(
+        stored.drop("bucket"), query_vec, k=k,
+        vec_col=vec_col, id_col=id_col, round_to=round_to,
+    )

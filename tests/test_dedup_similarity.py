@@ -120,6 +120,32 @@ def test_ann_lsh_recall_on_top1(vectors):
     assert exact_top[0] in approx
 
 
+def test_ann_lsh_stored_layout_prunes_partitions(spark, vectors, tmp_path):
+    """The at-scale serving shape, executed: write the corpus PARTITIONED
+    BY its LSH bucket, probe it, and assert (a) the bucket filter landed
+    in the scan's PartitionFilters — directory-level pruning, only the
+    probed fraction of the data is READ — and (b) the stored probe
+    returns exactly what the expression-form ann_lsh computes on the
+    unstored table (same planes ⇒ same buckets ⇒ same candidates)."""
+    from market_analyze_data_stream_processing_spark.operators.similarity import (
+        ann_lsh_stored,
+        write_lsh_layout,
+    )
+
+    df, q = vectors
+    path = str(tmp_path / "lsh_layout")
+    write_lsh_layout(df, path, n_planes=4)
+
+    stored = ann_lsh_stored(spark, path, q, k=5, n_planes=4)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    expr_form = ann_lsh(df, q, k=5, n_planes=4)
+    assert [
+        (r["vec_id"], r["sim"]) for r in stored.collect()
+    ] == [(r["vec_id"], r["sim"]) for r in expr_form.collect()]
+
+
 def test_simhash_fingerprints_match_expression_form(docs):
     # the scale (explode+agg) form must equal the per-row array-fold form
     agg = {r["doc_id"]: r["fingerprint"]
