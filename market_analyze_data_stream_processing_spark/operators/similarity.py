@@ -196,18 +196,33 @@ def ann_ivf(
             df.where(F.lit(False)), query_vec, k=k,
             vec_col=vec_col, id_col=id_col, round_to=round_to,
         )
+    probe = _nearest_cells(centroids, query_vec, n_probe)
+    cell = _cell_expr(centroids, vec_col)
+    pruned = df.withColumn("__cell", cell).where(F.col("__cell").isin(probe)).drop("__cell")
+    return knn_exact(pruned, query_vec, k=k, vec_col=vec_col, id_col=id_col, round_to=round_to)
+
+
+def _nearest_cells(
+    centroids: dict[int, np.ndarray], query_vec: Sequence[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` cell ids whose centroids are nearest the query."""
     qv = np.asarray(list(query_vec), dtype=np.float64)
 
     def cos(a, b):
         na, nb = np.linalg.norm(a), np.linalg.norm(b)
         return float(a @ b / (na * nb)) if na and nb else -1.0
 
-    probe = sorted(centroids, key=lambda c: -cos(centroids[c], qv))[:n_probe]
+    return sorted(centroids, key=lambda c: -cos(centroids[c], qv))[:n_probe]
 
+
+def _cell_expr(centroids: dict[int, np.ndarray], vec_col: str):
+    """Nearest-centroid cell id as ONE array_max over (sim, cluster)
+    structs — each cosine fold is evaluated exactly once per row (a
+    greatest + when-chain re-evaluates every sim ~3×). Shared by the
+    inline prober and the stored-layout writer so both assign cells
+    identically (including the larger-cluster tie-break of struct
+    ordering)."""
     emb = as_double(F.col(vec_col))
-    # Cell assignment = argmax over centroid sims in ONE array_max over
-    # (sim, cluster) structs — each cosine fold is evaluated exactly once
-    # per row (a greatest + when-chain re-evaluates every sim ~3×).
     pairs = F.array(
         *[
             F.struct(
@@ -217,9 +232,7 @@ def ann_ivf(
             for c in sorted(centroids)
         ]
     )
-    cell = F.array_max(pairs)["c"]
-    pruned = df.withColumn("__cell", cell).where(F.col("__cell").isin(probe)).drop("__cell")
-    return knn_exact(pruned, query_vec, k=k, vec_col=vec_col, id_col=id_col, round_to=round_to)
+    return F.array_max(pairs)["c"]
 
 
 def probe_buckets(q_bucket: int, n_planes: int, probe_hamming: int = 0) -> list[int]:
@@ -324,5 +337,52 @@ def ann_lsh_stored(
     stored = spark.read.parquet(path).where(F.col("bucket").isin(probed))
     return knn_exact(
         stored.drop("bucket"), query_vec, k=k,
+        vec_col=vec_col, id_col=id_col, round_to=round_to,
+    )
+
+
+def write_ivf_layout(
+    df: DataFrame,
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the full IVF serving artifact: the corpus PARTITIONED
+    BY its nearest-centroid cell (``<path>/data``) plus the centroid
+    index shipped beside it (``<path>/index``, k×dim doubles). Build is
+    one centroid aggregation + one map-only assignment pass; after it,
+    every probe is a partition-pruned scan of ``n_probe`` cell
+    directories and the centroids load without touching the corpus —
+    the build-once / probe-many split a 100 TB ANN deployment runs."""
+    centroids = ivf_index(df, vec_col=vec_col, cluster_col=cluster_col)
+    if not centroids:
+        raise ValueError("cannot build an IVF layout from an empty corpus")
+    assigned = df.withColumn("cell", _cell_expr(centroids, vec_col))
+    assigned.write.mode(mode).partitionBy("cell").parquet(f"{path}/data")
+    save_ivf_index(centroids, spark, f"{path}/index")
+
+
+def ann_ivf_stored(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 20,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Probe a ``write_ivf_layout`` corpus: centroids come from the tiny
+    stored index (no corpus aggregation), and the cell filter lands in
+    the scan's PartitionFilters — only the ``n_probe`` probed cell
+    directories are read. Results are identical to ``ann_ivf`` with the
+    same centroids: both sides assign cells through ``_cell_expr``."""
+    centroids = load_ivf_index(spark, f"{path}/index")
+    probe = _nearest_cells(centroids, query_vec, n_probe)
+    stored = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(probe))
+    return knn_exact(
+        stored.drop("cell"), query_vec, k=k,
         vec_col=vec_col, id_col=id_col, round_to=round_to,
     )

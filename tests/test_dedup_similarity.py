@@ -146,6 +146,32 @@ def test_ann_lsh_stored_layout_prunes_partitions(spark, vectors, tmp_path):
     ] == [(r["vec_id"], r["sim"]) for r in expr_form.collect()]
 
 
+def test_ann_ivf_stored_layout_prunes_partitions(spark, vectors, tmp_path):
+    """IVF twin of the stored-LSH test: write the corpus partitioned by
+    nearest-centroid cell with the centroid index beside it, probe it,
+    and assert (a) PartitionFilters pruning on the cell directories,
+    (b) the centroids round-trip the stored artifact, and (c) result
+    parity with the inline ann_ivf over the same centroids."""
+    from market_analyze_data_stream_processing_spark.operators.similarity import (
+        ann_ivf_stored,
+        ivf_index,
+        write_ivf_layout,
+    )
+
+    df, q = vectors
+    path = str(tmp_path / "ivf_layout")
+    write_ivf_layout(df, spark, path)
+
+    stored = ann_ivf_stored(spark, path, q, k=5, n_probe=2)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    inline = ann_ivf(df, q, k=5, n_probe=2, centroids=ivf_index(df))
+    assert [
+        (r["vec_id"], r["sim"]) for r in stored.collect()
+    ] == [(r["vec_id"], r["sim"]) for r in inline.collect()]
+
+
 def test_simhash_fingerprints_match_expression_form(docs):
     # the scale (explode+agg) form must equal the per-row array-fold form
     agg = {r["doc_id"]: r["fingerprint"]
