@@ -303,8 +303,10 @@ def write_lsh_layout(
     PRUNE instead of a full scan. The planes are a pure function of
     (dim, n_planes, seed), so the prober recomputes them — nothing but
     parquet needs shipping."""
-    planes = hyperplanes(dim=df.selectExpr(f"size({vec_col})").first()[0],
-                         n_planes=n_planes, seed=seed)
+    row = df.selectExpr(f"size({vec_col})").first()
+    if row is None:
+        raise ValueError("cannot build an LSH layout from an empty corpus")
+    planes = hyperplanes(dim=row[0], n_planes=n_planes, seed=seed)
     with_lsh_bucket(df, planes, vec_col=vec_col).write.mode(mode).partitionBy(
         "bucket"
     ).parquet(path)

@@ -300,6 +300,72 @@ def main() -> None:
         "rounds (cliques: 1-2) with one shuffle per round.",
     ]
 
+    # ---- stored ANN layouts: build-once cost vs per-probe cost -------
+    import tempfile as _tf
+
+    from market_analyze_data_stream_processing_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_stored,
+        ann_lsh,
+        ann_lsh_stored,
+        ivf_index,
+        write_ivf_layout,
+        write_lsh_layout,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    dim = emb.selectExpr("size(embedding)").first()[0]
+    qv = [float((i % 7) - 3) for i in range(dim)]
+    lsh_path = os.path.join(_tf.mkdtemp(), "lsh")
+    ivf_path = os.path.join(_tf.mkdtemp(), "ivf")
+
+    t0 = time.perf_counter()
+    write_lsh_layout(emb, lsh_path, n_planes=8)
+    t_lsh_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    write_ivf_layout(emb, spark, ivf_path)
+    t_ivf_build = time.perf_counter() - t0
+
+    def t_probe(fn):
+        fn().write.format("noop").mode("overwrite").save()  # warm plan
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    t_lsh_inline = t_probe(lambda: ann_lsh(emb, qv, k=20, probe_hamming=2))
+    t_lsh_stored = t_probe(
+        lambda: ann_lsh_stored(spark, lsh_path, qv, k=20, probe_hamming=2)
+    )
+    cents = ivf_index(emb)
+    t_ivf_inline = t_probe(lambda: ann_ivf(emb, qv, k=20, centroids=cents))
+    t_ivf_stored = t_probe(lambda: ann_ivf_stored(spark, ivf_path, qv, k=20))
+
+    out += [
+        "",
+        "## Stored ANN layouts: build once, probe partition-pruned",
+        "",
+        "| index | build (once) | probe inline (full scan + filter) | probe stored (partition-pruned) |",
+        "|---|---|---|---|",
+        f"| sign-LSH (8 planes, Hamming≤2 probe) | {t_lsh_build:.2f} s | "
+        f"{t_lsh_inline:.2f} s | {t_lsh_stored:.2f} s |",
+        f"| IVF (label cells, 2-probe) | {t_ivf_build:.2f} s | "
+        f"{t_ivf_inline:.2f} s | {t_ivf_stored:.2f} s |",
+        "",
+        "The inline probe computes every row's bucket/cell per query "
+        "(full corpus scan); the stored probe reads ONLY the probed "
+        "partition directories (PartitionFilters — pinned by "
+        "test_dedup_similarity). At these SFs both are scan-cheap; at "
+        "100 TB the stored probe's read volume is the probed fraction "
+        "(~37/256 buckets for Hamming≤2, n_probe/k cells for IVF) while "
+        "the inline form re-reads the corpus — the layout is what turns "
+        "ANN from a scan problem into a pruning problem.",
+        "",
+    ]
+    import shutil as _sh
+
+    _sh.rmtree(os.path.dirname(lsh_path), ignore_errors=True)
+    _sh.rmtree(os.path.dirname(ivf_path), ignore_errors=True)
+
     # ---- streaming soak: rate source → watermark → tumbling agg ----
     import tempfile
 
