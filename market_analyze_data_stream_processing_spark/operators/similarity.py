@@ -302,7 +302,14 @@ def write_lsh_layout(
     partitioned write); the layout then makes every probe a PARTITION
     PRUNE instead of a full scan. The planes are a pure function of
     (dim, n_planes, seed), so the prober recomputes them — nothing but
-    parquet needs shipping."""
+    parquet needs shipping. ``mode='append'`` is SOUND here (unlike the
+    IVF layout): the bucketing function is corpus-independent, so new
+    batches land in the same buckets old ones did."""
+    if "bucket" in df.columns:
+        raise ValueError(
+            "input already has a 'bucket' column; the layout would "
+            "silently overwrite it — rename it first"
+        )
     row = df.selectExpr(f"size({vec_col})").first()
     if row is None:
         raise ValueError("cannot build an LSH layout from an empty corpus")
@@ -345,11 +352,9 @@ def ann_lsh_stored(
 
 def write_ivf_layout(
     df: DataFrame,
-    spark,
     path: str,
     vec_col: str = "embedding",
     cluster_col: str = "label",
-    mode: str = "overwrite",
 ) -> None:
     """Materialize the full IVF serving artifact: the corpus PARTITIONED
     BY its nearest-centroid cell (``<path>/data``) plus the centroid
@@ -357,13 +362,24 @@ def write_ivf_layout(
     one centroid aggregation + one map-only assignment pass; after it,
     every probe is a partition-pruned scan of ``n_probe`` cell
     directories and the centroids load without touching the corpus —
-    the build-once / probe-many split a 100 TB ANN deployment runs."""
+    the build-once / probe-many split a 100 TB ANN deployment runs.
+
+    Always a full OVERWRITE: cell assignments are only meaningful under
+    the centroids they were written with, so appending a batch assigned
+    under fresh centroids while replacing the index would leave old
+    partitions probing wrong — a corpus refresh is a rebuild (or an
+    incremental design that keeps the ORIGINAL centroids fixed)."""
+    if "cell" in df.columns:
+        raise ValueError(
+            "input already has a 'cell' column; the layout would "
+            "silently overwrite it — rename it first"
+        )
     centroids = ivf_index(df, vec_col=vec_col, cluster_col=cluster_col)
     if not centroids:
         raise ValueError("cannot build an IVF layout from an empty corpus")
     assigned = df.withColumn("cell", _cell_expr(centroids, vec_col))
-    assigned.write.mode(mode).partitionBy("cell").parquet(f"{path}/data")
-    save_ivf_index(centroids, spark, f"{path}/index")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/data")
+    save_ivf_index(centroids, df.sparkSession, f"{path}/index")
 
 
 def ann_ivf_stored(
@@ -380,8 +396,16 @@ def ann_ivf_stored(
     stored index (no corpus aggregation), and the cell filter lands in
     the scan's PartitionFilters — only the ``n_probe`` probed cell
     directories are read. Results are identical to ``ann_ivf`` with the
-    same centroids: both sides assign cells through ``_cell_expr``."""
-    centroids = load_ivf_index(spark, f"{path}/index")
+    same centroids: both sides assign cells through ``_cell_expr``.
+    The index is cached per (path, index mtime), so a serving loop pays
+    the parquet read + collect once, not per probe — and a rebuilt
+    layout maps to a fresh entry."""
+    import os
+
+    mtime = os.path.getmtime(f"{path}/index")
+    centroids = load_ivf_index(
+        spark, f"{path}/index", cache_key=("ivf-stored", path, mtime)
+    )
     probe = _nearest_cells(centroids, query_vec, n_probe)
     stored = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(probe))
     return knn_exact(

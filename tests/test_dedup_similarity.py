@@ -160,7 +160,7 @@ def test_ann_ivf_stored_layout_prunes_partitions(spark, vectors, tmp_path):
 
     df, q = vectors
     path = str(tmp_path / "ivf_layout")
-    write_ivf_layout(df, spark, path)
+    write_ivf_layout(df, path)
 
     stored = ann_ivf_stored(spark, path, q, k=5, n_probe=2)
     plan = stored._jdf.queryExecution().executedPlan().toString()

@@ -301,8 +301,6 @@ def main() -> None:
     ]
 
     # ---- stored ANN layouts: build-once cost vs per-probe cost -------
-    import tempfile as _tf
-
     from market_analyze_data_stream_processing_spark.operators.similarity import (
         ann_ivf,
         ann_ivf_stored,
@@ -316,14 +314,14 @@ def main() -> None:
     emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
     dim = emb.selectExpr("size(embedding)").first()[0]
     qv = [float((i % 7) - 3) for i in range(dim)]
-    lsh_path = os.path.join(_tf.mkdtemp(), "lsh")
-    ivf_path = os.path.join(_tf.mkdtemp(), "ivf")
+    lsh_path = os.path.join(tempfile.mkdtemp(), "lsh")
+    ivf_path = os.path.join(tempfile.mkdtemp(), "ivf")
 
     t0 = time.perf_counter()
     write_lsh_layout(emb, lsh_path, n_planes=8)
     t_lsh_build = time.perf_counter() - t0
     t0 = time.perf_counter()
-    write_ivf_layout(emb, spark, ivf_path)
+    write_ivf_layout(emb, ivf_path)
     t_ivf_build = time.perf_counter() - t0
 
     def t_probe(fn):
@@ -359,12 +357,9 @@ def main() -> None:
         "(~37/256 buckets for Hamming≤2, n_probe/k cells for IVF) while "
         "the inline form re-reads the corpus — the layout is what turns "
         "ANN from a scan problem into a pruning problem.",
-        "",
     ]
-    import shutil as _sh
-
-    _sh.rmtree(os.path.dirname(lsh_path), ignore_errors=True)
-    _sh.rmtree(os.path.dirname(ivf_path), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(lsh_path), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(ivf_path), ignore_errors=True)
 
     # ---- streaming soak: rate source → watermark → tumbling agg ----
     import tempfile
