@@ -1,0 +1,66 @@
+"""Micro-bench a subset of registry queries: same protocol as bench.py
+(noop write, sf0.001 codegen warmup, min of 2 timed passes) but only for
+the names given on the command line — the per-query iteration loop.
+
+Usage: python tools/microbench.py q_simhash q_lsh_band_candidates [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from market_analyze_data_stream_processing_spark.operators.similarity import (
+    invalidate_ivf_index,
+)
+from market_analyze_data_stream_processing_spark.plans import QUERIES
+from market_analyze_data_stream_processing_spark.session import get_spark
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and os.path.isdir(args[-1]):
+        sf_dir = args.pop()
+    names = args or list(QUERIES)
+    spark = get_spark("microbench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pandas as _pd  # noqa: F401
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    def drop_persisted():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(m.keySet().toArray()):
+            m.get(rid).unpersist()
+
+    for name in names:
+        QUERIES[name].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        drop_persisted()
+        invalidate_ivf_index()
+
+    for name in names:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t = time.perf_counter() - t0
+            drop_persisted()
+            invalidate_ivf_index()
+            best = t if best is None else min(best, t)
+        print(f"{name}: {best:.2f}s", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
