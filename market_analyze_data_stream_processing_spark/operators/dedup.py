@@ -114,22 +114,29 @@ def lsh_bands(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-document LSH band keys: ``(id, band, h)`` — one row per band,
     where ``h`` hashes that band's consecutive minhash slots. Two docs
     sharing any (band, h) are near-dup candidates. This is the unit the
     banded self-join AND the persistent incremental index are built
-    from."""
+    from.
+
+    ``carry_cols``: extra per-doc columns (functionally dependent on
+    ``id_col``, e.g. a text hash) riding through the signature aggregate
+    as additional group keys — a few bytes on the per-doc shuffle row
+    instead of a separate corpus scan plus doc-id joins afterwards."""
     rows_per_band = n_hashes // bands
+    keys = [id_col, *carry_cols]
     # Signature via explode + columnar min aggregation (codegen'd, map-side
     # combined) — the array-fold form recomputes the shingle array per
     # hash slot and is ~5× slower at 64+ shingles/doc.
-    toksed = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toksed = df.select(*keys, tokens(F.col(text_col)).alias("__toks"))
     hashed = toksed.select(
-        F.col(id_col),
+        *keys,
         F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("s"),
     )
-    sig = hashed.groupBy(id_col).agg(
+    sig = hashed.groupBy(*keys).agg(
         *[F.min(F.xxhash64(F.lit(i), "s")).alias(f"h{i}") for i in range(n_hashes)]
     )
     band_cols = [
@@ -141,8 +148,8 @@ def lsh_bands(
         )
         for b in range(bands)
     ]
-    return sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, "bk.band", "bk.h"
+    return sig.select(*keys, F.explode(F.array(*band_cols)).alias("bk")).select(
+        *keys, "bk.band", "bk.h"
     )
 
 
@@ -154,6 +161,7 @@ def lsh_band_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int | None = 256,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents agreeing on any band of
     ``n_hashes/bands`` consecutive signature slots. Returns (id_a, id_b)
@@ -171,10 +179,15 @@ def lsh_band_candidates(
     members whose star edge fails exact verification may split off,
     where some clique edge might have held them — the standard
     trade-off, since an oversized bucket is overwhelmingly one
-    duplicate crowd). ``max_bucket=None`` disables the guard."""
+    duplicate crowd). ``max_bucket=None`` disables the guard.
+
+    ``carry_cols``: per-doc columns to surface on each pair as
+    ``{col}_a`` / ``{col}_b`` (riding the banding shuffle, see
+    ``lsh_bands``). On star edges the REPRESENTATIVE side (``*_a``) is
+    null — the representative's values aren't on the member's row."""
     banded = lsh_bands(
         df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
-        bands=bands, shingle_n=shingle_n,
+        bands=bands, shingle_n=shingle_n, carry_cols=carry_cols,
     )
     if max_bucket is not None:
         # Bucket size + representative in one window pass over the same
@@ -190,7 +203,15 @@ def lsh_band_candidates(
             banded.where(
                 (F.col("__n") > max_bucket) & (F.col(id_col) != F.col("__mn"))
             )
-            .select(F.col("__mn").alias("id_a"), F.col(id_col).alias("id_b"))
+            .select(
+                F.col("__mn").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                *[
+                    F.lit(None).cast(dict(banded.dtypes)[c]).alias(f"{c}_a")
+                    for c in carry_cols
+                ],
+                *[F.col(c).alias(f"{c}_b") for c in carry_cols],
+            )
         )
         banded = banded.where(F.col("__n") <= max_bucket).drop("__n", "__mn")
     a = banded.alias("a")
@@ -202,7 +223,12 @@ def lsh_band_candidates(
             & (F.col("a.h") == F.col("b.h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
+        )
     )
     if max_bucket is not None:
         pairs = pairs.union(star)
@@ -591,28 +617,36 @@ def connected_components(
     re-resolved through the label table (``comp ← label(comp)``, one
     more shuffle) — so label information doubles its reach per round and
     the iteration count is O(log diameter), not O(diameter). A 60-node
-    chain converges in 6 rounds where pure min-propagation needs 59
-    (and silently returned wrong labels when ``max_iter`` cut it off —
-    now a RuntimeError, since truncated labels are wrong answers).
-    Near-dup clusters are overwhelmingly pairs/stars (2-3 rounds);
+    chain converges in a handful of rounds where pure min-propagation
+    needs 59 (and silently returned wrong labels when ``max_iter`` cut
+    it off — now a RuntimeError, since truncated labels are wrong
+    answers). The INITIAL labels are already the closed-neighborhood
+    minimum — the same groupBy shuffle a plain ``distinct()`` init
+    would pay, but productive — so pairs, stars and cliques (the
+    overwhelming near-dup shapes) converge in ONE loop round;
     ``max_iter=25`` covers diameters up to ~2^25. The per-iteration
     ``localCheckpoint`` truncates lineage so the plan stays flat, and
-    convergence is detected from ``sum(component)`` — labels only ever
-    decrease, so an unchanged sum means a fixed point. The checkpoint is
-    LAZY (``eager=False``): the ``sum(comp)`` aggregate is the action
-    that materializes it, so each round launches exactly ONE job that
-    both persists the new labels and returns the convergence scalar —
-    not a materialize-then-probe pair.
+    each round's single aggregate compares ``sum(comp)`` against the
+    carried previous label sum — labels only ever decrease, so equal
+    sums mean an exact fixed point. The checkpoint is LAZY
+    (``eager=False``): the convergence aggregate is the action that
+    materializes it, so each round launches exactly ONE job that both
+    persists the new labels and returns the convergence scalars — not a
+    materialize-then-probe pair.
 
     Memory discipline: the edge checkpoint, the cached symmetrized set,
     and every per-round labels checkpoint are RELEASED before returning
     (the converged labels are re-checkpointed first — one extra tiny
     |V|-row job — so the returned frame survives the cleanup). Without
     this, each call pinned a 2|E|-row cache plus one |V|-row checkpoint
-    per round for the session lifetime. The cleanup unpersists every
-    persistent RDD that appeared during the call, which assumes no
-    CONCURRENT caching work in the same session — fine for a batch
-    pipeline stage; run it serially with other cache-creating jobs."""
+    per round for the session lifetime. Only the RDD ids whose
+    registration was observed immediately after THIS call's own
+    persist/checkpoint sites are released — a caller's own cached or
+    lazily-checkpointed frames are never swept, even if they first
+    materialize during CC's jobs. (Registration is synchronous with
+    persist()/localCheckpoint(), so the only remaining caveat is a
+    concurrent thread registering a cache in the same instant — run CC
+    serially with other cache-CREATING calls.)"""
     sc = edges.sparkSession.sparkContext
 
     def _persistent_ids():
@@ -625,12 +659,25 @@ def connected_components(
             if rid in ids:
                 m.get(rid).unpersist()
 
-    pre_ids = _persistent_ids()
+    created: set[int] = set()
+
+    def _track(make):
+        """Run a persist/checkpoint-creating thunk and record exactly the
+        RDD ids it registered (registration is synchronous)."""
+        before = _persistent_ids()
+        out = make()
+        created.update(_persistent_ids() - before)
+        return out
+
     # Checkpoint the EDGES (not the symmetrized union): a union of the
     # edge plan with its reversal executes pair generation twice — often
     # the most expensive part of the whole clustering. Materialize the
     # pairs once; symmetrization is then a cheap map over stored blocks.
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    e = _track(
+        lambda: edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).localCheckpoint()
+    )
     # Cache the symmetrized set PRE-PARTITIONED on the join key: persist
     # (unlike localCheckpoint) keeps the repartition in the plan, so the
     # cached partitioning satisfies every round's join requirement and
@@ -638,42 +685,48 @@ def connected_components(
     # once per round — per-round shuffle volume drops to the |V|-row
     # label side. (The iterated LABELS still use localCheckpoint: their
     # lineage grows per round and must be truncated; sym's is static.)
-    sym = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _track(
+        lambda: e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(F.col("v"))
         .persist()
     )
-    labels = (
-        sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint(eager=False)
-    # No init-materialization job: the baseline for convergence is
-    # sum(node), which is invariant across rounds, so round 0's aggregate
-    # computes it alongside its own sum(comp) — one job per round, full
-    # stop, including the first.
+    # Initial labels = closed-neighborhood minimum: the same one-shuffle
+    # groupBy a distinct() node list would cost, but it already performs
+    # the first propagation — a pair/star/clique arrives at the loop
+    # ALREADY converged and exits after one confirming round.
+    labels = sym.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.min("v"), F.first("u")).alias("comp")
+    )
     try:
-        converged = _cc_iterate(sym, labels, max_iter)
-        mid_ids = _persistent_ids()
+        converged = _cc_iterate(sym, labels, max_iter, _track)
         # Re-checkpoint the result EAGERLY so it no longer reads the
         # per-round checkpoints we are about to release.
         result = converged.localCheckpoint()
-        _release(mid_ids - pre_ids)
+        _release(created)
         return result
     except Exception:
-        _release(_persistent_ids() - pre_ids)
+        _release(created)
         raise
 
 
-def _cc_iterate(sym, labels, max_iter):
-    prev_sum = None
+def _cc_iterate(sym, labels, max_iter, track):
     for _ in range(max_iter):
+        # Carry each node's PREVIOUS label through the round as ``old``
+        # (null on neighbor rows, so min() recovers it per node): the
+        # round's one aggregate then yields both sum(comp) and sum(old),
+        # and equal sums mean an exact elementwise fixed point (labels
+        # only decrease) — no separate baseline job, convergence checked
+        # against the round's own input.
+        lab_rows = labels.select("node", "comp", F.col("comp").alias("old"))
         nbr = sym.join(labels, sym["v"] == labels["node"]).select(
-            sym["u"].alias("node"), F.col("comp")
+            sym["u"].alias("node"),
+            F.col("comp"),
+            F.lit(None).cast("long").alias("old"),
         )
         propagated = (
-            labels.select("node", "comp")
-            .union(nbr)
+            lab_rows.union(nbr)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("old").alias("old"))
         )
         # Pointer jump: resolve each label through the label table so a
         # chain's min reaches twice as far per round. Every comp value
@@ -682,25 +735,25 @@ def _cc_iterate(sym, labels, max_iter):
         lut = propagated.select(
             F.col("node").alias("__jn"), F.col("comp").alias("__jc")
         )
-        labels = (
-            propagated.join(lut, propagated["comp"] == F.col("__jn"), "left")
+        labels = track(
+            lambda: propagated.join(
+                lut, propagated["comp"] == F.col("__jn"), "left"
+            )
             .select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("__jc"), F.col("comp"))
                 ).alias("comp"),
+                "old",
             )
-        ).localCheckpoint(eager=False)
+            .localCheckpoint(eager=False)
+        )
         # This aggregate is the ONLY action this round: it computes the
         # new labels, persists them via the lazy checkpoint, and returns
-        # the convergence scalar (plus, in round 0, the baseline
-        # sum(node) = the initial label sum) in a single job.
-        cur_sum, node_sum = labels.agg(F.sum("comp"), F.sum("node")).first()
-        if prev_sum is None:
-            prev_sum = node_sum
-        if cur_sum == prev_sum:
+        # both convergence scalars in a single job.
+        cur_sum, old_sum = labels.agg(F.sum("comp"), F.sum("old")).first()
+        if cur_sum == old_sum:
             return labels.select("node", F.col("comp").alias("component"))
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
         "(component diameter > ~2^max_iter); truncated labels would be "

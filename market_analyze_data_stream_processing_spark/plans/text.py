@@ -425,14 +425,17 @@ def q_simhash(spark, sf_dir):
         id_col="doc_id", text_col="text", bits=64, shingle_n=2,
         carry_cols=["th"],
     )
+    # Per-group fingerprint uniqueness as min==max (a group holds one
+    # distinct value iff its extremes agree) — plain min/max aggregates
+    # instead of COUNT DISTINCT's expand/two-phase plan.
     per_text = fp.groupBy("th").agg(
         F.count(F.lit(1)).alias("n_fp"),
-        F.countDistinct("fingerprint").alias("n_distinct_fp"),
+        (F.min("fingerprint") == F.max("fingerprint")).alias("fp_unique"),
     )
     return per_text.agg(
         F.coalesce(F.sum("n_fp"), F.lit(0)).cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_text_groups"),
-        F.coalesce(F.every(F.col("n_distinct_fp") == 1), F.lit(True)).alias(
+        F.coalesce(F.every(F.col("fp_unique")), F.lit(True)).alias(
             "fp_per_text_unique"
         ),
     )
@@ -456,10 +459,16 @@ def q_simhash(spark, sf_dir):
     "pairs can't be hash-matched directly): LSH candidates must COVER "
     "every exact-duplicate pair — identical raw text ⇒ identical tokens "
     "⇒ identical signature ⇒ all bands collide, deterministically. The "
-    "oracle hash-matches the exact-dup pair count (computed in-plan by a "
-    "text self-join, restricted to shingle-eligible docs with ≥3 tokens) "
-    "and asserts full coverage. Candidate-set semantics beyond the "
-    "invariant stay pinned in pytest (test_dedup_similarity).",
+    "oracle hash-matches the exact-dup pair count and asserts full "
+    "coverage. Neither contract side adds a corpus shuffle: the text "
+    "hash RIDES the banding shuffle as a carried group key "
+    "(carry_cols), so every candidate pair surfaces both endpoints' "
+    "hashes for free — a pair is covered iff they agree, since LSH "
+    "candidates ⊇ equal-hash pairs is exactly the claim under test — "
+    "and the dup-pair count is sum C(n,2) over md5(text) group sizes "
+    "(one shuffle of 16-byte keys, no self-join). Candidate-set "
+    "semantics beyond the invariant stay pinned in pytest "
+    "(test_dedup_similarity).",
 )
 def q_lsh_band_candidates(spark, sf_dir):
     from ..functions.text import token_count
@@ -471,31 +480,38 @@ def q_lsh_band_candidates(spark, sf_dir):
     # star-cap (component-level coverage, O(n) edges per viral bucket);
     # its semantics are pinned in test_dedup_similarity.
     cand = lsh_band_candidates(
-        d, id_col="doc_id", text_col="text", n_hashes=8, bands=4,
-        max_bucket=None,
+        d.withColumn("th", F.md5("text")),
+        id_col="doc_id", text_col="text", n_hashes=8, bands=4,
+        max_bucket=None, carry_cols=["th"],
+    )
+    covered = cand.agg(
+        F.coalesce(
+            F.sum((F.col("th_a") == F.col("th_b")).cast("long")), F.lit(0)
+        ).alias("n_covered")
     )
     # Dup identity = md5(text), the same 16-byte key exact_dedup shuffles
-    # on — raw text as a join key would shuffle full documents at scale.
-    eligible = d.where(token_count(F.col("text")) >= 3).select(
-        "doc_id", F.md5("text").alias("th")
-    )
-    a = eligible.select(F.col("doc_id").alias("id_a"), F.col("th").alias("ha"))
-    b = eligible.select(F.col("doc_id").alias("id_b"), F.col("th").alias("hb"))
-    dups = (
-        a.join(b, (F.col("ha") == F.col("hb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-    )
-    return (
-        dups.join(cand.withColumn("__c", F.lit(1)), ["id_a", "id_b"], "left")
+    # on — raw text as a group key would shuffle full documents at
+    # scale. Docs with <3 tokens have no 3-shingles, hence no signature
+    # and no candidates; restricting the dup universe to them keeps both
+    # sides of the contract over the same population.
+    n_pairs = (
+        d.where(token_count(F.col("text")) >= 3)
+        .groupBy(F.md5("text").alias("th"))
+        .count()
         .agg(
-            F.count(F.lit(1)).alias("n_exact_dup_pairs"),
-            F.coalesce(F.sum("__c"), F.lit(0)).alias("n_covered"),
+            F.coalesce(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_exact_dup_pairs")
         )
-        .select(
-            "n_exact_dup_pairs",
-            "n_covered",
-            (F.col("n_exact_dup_pairs") == F.col("n_covered")).alias("all_covered"),
-        )
+    )
+    # Two 1-row scalar aggregates; the cross join is a broadcast of one
+    # row (the PLANLINT-allowlisted shape).
+    return n_pairs.crossJoin(F.broadcast(covered)).select(
+        "n_exact_dup_pairs",
+        "n_covered",
+        (F.col("n_exact_dup_pairs") == F.col("n_covered")).alias("all_covered"),
     )
 
 

@@ -410,49 +410,56 @@ def q_kmeans_clusters(spark, sf_dir):
             F.lit(True).alias("tighter_than_global"),
         ).where(F.lit(False))
     dim = dim_row[0]
-    assigned = kmeans(e, k=5, iterations=3)
-    v = as_double(F.col("embedding"))
-    # Post-update centroids via per-slot avg aggregates (the ivf_index
-    # shape: map-side combined, k·(dim+1) tiny rows collected — O(1) in
-    # corpus size) and the global k=1 centroid derived driver-side as
-    # the size-weighted centroid mean. Broadcasting them back as LITERAL
-    # vectors keeps the quality pass map-only: one cosine fold against
-    # the own-cluster centroid (5-branch CASE) and one against the
-    # global centroid, then a single scalar aggregate — no wide-column
-    # join, no codegen blow-up.
-    cents = (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)],
+    # The assignment (Arrow matmul over the corpus) feeds BOTH contract
+    # passes — cache it so the centroid aggregate and the quality
+    # aggregate each read the materialized rows instead of re-running
+    # the scan+assignment. Both passes are collected eagerly (each is
+    # O(k·dim) / O(1) driver-side), the cache is released before
+    # returning, and the returned plan is just the corpus count — the
+    # one scan the driver's execution still needs.
+    assigned = kmeans(e, k=5, iterations=3).persist()
+    try:
+        v = as_double(F.col("embedding"))
+        # Post-update centroids via per-slot avg aggregates (the
+        # ivf_index shape: map-side combined, k·(dim+1) tiny rows
+        # collected — O(1) in corpus size) and the global k=1 centroid
+        # derived driver-side as the size-weighted centroid mean.
+        # Broadcasting them back as LITERAL vectors keeps the quality
+        # pass map-only: one cosine fold against the own-cluster
+        # centroid (5-branch CASE) and one against the global centroid,
+        # then a single scalar aggregate — no wide-column join, no
+        # codegen blow-up.
+        cents = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)],
+            )
+            .collect()
         )
-        .collect()
-    )
-    n_vecs = sum(r["n"] for r in cents)
-    n_nonempty = sum(1 for r in cents if r["n"] > 0)
-    glob = [
-        sum(r["n"] * r[f"m{i}"] for r in cents) / n_vecs for i in range(dim)
-    ]
-    sim_own = None
-    for r in cents:
-        s = cosine_sim(v, lit_vector([r[f"m{i}"] for i in range(dim)]))
-        cond = F.col("cluster") == int(r["cluster"])
-        sim_own = s if sim_own is None else F.when(cond, s).otherwise(sim_own)
-    quality = assigned.select(
-        sim_own.alias("sim_own"),
-        cosine_sim(v, lit_vector(glob)).alias("sim_glob"),
-    ).agg(
-        (F.avg("sim_own") >= F.avg("sim_glob")).alias("tighter_than_global")
-    )
-    total = e.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    return (
-        total.crossJoin(F.broadcast(quality))
-        .select(
-            F.lit(n_vecs).cast("long").alias("n_vecs"),
-            F.lit(n_nonempty).cast("long").alias("n_clusters_nonempty"),
-            (F.lit(n_vecs) == F.col("n_total")).alias("partition_complete"),
-            "tighter_than_global",
-        )
+        n_vecs = sum(r["n"] for r in cents)
+        n_nonempty = sum(1 for r in cents if r["n"] > 0)
+        glob = [
+            sum(r["n"] * r[f"m{i}"] for r in cents) / n_vecs for i in range(dim)
+        ]
+        sim_own = None
+        for r in cents:
+            s = cosine_sim(v, lit_vector([r[f"m{i}"] for i in range(dim)]))
+            cond = F.col("cluster") == int(r["cluster"])
+            sim_own = s if sim_own is None else F.when(cond, s).otherwise(sim_own)
+        tighter = assigned.select(
+            sim_own.alias("sim_own"),
+            cosine_sim(v, lit_vector(glob)).alias("sim_glob"),
+        ).agg(
+            (F.avg("sim_own") >= F.avg("sim_glob")).alias("t")
+        ).first()["t"]
+    finally:
+        assigned.unpersist()
+    return e.agg(F.count(F.lit(1)).cast("long").alias("n_total")).select(
+        F.lit(n_vecs).cast("long").alias("n_vecs"),
+        F.lit(n_nonempty).cast("long").alias("n_clusters_nonempty"),
+        (F.lit(n_vecs) == F.col("n_total")).alias("partition_complete"),
+        F.lit(bool(tighter)).alias("tighter_than_global"),
     )
 
 

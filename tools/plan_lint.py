@@ -82,9 +82,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_near_dup_pipeline": {
         "NLJ": "contract row: 1-row coverage and soundness aggregates cross-joined",
     },
-    "q_kmeans_clusters": {
-        "NLJ": "contract row: 1-row total-count and quality-verdict aggregates cross-joined",
+    "q_lsh_band_candidates": {
+        "NLJ": "contract row: 1-row dup-pair-count and coverage aggregates cross-joined",
     },
+    # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
+    # quality contract is now collected eagerly from the cached
+    # assignment, so the returned plan is a plain count — no join.)
 }
 
 
