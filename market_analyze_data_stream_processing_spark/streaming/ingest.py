@@ -27,6 +27,33 @@ TOPICS = {
 }
 
 
+def kafka_source_options(
+    bootstrap: str,
+    topics: list[str] | None = None,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The EXACT option map ``kafka_topic_stream`` hands to the kafka
+    source — split out as a pure function so the config surface is
+    pinned by an executing test even where no broker/connector exists
+    (config drift here is the first thing a real deployment hits)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": ",".join(topics or list(TOPICS.values())),
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_sink_options(bootstrap: str, checkpoint_dir: str) -> dict[str, str]:
+    """The option map for the S1 producer sink (producer.py:62-75):
+    ``to_kafka_frame`` output (key/value/topic columns) + these options
+    is a complete ``writeStream.format("kafka")`` configuration — the
+    topic rides per-row in the frame, so one sink serves all topics."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def kafka_topic_stream(
     spark: SparkSession,
     bootstrap: str,
@@ -37,10 +64,20 @@ def kafka_topic_stream(
     Returns the raw kafka frame (key/value/topic/timestamp)."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", ",".join(topics or list(TOPICS.values())))
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(bootstrap, topics, starting_offsets))
         .load()
+    )
+
+
+def write_kafka_stream(
+    wire: DataFrame, bootstrap: str, checkpoint_dir: str
+):
+    """S1 sink: start a kafka writeStream over a ``to_kafka_frame``-shaped
+    frame (key/value/topic string columns). Returns the StreamingQuery."""
+    return (
+        wire.writeStream.format("kafka")
+        .options(**kafka_sink_options(bootstrap, checkpoint_dir))
+        .start()
     )
 
 
