@@ -391,21 +391,46 @@ def ann_ivf_stored(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int | None = 6,
+    index_version: object | None = None,
 ) -> DataFrame:
     """Probe a ``write_ivf_layout`` corpus: centroids come from the tiny
     stored index (no corpus aggregation), and the cell filter lands in
     the scan's PartitionFilters — only the ``n_probe`` probed cell
     directories are read. Results are identical to ``ann_ivf`` with the
     same centroids: both sides assign cells through ``_cell_expr``.
-    The index is cached per (path, index mtime), so a serving loop pays
-    the parquet read + collect once, not per probe — and a rebuilt
-    layout maps to a fresh entry."""
+    The index is cached per (path, version), so a serving loop pays the
+    parquet read + collect once, not per probe — and a rebuilt layout
+    maps to a fresh entry while the superseded entry for the same path
+    is evicted on insert (a rebuild-every-N-minutes loop must not leak
+    one centroid dict per rebuild for the session lifetime).
+
+    ``index_version``: the layout's version stamp. Pass one explicitly
+    wherever the writer can supply it (a build id, a snapshot/commit id,
+    a manifest timestamp) — REQUIRED on object stores, where the driver
+    has no local mtime to read. Default ``None`` falls back to
+    ``os.path.getmtime`` of the index directory, which only works for
+    driver-visible local paths and has filesystem-dependent granularity
+    (a same-second rebuild can collide; explicit versions cannot)."""
     import os
 
-    mtime = os.path.getmtime(f"{path}/index")
-    centroids = load_ivf_index(
-        spark, f"{path}/index", cache_key=("ivf-stored", path, mtime)
+    version = (
+        index_version
+        if index_version is not None
+        else os.path.getmtime(f"{path}/index")
     )
+    key = ("ivf-stored", path, version)
+    if key not in _IVF_INDEX_CACHE:
+        # Evict superseded versions of THIS path before inserting the
+        # fresh one (other paths' entries are untouched).
+        for stale in [
+            k2
+            for k2 in _IVF_INDEX_CACHE
+            if isinstance(k2, tuple)
+            and len(k2) == 3
+            and k2[:2] == ("ivf-stored", path)
+        ]:
+            _IVF_INDEX_CACHE.pop(stale, None)
+    centroids = load_ivf_index(spark, f"{path}/index", cache_key=key)
     probe = _nearest_cells(centroids, query_vec, n_probe)
     stored = spark.read.parquet(f"{path}/data").where(F.col("cell").isin(probe))
     return knn_exact(

@@ -172,6 +172,35 @@ def test_ann_ivf_stored_layout_prunes_partitions(spark, vectors, tmp_path):
     ] == [(r["vec_id"], r["sim"]) for r in inline.collect()]
 
 
+def test_ann_ivf_stored_version_cache_evicts_superseded(spark, vectors, tmp_path):
+    """A serving loop that periodically rebuilds the layout must not
+    accumulate one centroid dict per rebuild: inserting a new version's
+    cache entry evicts the superseded entry for the same path, while
+    entries for other paths are untouched. Explicit index_version also
+    bypasses the local-FS mtime fallback (the object-store case)."""
+    from market_analyze_data_stream_processing_spark.operators.similarity import (
+        _IVF_INDEX_CACHE,
+        ann_ivf_stored,
+        write_ivf_layout,
+    )
+
+    df, q = vectors
+    path = str(tmp_path / "ivf_v")
+    other = str(tmp_path / "ivf_other")
+    write_ivf_layout(df, path)
+    write_ivf_layout(df, other)
+
+    ann_ivf_stored(spark, other, q, k=2, index_version="other-v1").collect()
+    for v in ("v1", "v2", "v3"):
+        ann_ivf_stored(spark, path, q, k=2, index_version=v).collect()
+    mine = [
+        k for k in _IVF_INDEX_CACHE
+        if isinstance(k, tuple) and k[:2] == ("ivf-stored", path)
+    ]
+    assert mine == [("ivf-stored", path, "v3")]
+    assert ("ivf-stored", other, "other-v1") in _IVF_INDEX_CACHE
+
+
 def test_simhash_fingerprints_match_expression_form(docs):
     # the scale (explode+agg) form must equal the per-row array-fold form
     agg = {r["doc_id"]: r["fingerprint"]

@@ -37,6 +37,29 @@ def test_install_registers_tables_and_query_views(spark):
     assert "AAPL" in plan  # the literal reached the physical plan
 
 
+def test_every_query_view_executes_under_sql(spark):
+    """Full-registry sweep: SELECT through EVERY registered query view at
+    sf0.001. Catalyst inlines views into the consuming statement, which
+    can re-resolve/re-optimize a plan differently than executing the
+    DataFrame returned by the query function — a query that only works
+    when called directly (e.g. one depending on session state the view
+    outlives, or on analysis that breaks under inlining) fails HERE, not
+    in a user's SQL session. Schema must match the direct call; zero rows
+    is a legitimate result, an exception is not."""
+    from market_analyze_data_stream_processing_spark.plans import QUERIES
+
+    install(spark, SF_DIR)
+    broken = {}
+    for name, q in QUERIES.items():
+        try:
+            got = spark.sql(f"SELECT * FROM {name} LIMIT 1")
+            assert got.columns == q.fn(spark, SF_DIR).columns
+            got.collect()
+        except Exception as e:  # collect every breakage, then fail once
+            broken[name] = repr(e)[:200]
+    assert not broken, f"{len(broken)} query views broke under SQL: {broken}"
+
+
 def test_udtf_callable_from_sql(spark):
     install(spark, SF_DIR, queries=False)
     rows = spark.sql(
