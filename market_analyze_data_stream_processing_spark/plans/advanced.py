@@ -1520,3 +1520,124 @@ def q_cohort_retention(spark, sf_dir):
         )
         .orderBy("cohort", "day_offset")
     )
+
+
+@register(
+    "q_sketch_reaggregation",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_users,
+           count(DISTINCT CAST(ts AS DATE))::BIGINT AS n_daily_sketches,
+           TRUE AS union_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Mergeable-sketch distinct counting (Apache DataSketches HLL via "
+    "hll_sketch_agg / hll_union_agg / hll_sketch_estimate): build one "
+    "binary sketch per (event_type, day) — the STORABLE partial a 100 TB "
+    "pipeline writes per partition/day — then union-merge the partials "
+    "per event_type and estimate. This is the capability "
+    "approx_count_distinct (q_approx_distinct) lacks: its HLL++ buffers "
+    "are plan-internal, so cross-job/cross-day reaggregation is "
+    "impossible, while DataSketches partials can be stored and merged "
+    "hierarchically without touching raw rows again. Oracle contract: "
+    "exact per-type distinct users and the daily-partial count are "
+    "hash-matched; the union estimate must land within "
+    "max(5%·exact, 2) of exact (lgConfigK=12 ⇒ rsd≈1.6%, "
+    "deterministic — the sketch is a pure function of the value set).",
+)
+def q_sketch_reaggregation(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.col("n_daily_sketches").cast("long").alias("n_daily_sketches"),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(2.0), F.col("exact_users") * 0.05)
+            ).alias("union_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_kll_quantile_merge",
+    """
+    SELECT count(*)::BIGINT AS n,
+           floor(quantile_cont(o_totalprice, 0.25) * 100 + 0.5) / 100 AS p25,
+           floor(quantile_cont(o_totalprice, 0.50) * 100 + 0.5) / 100 AS p50,
+           floor(quantile_cont(o_totalprice, 0.75) * 100 + 0.5) / 100 AS p75,
+           TRUE AS kll_rank_ok
+    FROM orders
+    """,
+    doc="Mergeable-sketch quantiles (DataSketches KLL, k=800): build one "
+    "binary sketch per hash shard — the storable per-partition partial — "
+    "then fold the shard sketches into one with the scalar "
+    "kll_sketch_merge_double (an array reduce over collect_list; the "
+    "shard count is fixed and small, so the fold is O(shards) on 8 tiny "
+    "binaries, never corpus rows) and probe p25/p50/p75. Oracle "
+    "contract: exact continuous quantiles hash-matched via the "
+    "engine-portable stable rounding, plus an in-plan verdict that each "
+    "KLL estimate falls inside the exact [p-0.02, p+0.02] rank bracket "
+    "(k=800 ⇒ 99%-confidence rank error ≈0.56%, so the 2% bracket holds "
+    "with overwhelming margin despite KLL's randomized compaction). The "
+    "exact side's global percentile buffers all values in one reducer — "
+    "contract-only; the KLL side IS the 100 TB path.",
+)
+def q_kll_quantile_merge(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    shards = o.groupBy(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(8)).alias("shard")
+    ).agg(F.kll_sketch_agg_double(price, 800).alias("sk"))
+    probes = [0.25, 0.50, 0.75]
+    brackets = [0.23, 0.27, 0.48, 0.52, 0.73, 0.77]
+    exact = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile(price, F.lit(probes)).alias("ex"),
+        F.percentile(price, F.lit(brackets)).alias("br"),
+    )
+    merged = shards.agg(F.collect_list("sk").alias("sks")).select(
+        F.reduce(
+            F.slice(
+                F.col("sks"), F.lit(2),
+                F.greatest(F.size("sks") - 1, F.lit(0)),
+            ),
+            F.element_at(F.col("sks"), 1),
+            lambda acc, s: F.kll_sketch_merge_double(acc, s),
+        ).alias("msk")
+    ).select(
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(p))
+                for p in probes
+            ]
+        ).alias("kll")
+    )
+    ok = F.lit(True)
+    for i in range(len(probes)):
+        ok = ok & (
+            (F.col("kll")[i] >= F.col("br")[2 * i])
+            & (F.col("kll")[i] <= F.col("br")[2 * i + 1])
+        )
+    # 1-row exact aggregate × 1-row merged sketch: the allowlisted
+    # scalar-broadcast cross join.
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n",
+        stable_round(F.col("ex")[0], 2).alias("p25"),
+        stable_round(F.col("ex")[1], 2).alias("p50"),
+        stable_round(F.col("ex")[2], 2).alias("p75"),
+        ok.alias("kll_rank_ok"),
+    )

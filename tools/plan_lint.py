@@ -85,6 +85,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_lsh_band_candidates": {
         "NLJ": "contract row: 1-row dup-pair-count and coverage aggregates cross-joined",
     },
+    "q_kll_quantile_merge": {
+        "NLJ": "contract row: 1-row exact-quantile aggregate × 1-row merged-sketch row",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
