@@ -423,3 +423,63 @@ def test_corrupt_messages_are_dropped_not_fatal(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(out_path).collect()
     assert [r["title"] for r in rows] == ["ok"]
+
+
+def test_streaming_hll_partials_merge_to_exact_counts(spark, tmp_path):
+    """Streaming twin of q_sketch_reaggregation (the 100 TB telemetry
+    shape): the STREAM emits one storable HLL sketch binary per closed
+    (window, event_type) group; a SEPARATE batch job later union-merges
+    the stored partials into per-type distinct counts without ever
+    re-reading raw events. At these cardinalities the DataSketches HLL
+    is in exact (sparse) mode, so the merged estimates must equal the
+    exact distinct counts — including users spanning multiple windows,
+    which double-counting (the bug sketches exist to avoid) would
+    inflate."""
+    d = tmp_path / "sk_in"
+    d.mkdir()
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("ts", StringType()),
+        StructField("user_id", LongType()),
+    ])
+    rows = [
+        {"event_type": "click", "ts": "2024-01-01 10:01:00", "user_id": 1},
+        {"event_type": "click", "ts": "2024-01-01 10:02:00", "user_id": 2},
+        {"event_type": "click", "ts": "2024-01-01 10:02:30", "user_id": 2},
+        {"event_type": "view", "ts": "2024-01-01 10:03:00", "user_id": 7},
+        # next window; user 1 repeats ACROSS windows -> two partials
+        # both contain them, union must still count them once
+        {"event_type": "click", "ts": "2024-01-01 10:11:00", "user_id": 1},
+        {"event_type": "click", "ts": "2024-01-01 10:12:00", "user_id": 3},
+        # closes both windows past the watermark
+        {"event_type": "click", "ts": "2024-01-01 11:00:00", "user_id": 9},
+    ]
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema(schema).json(str(d))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes"), F.col("event_type"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    q = (
+        stream.writeStream.format("parquet").outputMode("append")
+        .option("path", str(tmp_path / "sk_out"))
+        .option("checkpointLocation", str(tmp_path / "sk_cp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    partials = spark.read.parquet(str(tmp_path / "sk_out"))
+    # the stream emitted closed windows only (the 11:00 event is still
+    # open), one sketch row per (window, type)
+    assert partials.count() == 3
+    merged = {
+        r["event_type"]: r["users"]
+        for r in partials.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users"))
+        .collect()
+    }
+    assert merged == {"click": 3, "view": 1}  # users 1,2,3 / user 7
