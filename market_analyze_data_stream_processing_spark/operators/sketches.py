@@ -1,0 +1,107 @@
+"""Mergeable sketch lifecycle (Apache DataSketches via Spark SQL
+functions): build STORABLE binary partials per group/partition/day,
+persist them anywhere parquet goes, and merge+estimate later — without
+re-reading raw rows.
+
+This is the capability the plan-internal sketches
+(``approx_count_distinct``, ``percentile_approx``) cannot offer: their
+buffers live inside one aggregation plan, so cross-job / cross-day
+reaggregation is impossible. At 100 TB the partial-sketch table IS the
+product — per-partition HLL/KLL binaries a few KB each, merged
+hierarchically (day → month → corpus) with no second pass over data.
+Batch and streaming build identically (a watermarked windowed aggregate
+emits the same binaries — see ``tests/test_streaming.py``'s partials
+twin).
+
+Registry evidence: ``q_sketch_reaggregation`` (HLL build→union→estimate
+with an exact-side oracle), ``q_kll_quantile_merge`` (sharded KLL fold
+with a rank-bracket verdict).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str | Column],
+    lg_config_k: int | None = None,
+) -> DataFrame:
+    """One storable HLL sketch binary per group: ``group_cols... , sk``.
+
+    The build is a plain hash aggregate (map-side combined; the shuffle
+    carries one ≤2^lgK-register binary per group per partition). Write
+    the result wherever parquet goes — it is the reaggregation input."""
+    agg = (
+        F.hll_sketch_agg(value_col, lg_config_k)
+        if lg_config_k is not None
+        else F.hll_sketch_agg(value_col)
+    )
+    return df.groupBy(*group_cols).agg(agg.alias("sk"))
+
+
+def hll_merge_estimate(
+    df: DataFrame,
+    group_cols: Sequence[str | Column],
+    sketch_col: str = "sk",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Union-merge stored HLL partials per group and estimate: the
+    second (and every later) level of the hierarchy. Input rows are
+    sketches, never raw values — merging a month costs O(days·groups)
+    tiny binaries."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(out_col)
+    )
+
+
+def kll_partials(
+    df: DataFrame,
+    value_col: Column | str,
+    group_cols: Sequence[str | Column],
+    k: int = 800,
+) -> DataFrame:
+    """One storable KLL doubles sketch per group: ``group_cols..., sk``.
+    k=800 ⇒ 99%-confidence rank error ≈0.56% (ε ≈ 2.296/k^0.9)."""
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(col.cast("double"), k).alias("sk")
+    )
+
+
+def kll_merged_quantiles(
+    df: DataFrame, probes: Sequence[float], sketch_col: str = "sk"
+) -> DataFrame:
+    """Fold ALL input KLL sketches into one and probe it: a 1-row frame
+    with ``q_<idx>`` columns, one per probe rank.
+
+    Spark ships only a two-argument scalar merge (no KLL union
+    aggregate), so the fold is an array ``reduce`` over
+    ``collect_list``: safe because the collected list holds
+    partial-sketch BINARIES (one per input group — bounded by the
+    partial layout, e.g. shards or days), never corpus rows. The
+    reduce seeds with element 1 and folds elements 2..n, so no sketch
+    is merged twice (self-merge doubles every weight — harmless for
+    quantiles, wrong for any future rank/count probe)."""
+    merged = df.agg(F.collect_list(sketch_col).alias("sks")).select(
+        F.reduce(
+            F.slice(
+                F.col("sks"), F.lit(2), F.greatest(F.size("sks") - 1, F.lit(0))
+            ),
+            F.element_at(F.col("sks"), 1),
+            lambda acc, s: F.kll_sketch_merge_double(acc, s),
+        ).alias("msk")
+    )
+    return merged.select(
+        *[
+            F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(p)).alias(
+                f"q_{i}"
+            )
+            for i, p in enumerate(probes)
+        ]
+    )

@@ -1546,10 +1546,14 @@ def q_cohort_retention(spark, sf_dir):
     "deterministic — the sketch is a pure function of the value set).",
 )
 def q_sketch_reaggregation(spark, sf_dir):
+    from ..operators.sketches import hll_partials
+
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily = hll_partials(
+        e, "user_id", ["event_type", F.to_date("ts").alias("day")]
+    )
+    # hll_merge_estimate inlined here because the contract also counts
+    # the partials it merged (n_daily_sketches) in the same aggregate.
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.count(F.lit(1)).alias("n_daily_sketches"),
@@ -1597,11 +1601,14 @@ def q_sketch_reaggregation(spark, sf_dir):
     "contract-only; the KLL side IS the 100 TB path.",
 )
 def q_kll_quantile_merge(spark, sf_dir):
+    from ..operators.sketches import kll_merged_quantiles, kll_partials
+
     o = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("double")
-    shards = o.groupBy(
-        F.pmod(F.xxhash64("o_orderkey"), F.lit(8)).alias("shard")
-    ).agg(F.kll_sketch_agg_double(price, 800).alias("sk"))
+    shards = kll_partials(
+        o, price, [F.pmod(F.xxhash64("o_orderkey"), F.lit(8)).alias("shard")],
+        k=800,
+    )
     probes = [0.25, 0.50, 0.75]
     brackets = [0.23, 0.27, 0.48, 0.52, 0.73, 0.77]
     exact = o.agg(
@@ -1609,28 +1616,12 @@ def q_kll_quantile_merge(spark, sf_dir):
         F.percentile(price, F.lit(probes)).alias("ex"),
         F.percentile(price, F.lit(brackets)).alias("br"),
     )
-    merged = shards.agg(F.collect_list("sk").alias("sks")).select(
-        F.reduce(
-            F.slice(
-                F.col("sks"), F.lit(2),
-                F.greatest(F.size("sks") - 1, F.lit(0)),
-            ),
-            F.element_at(F.col("sks"), 1),
-            lambda acc, s: F.kll_sketch_merge_double(acc, s),
-        ).alias("msk")
-    ).select(
-        F.array(
-            *[
-                F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(p))
-                for p in probes
-            ]
-        ).alias("kll")
-    )
+    merged = kll_merged_quantiles(shards, probes)
     ok = F.lit(True)
     for i in range(len(probes)):
         ok = ok & (
-            (F.col("kll")[i] >= F.col("br")[2 * i])
-            & (F.col("kll")[i] <= F.col("br")[2 * i + 1])
+            (F.col(f"q_{i}") >= F.col("br")[2 * i])
+            & (F.col(f"q_{i}") <= F.col("br")[2 * i + 1])
         )
     # 1-row exact aggregate × 1-row merged sketch: the allowlisted
     # scalar-broadcast cross join.

@@ -457,12 +457,17 @@ def test_streaming_hll_partials_merge_to_exact_counts(spark, tmp_path):
         {"event_type": "click", "ts": "2024-01-01 11:00:00", "user_id": 9},
     ]
     (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
-    stream = (
+    from market_analyze_data_stream_processing_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_partials,
+    )
+
+    stream = hll_partials(
         spark.readStream.schema(schema).json(str(d))
         .withColumn("ts", F.to_timestamp("ts"))
-        .withWatermark("ts", "5 minutes")
-        .groupBy(F.window("ts", "10 minutes"), F.col("event_type"))
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .withWatermark("ts", "5 minutes"),
+        "user_id",
+        [F.window("ts", "10 minutes"), F.col("event_type")],
     )
     q = (
         stream.writeStream.format("parquet").outputMode("append")
@@ -478,8 +483,8 @@ def test_streaming_hll_partials_merge_to_exact_counts(spark, tmp_path):
     assert partials.count() == 3
     merged = {
         r["event_type"]: r["users"]
-        for r in partials.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users"))
-        .collect()
+        for r in hll_merge_estimate(
+            partials, ["event_type"], out_col="users"
+        ).collect()
     }
     assert merged == {"click": 3, "view": 1}  # users 1,2,3 / user 7
