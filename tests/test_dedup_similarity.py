@@ -636,3 +636,33 @@ def test_stream_near_dup_filter_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {0, 1}
+
+
+def test_connected_components_adversarial_shapes(spark):
+    """Deterministic worst-case graph shapes the random property test
+    rarely generates: a 60-node descending chain (O(log d) pointer-jump
+    must converge well inside max_iter=25 where plain propagation needs
+    59 rounds), a ring, an off-center star (center is NOT the min), and
+    a mixed graph with self-loops and duplicate edges."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def cc(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r["node"]: r["component"] for r in connected_components(df).collect()
+        }
+
+    got = cc([(i + 1, i) for i in range(59)])  # chain 59->0
+    assert set(got.values()) == {0} and len(got) == 60
+
+    got = cc([(i, (i + 1) % 31) for i in range(31)])  # ring
+    assert set(got.values()) == {0} and len(got) == 31
+
+    got = cc([(50, i) for i in (3, 60, 70, 80)])  # star centered off-min
+    assert set(got.values()) == {3} and len(got) == 5
+
+    got = cc([(5, 9), (9, 5), (7, 7), (100, 101), (101, 102), (5, 9)])
+    assert got[5] == got[9] == 5 and got[7] == 7
+    assert got[100] == got[101] == got[102] == 100
