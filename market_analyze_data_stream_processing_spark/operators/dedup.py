@@ -232,6 +232,23 @@ def lsh_band_candidates(
     )
     if max_bucket is not None:
         pairs = pairs.union(star)
+    if carry_cols and max_bucket is not None:
+        # The same (id_a, id_b) pair can appear BOTH as a star edge
+        # (null *_a carries) and as a clique pair from another band
+        # (populated carries); a plain distinct() would keep both rows
+        # and break the unique-pair contract. Collapse per pair keeping
+        # any non-null carry — all non-null values are identical, since
+        # carries are functionally dependent on the ids.
+        return pairs.groupBy("id_a", "id_b").agg(
+            *[
+                F.first(f"{c}_a", ignorenulls=True).alias(f"{c}_a")
+                for c in carry_cols
+            ],
+            *[
+                F.first(f"{c}_b", ignorenulls=True).alias(f"{c}_b")
+                for c in carry_cols
+            ],
+        )
     return pairs.distinct()
 
 

@@ -37,12 +37,9 @@ def hll_partials(
     The build is a plain hash aggregate (map-side combined; the shuffle
     carries one ≤2^lgK-register binary per group per partition). Write
     the result wherever parquet goes — it is the reaggregation input."""
-    agg = (
-        F.hll_sketch_agg(value_col, lg_config_k)
-        if lg_config_k is not None
-        else F.hll_sketch_agg(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, lg_config_k).alias("sk")
     )
-    return df.groupBy(*group_cols).agg(agg.alias("sk"))
 
 
 def hll_merge_estimate(
@@ -87,13 +84,15 @@ def kll_merged_quantiles(
     partial layout, e.g. shards or days), never corpus rows. The
     reduce seeds with element 1 and folds elements 2..n, so no sketch
     is merged twice (self-merge doubles every weight — harmless for
-    quantiles, wrong for any future rank/count probe)."""
+    quantiles, wrong for any future rank/count probe). Empty input is
+    total: ``try_element_at`` seeds null (plain ``element_at`` throws
+    under ANSI mode on a 0-element array), yielding one all-null row."""
     merged = df.agg(F.collect_list(sketch_col).alias("sks")).select(
         F.reduce(
             F.slice(
                 F.col("sks"), F.lit(2), F.greatest(F.size("sks") - 1, F.lit(0))
             ),
-            F.element_at(F.col("sks"), 1),
+            F.try_element_at(F.col("sks"), F.lit(1)),
             lambda acc, s: F.kll_sketch_merge_double(acc, s),
         ).alias("msk")
     )

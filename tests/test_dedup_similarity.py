@@ -666,3 +666,44 @@ def test_connected_components_adversarial_shapes(spark):
     got = cc([(5, 9), (9, 5), (7, 7), (100, 101), (101, 102), (5, 9)])
     assert got[5] == got[9] == 5 and got[7] == 7
     assert got[100] == got[101] == got[102] == 100
+
+
+def test_lsh_carry_cols_with_star_cap_keeps_pairs_unique(spark):
+    """A pair can surface BOTH as a star edge (null representative-side
+    carries) and as a clique pair from another band (populated carries);
+    the unique-(id_a,id_b) contract must hold anyway, keeping the
+    populated carry. Corpus found by search: the two variants (ids 1,2)
+    share an oversized bucket with the crowd in some bands (star edge
+    1→2 since 1 is the bucket min) and a private small bucket in others
+    (clique pair (1,2))."""
+    base = "iota theta epsilon gamma zeta epsilon theta delta"
+    docs = [(1, base + " omega"), (2, base + " omega")] + [
+        (i + 10, base) for i in range(5)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = lsh_band_candidates(
+        df.withColumn("th", F.md5("text")),
+        max_bucket=3, carry_cols=["th"],
+    ).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(keys) == len(set(keys)), f"duplicate pairs: {sorted(keys)}"
+    twelve = [r for r in pairs if (r["id_a"], r["id_b"]) == (1, 2)]
+    assert len(twelve) == 1
+    # the clique row's populated carry wins over the star row's null
+    assert twelve[0]["th_a"] is not None and twelve[0]["th_b"] is not None
+    assert twelve[0]["th_a"] == twelve[0]["th_b"]  # identical texts
+
+
+def test_kll_merged_quantiles_total_on_empty_input(spark):
+    """Zero partial sketches (a layout with no data yet) must yield one
+    all-null row, not an ANSI element_at crash."""
+    from market_analyze_data_stream_processing_spark.operators.sketches import (
+        kll_partials,
+        kll_merged_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "g long, x double").where(F.lit(False))
+    sk = kll_partials(empty, "x", ["g"])
+    row = kll_merged_quantiles(sk, [0.5, 0.9]).collect()
+    assert len(row) == 1
+    assert row[0]["q_0"] is None and row[0]["q_1"] is None

@@ -22,7 +22,7 @@ from market_analyze_data_stream_processing_spark.session import get_spark
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.1"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if args and os.path.isdir(args[-1]):
         sf_dir = args.pop()
     names = args or list(QUERIES)
@@ -41,9 +41,12 @@ def main() -> None:
             m.get(rid).unpersist()
 
     for name in names:
-        QUERIES[name].fn(spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
+        try:
+            QUERIES[name].fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass  # a warmup failure is the timed pass's error to report
         drop_persisted()
         invalidate_ivf_index()
 
