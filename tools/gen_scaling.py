@@ -361,6 +361,58 @@ def main() -> None:
     shutil.rmtree(os.path.dirname(lsh_path), ignore_errors=True)
     shutil.rmtree(os.path.dirname(ivf_path), ignore_errors=True)
 
+    # ---- mergeable sketch partials: merge cost is O(partials) --------
+    from market_analyze_data_stream_processing_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_partials,
+    )
+
+    sk_rows = []
+    for sf in ("sf0.01", "sf0.1"):
+        ev = load_table(spark, f"/root/testdata/{sf}", "events")
+        sk_path = os.path.join(tempfile.mkdtemp(), "hll_partials")
+        t0 = time.perf_counter()
+        hll_partials(
+            ev, "user_id", ["event_type", F.to_date("ts").alias("day")]
+        ).write.mode("overwrite").parquet(sk_path)
+        t_build = time.perf_counter() - t0
+        stored = spark.read.parquet(sk_path)
+        n_partials = stored.count()
+        t0 = time.perf_counter()
+        hll_merge_estimate(stored, ["event_type"]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_merge = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ev.groupBy("event_type").agg(
+            F.countDistinct("user_id")
+        ).write.format("noop").mode("overwrite").save()
+        t_raw = time.perf_counter() - t0
+        sk_rows.append((sf, n_partials, t_build, t_merge, t_raw))
+        shutil.rmtree(os.path.dirname(sk_path), ignore_errors=True)
+    out += [
+        "",
+        "## Mergeable sketch partials (HLL): reaggregation without raw rows",
+        "",
+        "| sf | stored partials | build partials (scans raw, once/day) | merge+estimate from STORED partials | exact re-agg over raw rows |",
+        "|---|---|---|---|---|",
+    ]
+    for sf, n, tb, tm, tr in sk_rows:
+        out.append(
+            f"| {sf.replace('sf','')} | {n} | {tb:.2f} s | {tm:.2f} s | {tr:.2f} s |"
+        )
+    out += [
+        "",
+        "The build pass scans raw events once (the per-day incremental "
+        "job); every LATER rollup reads only the KB-sized sketch binaries "
+        "— its cost tracks the partial count, not the row count, which is "
+        "the whole point at 100 TB: day→month→corpus distinct-user "
+        "rollups without a second pass over data. The exact re-aggregation "
+        "column is what a plan-internal sketch (approx_count_distinct) "
+        "forces you to re-run instead. Estimates vs exact are "
+        "oracle-gated in `q_sketch_reaggregation`.",
+    ]
+
     # ---- streaming soak: rate source → watermark → tumbling agg ----
     import tempfile
 
