@@ -782,3 +782,102 @@ def q_validity_intervals(spark, sf_dir):
         )
         .orderBy("ticker", "seq")
     )
+
+
+@register(
+    "q_resample_weekly",
+    _BARS_CTE
+    + """
+    SELECT ticker, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           round(arg_min(price, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                || lpad(CAST(seq AS VARCHAR), 20, '0')), 6) AS open,
+           round(max(price), 6) AS high,
+           round(min(price), 6) AS low,
+           round(arg_max(price, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                                || lpad(CAST(seq AS VARCHAR), 20, '0')), 6) AS close,
+           count(*)::BIGINT AS n_bars
+    FROM bars
+    GROUP BY ticker, date_trunc('week', ts)
+    ORDER BY ticker, week
+    """,
+    doc="OHLC resampling to weekly candles (pandas resample('W').ohlc() "
+    "re-expressed): open/close via min_by/max_by over a (ts, seq) struct "
+    "ordering — the seq tiebreak keeps duplicate-timestamp ticks "
+    "deterministic — so the WHOLE resample is one map-side-combined hash "
+    "aggregate: no per-row window, no sort, one shuffle on "
+    "(ticker, week). The oracle mirrors the struct ordering with a "
+    "zero-padded epoch_us||seq string key (DuckDB's arg_min takes no "
+    "struct keys; both ts and seq are non-negative, so lexicographic == "
+    "numeric ordering).",
+)
+def q_resample_weekly(spark, sf_dir):
+    from ..operators.timeseries import resample_ohlc
+
+    candles = resample_ohlc(
+        _bars(spark, sf_dir), key="ticker", ts="ts", price="price",
+        seq="seq", unit="week",
+    )
+    return candles.select(
+        "ticker",
+        F.date_format("period", "yyyy-MM-dd").alias("week"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        F.col("n_bars").cast("long").alias("n_bars"),
+    ).orderBy("ticker", "week")
+
+
+@register(
+    "q_gapfill_daily",
+    """
+    WITH daily AS (
+        SELECT user_id % 97 AS sid, CAST(ts AS DATE) AS day,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT sid, min(day) AS a, max(day) AS b FROM daily GROUP BY sid),
+    cal AS (
+        SELECT sid, unnest(generate_series(a, b, INTERVAL 1 DAY))::DATE AS day
+        FROM spans
+    ),
+    j AS (
+        SELECT c.sid, c.day, d.close
+        FROM cal c LEFT JOIN daily d ON c.sid = d.sid AND c.day = d.day
+    )
+    SELECT sid, strftime(day, '%Y-%m-%d') AS day,
+           round(last_value(close IGNORE NULLS) OVER (
+               PARTITION BY sid ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS close_filled,
+           (j.close IS NULL) AS is_filled
+    FROM j ORDER BY sid, day
+    """,
+    doc="Calendar gap-fill + forward-fill (pandas asfreq('D').ffill() "
+    "re-expressed) over 97 sparse per-user-bucket daily series: each "
+    "key's calendar is generated with sequence+explode (row growth = "
+    "gap count only, never a global cross join), observations join back "
+    "on (key, day), and the fill is one last(ignore nulls) window pass "
+    "— one shuffle on the key, partition-parallel across keys. "
+    "is_filled marks synthesized rows; no row before a key's first "
+    "observation is ever created, so the fill is total. Last-of-day "
+    "close uses the same tie-robust (ts, seq) ordering as the resampler.",
+)
+def q_gapfill_daily(spark, sf_dir):
+    from ..operators.timeseries import gap_fill_daily
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        (F.col("user_id") % 97).alias("sid"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias("close")
+    )
+    filled = gap_fill_daily(daily, key="sid", day="day", value_cols=["close"])
+    return filled.select(
+        "sid",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("close", 6).alias("close_filled"),
+        "is_filled",
+    ).orderBy("sid", "day")

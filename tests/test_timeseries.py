@@ -1,0 +1,72 @@
+"""Time-series regularization operators: OHLC resample tiebreaks and
+calendar gap-fill semantics on handcrafted frames (the oracle queries
+q_resample_weekly / q_gapfill_daily cover the corpus-level differential;
+these pin the exact row-level behavior)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from market_analyze_data_stream_processing_spark.operators.timeseries import (
+    gap_fill_daily,
+    resample_ohlc,
+)
+
+
+def test_resample_ohlc_open_close_tiebreak_on_seq(spark):
+    """Two ticks share the opening timestamp and two share the closing
+    one: seq must break both ties (lowest seq opens, highest closes)."""
+    rows = [
+        ("A", "2024-01-01 09:00:00", 10.0, 2),
+        ("A", "2024-01-01 09:00:00", 11.0, 1),   # same ts, lower seq => open
+        ("A", "2024-01-02 12:00:00", 1.0, 9),    # low of the week
+        ("A", "2024-01-03 17:00:00", 99.0, 7),   # high of the week
+        ("A", "2024-01-03 17:00:00", 42.0, 8),   # same ts, higher seq => close
+        ("B", "2024-01-01 10:00:00", 5.0, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, ts string, price double, seq long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["ticker"]: r
+        for r in resample_ohlc(df, unit="week").collect()
+    }
+    a = out["A"]
+    assert (a["open"], a["high"], a["low"], a["close"], a["n_bars"]) == (
+        11.0, 99.0, 1.0, 42.0, 5
+    )
+    assert a["period"] == datetime.date(2024, 1, 1)  # ISO Monday
+    assert out["B"]["open"] == out["B"]["close"] == 5.0
+
+
+def test_gap_fill_daily_fills_interior_gaps_only(spark):
+    """Gaps between a key's first and last day are synthesized with the
+    forward-filled value and is_filled=true; nothing is created outside
+    the key's own span, and keys never bleed into each other."""
+    rows = [
+        ("A", "2024-01-01", 1.0),
+        ("A", "2024-01-04", 4.0),   # 2 interior gap days
+        ("B", "2024-02-10", 9.0),   # single-day span: no gaps
+    ]
+    df = spark.createDataFrame(rows, "sid string, day string, close double")
+    df = df.withColumn("day", F.to_date("day"))
+    out = sorted(
+        (r["sid"], str(r["day"]), r["close"], r["is_filled"])
+        for r in gap_fill_daily(df, key="sid").collect()
+    )
+    assert out == [
+        ("A", "2024-01-01", 1.0, False),
+        ("A", "2024-01-02", 1.0, True),
+        ("A", "2024-01-03", 1.0, True),
+        ("A", "2024-01-04", 4.0, False),
+        ("B", "2024-02-10", 9.0, False),
+    ]
+
+
+def test_gap_fill_daily_total_on_empty(spark):
+    empty = spark.createDataFrame(
+        [], "sid string, day date, close double"
+    ).where(F.lit(False))
+    assert gap_fill_daily(empty, key="sid").count() == 0
