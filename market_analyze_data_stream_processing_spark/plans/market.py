@@ -881,3 +881,125 @@ def q_gapfill_daily(spark, sf_dir):
         F.round("close", 6).alias("close_filled"),
         "is_filled",
     ).orderBy("sid", "day")
+
+
+@register(
+    "q_bollinger",
+    _BARS_CTE
+    + """
+    , runs AS (
+        SELECT ticker, seq,
+               sum(CAST(price AS DECIMAL(18,4))) OVER run AS sx,
+               sum(CAST(price * price AS DECIMAL(28,8))) OVER run AS sx2,
+               count(price) OVER run AS c
+        FROM bars
+        WINDOW run AS (PARTITION BY ticker ORDER BY ts, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), frames AS (
+        SELECT ticker, seq,
+               sx  - coalesce(lag(sx,  20) OVER base, 0) AS sx_n,
+               sx2 - coalesce(lag(sx2, 20) OVER base, 0) AS sx2_n,
+               c   - coalesce(lag(c,   20) OVER base, 0) AS c_n
+        FROM runs
+        WINDOW base AS (PARTITION BY ticker ORDER BY seq)
+    ), bands AS (
+        SELECT ticker, seq, c_n,
+               CAST(sx_n AS DOUBLE) / c_n AS mean,
+               sqrt(greatest(
+                   (CAST(sx2_n AS DOUBLE)
+                    - CAST(sx_n AS DOUBLE) * CAST(sx_n AS DOUBLE) / c_n)
+                   / (c_n - 1), 0.0)) AS std
+        FROM frames
+    )
+    SELECT ticker, seq,
+           floor(mean * 10000 + 0.5) / 10000 AS bb_mid,
+           CASE WHEN c_n >= 2
+                THEN floor((mean + 2.0 * std) * 10000 + 0.5) / 10000 END AS bb_upper,
+           CASE WHEN c_n >= 2
+                THEN floor((mean - 2.0 * std) * 10000 + 0.5) / 10000 END AS bb_lower
+    FROM bands
+    """,
+    doc="Bollinger bands (20-period mean ± 2·sample-stddev): the rolling "
+    "second-moment indicator, lowered like q_ma_rolling — exact DECIMAL "
+    "running-sum differences for Σx and Σx² (O(1)/row, no frame "
+    "re-aggregation, no float accumulation order), float math only AFTER "
+    "the exact differences in an expression order the oracle mirrors "
+    "term by term. Bands null until the window holds ≥2 rows; near-zero "
+    "variance float residue clamped at 0. One shuffle+sort serves all "
+    "three output columns. Oracle note: bars ts values are unique, so "
+    "the frame-diff CTE may ORDER BY seq alone where Spark orders by "
+    "(ts, seq) — DuckDB named windows can't nest over windowed CTE "
+    "columns with the original ts carried, and seq is a deterministic "
+    "total order here.",
+)
+def q_bollinger(spark, sf_dir):
+    from ..functions.scalars import stable_round
+    from ..operators.indicators import with_bollinger
+
+    out = with_bollinger(_bars(spark, sf_dir), n=20, k=2.0)
+    return out.select(
+        "ticker",
+        "seq",
+        stable_round(F.col("bb_mid"), 4).alias("bb_mid"),
+        stable_round(F.col("bb_upper"), 4).alias("bb_upper"),
+        stable_round(F.col("bb_lower"), 4).alias("bb_lower"),
+    )
+
+
+@register(
+    "q_rsi",
+    _BARS_CTE
+    + """
+    , d AS (
+        SELECT ticker, ts, seq,
+               price - lag(price) OVER (PARTITION BY ticker ORDER BY ts, seq)
+                   AS delta
+        FROM bars
+    ), g AS (
+        SELECT ticker, ts, seq,
+               CASE WHEN delta > 0 THEN delta  ELSE 0.0 END AS gain,
+               CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss,
+               CASE WHEN delta IS NOT NULL THEN 1 ELSE 0 END AS has
+        FROM d
+    ), runs AS (
+        SELECT ticker, seq,
+               sum(CAST(gain AS DECIMAL(18,4))) OVER run AS sg,
+               sum(CAST(loss AS DECIMAL(18,4))) OVER run AS sl,
+               sum(has) OVER run AS sh
+        FROM g
+        WINDOW run AS (PARTITION BY ticker ORDER BY ts, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), frames AS (
+        SELECT ticker, seq,
+               CAST(sg - coalesce(lag(sg, 14) OVER base, 0) AS DOUBLE) AS g_n,
+               CAST(sl - coalesce(lag(sl, 14) OVER base, 0) AS DOUBLE) AS l_n,
+               sh - coalesce(lag(sh, 14) OVER base, 0) AS h_n
+        FROM runs
+        WINDOW base AS (PARTITION BY ticker ORDER BY seq)
+    )
+    SELECT ticker, seq,
+           CASE WHEN h_n < 14 THEN NULL
+                WHEN l_n = 0.0 AND g_n = 0.0 THEN 50.0
+                WHEN l_n = 0.0 THEN 100.0
+                ELSE floor((100.0 - 100.0 / (1.0 + g_n / l_n)) * 10000 + 0.5)
+                     / 10000 END AS rsi
+    FROM frames
+    """,
+    doc="Cutler's RSI (14-period, simple moving averages of gains and "
+    "losses — the deterministic window-expressible variant; Wilder's "
+    "recursive smoothing is the EWMA kernel's job, see q_ewma): "
+    "100 - 100/(1 + SMA(gain)/SMA(loss)) with the same decimal "
+    "running-sum-difference lowering as q_ma_rolling/q_bollinger. Null "
+    "until 14 deltas exist; all-loss ⇒ 0, all-gain ⇒ 100, flat ⇒ 50 "
+    "(zero-denominator conventions made explicit on both sides).",
+)
+def q_rsi(spark, sf_dir):
+    from ..functions.scalars import stable_round
+    from ..operators.indicators import with_rsi
+
+    out = with_rsi(_bars(spark, sf_dir), n=14)
+    return out.select(
+        "ticker",
+        "seq",
+        stable_round(F.col("rsi"), 4).alias("rsi"),
+    )
