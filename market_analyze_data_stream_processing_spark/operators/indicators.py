@@ -103,3 +103,121 @@ def with_rsi(
         )
     )
     return with_d.withColumn("rsi", rsi).drop("__g", "__l", "__has")
+
+
+def ewm_weights(alpha: float, k: int) -> list[float]:
+    """Adjusted-EWM kernel weights (1-alpha)^j, truncated to k terms."""
+    w = [1.0]
+    for _ in range(k - 1):
+        w.append(w[-1] * (1.0 - alpha))
+    return w
+
+
+def left_prefix(weights: list[float]) -> list[float]:
+    """Left-associated prefix sums — the accumulation order an oracle's
+    CASE-chain denominator evaluates in, so both sides are bit-equal."""
+    out, acc = [], 0.0
+    for w in weights:
+        acc = acc + w
+        out.append(acc)
+    return out
+
+
+#: Truncation lengths: (1-alpha)^K ≤ ~2e-4 tail weight for each span —
+#: the truncated adjusted EWM is a self-consistent operator computed
+#: identically by kernel and oracle (truncation is a design constant,
+#: not an approximation gap), and the bounded lookback is what keeps it
+#: a windowed operator at scale. K_slow is additionally capped by
+#: DuckDB's expression-tree depth limit (128): the oracle's
+#: left-associated lag chain parses one level deep per term.
+MACD_K_FAST, MACD_K_SLOW, MACD_K_SIG = 70, 110, 52
+
+
+def macd_blocked(
+    bars: DataFrame,
+    block_size: int = 4096,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "price",
+    seq: str = "seq",
+) -> DataFrame:
+    """MACD(12, 26, 9) — adjusted, truncated-kernel form — as ONE
+    halo-block Arrow pass (the q_ewma lowering, composed):
+
+    macd = EMA12(price) - EMA26(price); signal = EMA9 OVER THE MACD
+    SERIES; histogram = macd - signal. The signal convolution consumes
+    in-block macd values, so the halo is (K_slow-1) + (K_sig-1) rows:
+    the last K_sig-1 halo rows' macd values are themselves complete
+    (their price windows live inside the halo), deeper halo rows carry
+    garbage macd that no emitted row reads. Denominators are
+    position-dependent (adjusted EWM) via min(local_index, K-1) — for
+    non-first blocks every consumed index is past all caps, for block 0
+    local==global. All j-loops accumulate in the oracle's
+    left-associated order, so the differential is hash-exact.
+
+    The recursive (adjust=False) EMA is the streaming kernel's job
+    (streaming/stateful.ewma_per_key_stateful); this is the bounded-
+    lookback batch form that parallelizes across blocks of a hot key."""
+    import numpy as np
+    import pandas as pd
+
+    w_fast = ewm_weights(2.0 / 13.0, MACD_K_FAST)
+    w_slow = ewm_weights(2.0 / 27.0, MACD_K_SLOW)
+    w_sig = ewm_weights(2.0 / 10.0, MACD_K_SIG)
+    p_fast = np.array(left_prefix(w_fast))
+    p_slow = np.array(left_prefix(w_slow))
+    p_sig = np.array(left_prefix(w_sig))
+
+    HALO = (MACD_K_SLOW - 1) + (MACD_K_SIG - 1)
+    if block_size < HALO + 1:
+        raise ValueError("block_size must exceed the composed halo")
+    BLOCK = block_size
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn", kind="mergesort")
+        x = pdf["price"].to_numpy(dtype=np.float64)
+        n = len(x)
+        idx = np.arange(n)
+
+        def conv(series, weights, prefix, cap):
+            num = np.zeros(n, dtype=np.float64)
+            for j, wt in enumerate(weights):
+                if j >= n:
+                    break
+                num[j:] += series[: n - j] * wt
+            return num / prefix[np.minimum(idx, cap)]
+
+        ema_f = conv(x, w_fast, p_fast, MACD_K_FAST - 1)
+        ema_s = conv(x, w_slow, p_slow, MACD_K_SLOW - 1)
+        macd = ema_f - ema_s
+        signal = conv(macd, w_sig, p_sig, MACD_K_SIG - 1)
+        hist = macd - signal
+        own = (pdf["rn"].to_numpy() // BLOCK) == pdf["blk"].to_numpy()
+        return pd.DataFrame(
+            {
+                "ticker": pdf[key].to_numpy()[own],
+                "seq": pdf[seq].to_numpy()[own],
+                "macd": macd[own],
+                "signal": signal[own],
+                "histogram": hist[own],
+            }
+        )
+
+    w = Window.partitionBy(key).orderBy(ts, seq)
+    rows = bars.select(key, ts, seq, price).withColumn(
+        "rn", F.row_number().over(w) - 1
+    )
+    blk = (F.col("rn") / BLOCK).cast("long")
+    pos = F.col("rn") % BLOCK
+    exploded = rows.withColumn(
+        "blk",
+        F.explode(
+            F.when(
+                pos >= BLOCK - HALO, F.array(blk, blk + F.lit(1))
+            ).otherwise(F.array(blk))
+        ),
+    )
+    return exploded.groupBy(key, "blk").applyInPandas(
+        kernel,
+        f"{key} string, {seq} bigint, macd double, signal double, histogram double",
+    )

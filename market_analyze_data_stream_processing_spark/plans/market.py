@@ -1003,3 +1003,84 @@ def q_rsi(spark, sf_dir):
         "seq",
         stable_round(F.col("rsi"), 4).alias("rsi"),
     )
+
+
+def _ewm_chain(col: str, weights: list[float]) -> tuple[str, str]:
+    """Left-associated lag-sum numerator/denominator chains for an
+    adjusted truncated EWM over ``col`` — the oracle mirror of the
+    halo-block kernel's j-loop accumulation order (see q_ewma). Weight
+    literals are cast ::DOUBLE explicitly: DuckDB otherwise types them
+    DECIMAL, making the denominator chain decimal arithmetic (overflow
+    past ~100 16-decimal terms, and not the kernel's IEEE ops)."""
+    num = " + ".join(
+        f"coalesce(lag({col}, {j}) OVER w * {w!r}::DOUBLE, 0.0)"
+        for j, w in enumerate(weights)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag({col}, {j}) OVER w IS NOT NULL THEN {w!r}::DOUBLE ELSE 0.0 END)"
+        for j, w in enumerate(weights)
+    )
+    return num, den
+
+
+def _macd_oracle_sql() -> str:
+    from ..operators.indicators import (
+        MACD_K_FAST,
+        MACD_K_SIG,
+        MACD_K_SLOW,
+        ewm_weights,
+    )
+
+    numf, denf = _ewm_chain("price", ewm_weights(2.0 / 13.0, MACD_K_FAST))
+    nums, dens = _ewm_chain("price", ewm_weights(2.0 / 27.0, MACD_K_SLOW))
+    numg, deng = _ewm_chain("macd", ewm_weights(2.0 / 10.0, MACD_K_SIG))
+    return (
+        _BARS_CTE
+        + f"""
+    , m AS (
+        SELECT ticker, ts, seq,
+               ({numf}) / ({denf}) - ({nums}) / ({dens}) AS macd
+        FROM bars
+        WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq)
+    ), s AS (
+        SELECT ticker, ts, seq, macd,
+               ({numg}) / ({deng}) AS signal
+        FROM m
+        WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq)
+    )
+    SELECT ticker, seq,
+           floor(macd * 1000000 + 0.5) / 1000000 AS macd,
+           floor(signal * 1000000 + 0.5) / 1000000 AS signal,
+           floor((macd - signal) * 1000000 + 0.5) / 1000000 AS histogram
+    FROM s
+    """
+    )
+
+
+@register(
+    "q_macd",
+    _macd_oracle_sql(),
+    doc="MACD(12/26/9) — adjusted truncated-kernel form, computed in ONE "
+    "halo-block Arrow pass (operators/indicators.macd_blocked): "
+    "macd = EMA12 - EMA26 over price, signal = EMA9 over the MACD "
+    "SERIES, histogram = macd - signal. The composed convolution needs "
+    "halo (K_slow-1)+(K_sig-1) = 190 rows; a hot key still "
+    "parallelizes across 4096-row blocks with O(block) task state. "
+    "The oracle chains 70+140 price lags for macd and 52 macd lags for "
+    "signal in the kernel's exact left-associated accumulation order, "
+    "so all three outputs hash-match bit-for-bit at 6-decimal stable "
+    "rounding. The recursive adjust=False EMA remains the streaming "
+    "kernel's job (streaming/stateful).",
+)
+def q_macd(spark, sf_dir):
+    from ..functions.scalars import stable_round
+    from ..operators.indicators import macd_blocked
+
+    out = macd_blocked(_bars(spark, sf_dir))
+    return out.select(
+        "ticker",
+        "seq",
+        stable_round(F.col("macd"), 6).alias("macd"),
+        stable_round(F.col("signal"), 6).alias("signal"),
+        stable_round(F.col("histogram"), 6).alias("histogram"),
+    )

@@ -61,3 +61,75 @@ def test_rsi_mixed_window_value(spark):
     # deltas: +3, -1, +2 over n=3 -> gains 5, losses 1 -> rsi = 100-100/(1+5)
     out = {r["seq"]: r["rsi"] for r in with_rsi(_bars(spark, [1.0, 4.0, 3.0, 5.0]), n=3).collect()}
     assert abs(out[3] - (100.0 - 100.0 / 6.0)) < 1e-9
+
+
+def test_macd_block_boundaries_are_invisible(spark):
+    """Halo-block invariance: a tiny block size (many boundary
+    crossings) must produce bit-identical macd/signal/histogram to the
+    single-block run — the property that makes a hot key splittable."""
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        macd_blocked,
+    )
+
+    import datetime as _dt
+
+    prices = [100.0 + ((i * 37) % 19) * 0.25 - ((i * 11) % 7) for i in range(500)]
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        ("A", str(t0 + _dt.timedelta(minutes=i)), float(p), i)
+        for i, p in enumerate(prices)
+    ]
+    bars = spark.createDataFrame(
+        rows, "ticker string, ts string, price double, seq long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    def run(block):
+        return {
+            r["seq"]: (r["macd"], r["signal"], r["histogram"])
+            for r in macd_blocked(bars, block_size=block).collect()
+        }
+
+    one_block = run(4096)
+    many_blocks = run(192)  # halo=160 -> every block crosses boundaries
+    assert len(one_block) == 500
+    assert many_blocks == one_block
+
+
+def test_macd_matches_truncated_reference(spark):
+    """Direct numpy reference of the truncated adjusted EWM composition
+    on a short series (single block, no halo in play)."""
+    import numpy as np
+
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        MACD_K_FAST,
+        MACD_K_SIG,
+        MACD_K_SLOW,
+        ewm_weights,
+        left_prefix,
+        macd_blocked,
+    )
+
+    prices = [10.0, 11.0, 9.5, 12.0, 13.0, 12.5, 14.0, 13.5]
+    got = {
+        r["seq"]: r for r in macd_blocked(_bars(spark, prices)).collect()
+    }
+
+    def ewm(series, alpha, k):
+        w = ewm_weights(alpha, k)
+        pre = left_prefix(w)
+        out = []
+        for i in range(len(series)):
+            num = 0.0
+            for j in range(min(i + 1, k)):
+                num = num + series[i - j] * w[j]
+            out.append(num / pre[min(i, k - 1)])
+        return out
+
+    ema_f = ewm(prices, 2.0 / 13.0, MACD_K_FAST)
+    ema_s = ewm(prices, 2.0 / 27.0, MACD_K_SLOW)
+    macd = [a - b for a, b in zip(ema_f, ema_s)]
+    signal = ewm(macd, 2.0 / 10.0, MACD_K_SIG)
+    for i in range(len(prices)):
+        assert abs(got[i]["macd"] - macd[i]) < 1e-12
+        assert abs(got[i]["signal"] - signal[i]) < 1e-12
+        assert abs(got[i]["histogram"] - (macd[i] - signal[i])) < 1e-12
