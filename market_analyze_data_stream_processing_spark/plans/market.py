@@ -1084,3 +1084,51 @@ def q_macd(spark, sf_dir):
         stable_round(F.col("signal"), 6).alias("signal"),
         stable_round(F.col("histogram"), 6).alias("histogram"),
     )
+
+
+@register(
+    "q_drawdown",
+    _BARS_CTE
+    + """
+    , dd AS (
+        SELECT ticker, ts, seq, price,
+               price / max(price) OVER (PARTITION BY ticker ORDER BY ts, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0
+                   AS drawdown
+        FROM bars
+    )
+    SELECT ticker,
+           round(min(drawdown), 6) AS max_drawdown,
+           round(arg_max(drawdown,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(seq AS VARCHAR), 20, '0')), 6) AS final_drawdown,
+           count(*)::BIGINT AS n_bars
+    FROM dd GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Maximum drawdown per ticker: drawdown = price / running-peak - 1 "
+    "(one running-max window pass — an actual data value, no float "
+    "accumulation), max_drawdown = min over rows, final_drawdown = the "
+    "last row's (tie-robust (ts, seq) ordering). Every aggregate is "
+    "order-insensitive over exact per-row values, so the differential "
+    "is hash-exact with plain rounding. One shuffle on the key serves "
+    "both the window and the final aggregate.",
+)
+def q_drawdown(spark, sf_dir):
+    b = _bars(spark, sf_dir)
+    w = (
+        Window.partitionBy("ticker")
+        .orderBy("ts", "seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = b.withColumn("drawdown", F.col("price") / F.max("price").over(w) - 1.0)
+    return (
+        dd.groupBy("ticker")
+        .agg(
+            F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+            F.round(
+                F.max_by("drawdown", F.struct(F.col("ts"), F.col("seq"))), 6
+            ).alias("final_drawdown"),
+            F.count(F.lit(1)).cast("long").alias("n_bars"),
+        )
+        .orderBy("ticker")
+    )
