@@ -133,6 +133,52 @@ def left_prefix(weights: list[float]) -> list[float]:
 MACD_K_FAST, MACD_K_SLOW, MACD_K_SIG = 70, 110, 52
 
 
+def halo_block_apply(
+    bars: DataFrame,
+    kernel_rows,
+    halo: int,
+    block_size: int,
+    out_schema: str,
+    key: str = "ticker",
+    ts: str = "ts",
+    seq: str = "seq",
+    cols: tuple[str, ...] = ("price",),
+) -> DataFrame:
+    """Shared halo-block scaffolding (the q_ewma lowering): cut each
+    key's (ts, seq)-ordered row sequence into ``block_size``-row blocks,
+    replicate the ``halo`` rows preceding a block into it, and run
+    ``kernel_rows(pdf_sorted, own_mask)`` per (key, block) — ``pdf`` is
+    rn-sorted with columns (key, ts, seq, *cols, rn, blk) and
+    ``own_mask`` selects the rows the block must EMIT (halo copies are
+    compute-only). A hot key parallelizes across blocks with O(block)
+    task state; a key's final partial block spills a few halo copies
+    into a phantom block that emits nothing — harmless."""
+    if block_size < halo + 1:
+        raise ValueError("block_size must exceed the halo")
+    BLOCK = block_size
+
+    def kernel(pdf):
+        pdf = pdf.sort_values("rn", kind="mergesort")
+        own = (pdf["rn"].to_numpy() // BLOCK) == pdf["blk"].to_numpy()
+        return kernel_rows(pdf, own)
+
+    w = Window.partitionBy(key).orderBy(ts, seq)
+    rows = bars.select(key, ts, seq, *cols).withColumn(
+        "rn", F.row_number().over(w) - 1
+    )
+    blk = (F.col("rn") / BLOCK).cast("long")
+    pos = F.col("rn") % BLOCK
+    exploded = rows.withColumn(
+        "blk",
+        F.explode(
+            F.when(
+                pos >= BLOCK - halo, F.array(blk, blk + F.lit(1))
+            ).otherwise(F.array(blk))
+        ),
+    )
+    return exploded.groupBy(key, "blk").applyInPandas(kernel, out_schema)
+
+
 def macd_blocked(
     bars: DataFrame,
     block_size: int = 4096,
@@ -142,7 +188,7 @@ def macd_blocked(
     seq: str = "seq",
 ) -> DataFrame:
     """MACD(12, 26, 9) — adjusted, truncated-kernel form — as ONE
-    halo-block Arrow pass (the q_ewma lowering, composed):
+    halo-block Arrow pass (``halo_block_apply``, composed):
 
     macd = EMA12(price) - EMA26(price); signal = EMA9 OVER THE MACD
     SERIES; histogram = macd - signal. The signal convolution consumes
@@ -168,14 +214,8 @@ def macd_blocked(
     p_slow = np.array(left_prefix(w_slow))
     p_sig = np.array(left_prefix(w_sig))
 
-    HALO = (MACD_K_SLOW - 1) + (MACD_K_SIG - 1)
-    if block_size < HALO + 1:
-        raise ValueError("block_size must exceed the composed halo")
-    BLOCK = block_size
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("rn", kind="mergesort")
-        x = pdf["price"].to_numpy(dtype=np.float64)
+    def kernel_rows(pdf: pd.DataFrame, own) -> pd.DataFrame:
+        x = pdf[price].to_numpy(dtype=np.float64)
         n = len(x)
         idx = np.arange(n)
 
@@ -192,32 +232,24 @@ def macd_blocked(
         macd = ema_f - ema_s
         signal = conv(macd, w_sig, p_sig, MACD_K_SIG - 1)
         hist = macd - signal
-        own = (pdf["rn"].to_numpy() // BLOCK) == pdf["blk"].to_numpy()
         return pd.DataFrame(
             {
-                "ticker": pdf[key].to_numpy()[own],
-                "seq": pdf[seq].to_numpy()[own],
+                key: pdf[key].to_numpy()[own],
+                seq: pdf[seq].to_numpy()[own],
                 "macd": macd[own],
                 "signal": signal[own],
                 "histogram": hist[own],
             }
         )
 
-    w = Window.partitionBy(key).orderBy(ts, seq)
-    rows = bars.select(key, ts, seq, price).withColumn(
-        "rn", F.row_number().over(w) - 1
-    )
-    blk = (F.col("rn") / BLOCK).cast("long")
-    pos = F.col("rn") % BLOCK
-    exploded = rows.withColumn(
-        "blk",
-        F.explode(
-            F.when(
-                pos >= BLOCK - HALO, F.array(blk, blk + F.lit(1))
-            ).otherwise(F.array(blk))
+    return halo_block_apply(
+        bars,
+        kernel_rows,
+        halo=(MACD_K_SLOW - 1) + (MACD_K_SIG - 1),
+        block_size=block_size,
+        out_schema=(
+            f"{key} string, {seq} bigint, "
+            "macd double, signal double, histogram double"
         ),
-    )
-    return exploded.groupBy(key, "blk").applyInPandas(
-        kernel,
-        f"{key} string, {seq} bigint, macd double, signal double, histogram double",
+        key=key, ts=ts, seq=seq, cols=(price,),
     )

@@ -69,15 +69,18 @@ def gap_fill_daily(
     cal = spans.select(
         key, F.explode(F.sequence("__a", "__b")).alias(day)
     )
-    joined = cal.join(daily, [key, day], "left")
+    # Presence marker, not a value-null test: an OBSERVED row whose
+    # value happens to be null is still an observed day (is_filled
+    # false, its null value forward-fills like pandas ffill would).
+    joined = cal.join(
+        daily.withColumn("__obs", F.lit(True)), [key, day], "left"
+    )
     w = (
         Window.partitionBy(key)
         .orderBy(day)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = joined.withColumn(
-        "is_filled", F.col(value_cols[0]).isNull()
-    )
+    out = joined.withColumn("is_filled", F.col("__obs").isNull()).drop("__obs")
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out

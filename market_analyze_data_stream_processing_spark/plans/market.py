@@ -678,26 +678,20 @@ def ewma_blocked(b, block_size: int = 4096):
     """Halo-block EWMA execution over a (ticker, ts, seq, price) frame;
     see q_ewma's registration doc. ``block_size`` must exceed the
     100-term kernel so a block's halo lives entirely in its predecessor;
-    tests shrink it to force many boundary crossings."""
+    tests shrink it to force many boundary crossings. Block scaffolding
+    is the shared ``operators/indicators.halo_block_apply``; the prefix
+    denominators use the same left-associated accumulation as the
+    oracle's CASE chain (``left_prefix``)."""
     import numpy as np
     import pandas as pd
 
-    weights = list(_EWMA_WEIGHTS)
-    if block_size < len(weights):
-        raise ValueError("block_size must be >= the kernel length")
-    # prefix[k-1] = left-associated sum of the first k weights == the
-    # oracle's CASE-chain denominator for a row with k non-null lags
-    prefix = []
-    acc = 0.0
-    for wt in weights:
-        acc = acc + wt
-        prefix.append(acc)
+    from ..operators.indicators import halo_block_apply, left_prefix
 
-    BLOCK = block_size
+    weights = list(_EWMA_WEIGHTS)
+    prefix = left_prefix(weights)
     HALO = len(weights) - 1  # preceding rows replicated into the next block
 
-    def ewma_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("rn", kind="mergesort")
+    def kernel_rows(pdf: pd.DataFrame, own) -> pd.DataFrame:
         price = pdf["price"].to_numpy(dtype=np.float64)
         n = len(price)
         num = np.zeros(n, dtype=np.float64)
@@ -707,12 +701,11 @@ def ewma_blocked(b, block_size: int = 4096):
             num[j:] += price[: n - j] * wt
         # local index == global rn for block 0; for later blocks every
         # EMITTED row has local index >= HALO so min(·, HALO) caps out —
-        # halo rows get wrong denominators but are dropped below. The cap
-        # derives from the kernel length (HALO = len(weights)-1) so a
+        # halo rows get wrong denominators but are dropped by `own`. The
+        # cap derives from the kernel length (HALO = len(weights)-1) so a
         # kernel change cannot desync the denominator lookup.
         den = np.array(prefix, dtype=np.float64)[np.minimum(np.arange(n), HALO)]
         ewma = np.floor(num / den * 1e6 + 0.5) / 1e6  # stable_round(·, 6)
-        own = (pdf["rn"].to_numpy() // BLOCK) == pdf["blk"].to_numpy()
         return pd.DataFrame(
             {
                 "ticker": pdf["ticker"].to_numpy()[own],
@@ -721,29 +714,10 @@ def ewma_blocked(b, block_size: int = 4096):
             }
         )
 
-    w = Window.partitionBy("ticker").orderBy("ts", "seq")
-    rows = (
-        b.select("ticker", "ts", "seq", "price")
-        .withColumn("rn", F.row_number().over(w) - 1)
-    )
-    blk = (F.col("rn") / BLOCK).cast("long")
-    pos = F.col("rn") % BLOCK
-    # Rows in the last HALO positions of a block are ALSO sent to the
-    # next block (a key's final partial block spills a few halo copies
-    # into a phantom block that emits nothing — harmless).
-    exploded = rows.withColumn(
-        "blk",
-        F.explode(
-            F.when(pos >= BLOCK - HALO, F.array(blk, blk + F.lit(1))).otherwise(
-                F.array(blk)
-            )
-        ),
-    )
-    return (
-        exploded.groupBy("ticker", "blk")
-        .applyInPandas(ewma_kernel, "ticker string, seq bigint, ewma double")
-        .orderBy("ticker", "seq")
-    )
+    return halo_block_apply(
+        b, kernel_rows, halo=HALO, block_size=block_size,
+        out_schema="ticker string, seq bigint, ewma double",
+    ).orderBy("ticker", "seq")
 
 
 @register(
@@ -1066,7 +1040,7 @@ def _macd_oracle_sql() -> str:
     "SERIES, histogram = macd - signal. The composed convolution needs "
     "halo (K_slow-1)+(K_sig-1) = 190 rows; a hot key still "
     "parallelizes across 4096-row blocks with O(block) task state. "
-    "The oracle chains 70+140 price lags for macd and 52 macd lags for "
+    "The oracle chains 70+110 price lags for macd and 52 macd lags for "
     "signal in the kernel's exact left-associated accumulation order, "
     "so all three outputs hash-match bit-for-bit at 6-decimal stable "
     "rounding. The recursive adjust=False EMA remains the streaming "
@@ -1098,20 +1072,23 @@ def q_macd(spark, sf_dir):
         FROM bars
     )
     SELECT ticker,
-           round(min(drawdown), 6) AS max_drawdown,
-           round(arg_max(drawdown,
+           floor(min(drawdown) * 1000000 + 0.5) / 1000000 AS max_drawdown,
+           floor(arg_max(drawdown,
                  lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                 || lpad(CAST(seq AS VARCHAR), 20, '0')), 6) AS final_drawdown,
+                 || lpad(CAST(seq AS VARCHAR), 20, '0')) * 1000000 + 0.5)
+               / 1000000 AS final_drawdown,
            count(*)::BIGINT AS n_bars
     FROM dd GROUP BY ticker ORDER BY ticker
     """,
     doc="Maximum drawdown per ticker: drawdown = price / running-peak - 1 "
-    "(one running-max window pass — an actual data value, no float "
-    "accumulation), max_drawdown = min over rows, final_drawdown = the "
-    "last row's (tie-robust (ts, seq) ordering). Every aggregate is "
-    "order-insensitive over exact per-row values, so the differential "
-    "is hash-exact with plain rounding. One shuffle on the key serves "
-    "both the window and the final aggregate.",
+    "(one running-max window pass — the peak is an actual data value, no "
+    "float accumulation), max_drawdown = min over rows, final_drawdown = "
+    "the last row's (tie-robust (ts, seq) ordering). The aggregates are "
+    "order-insensitive over bit-identical per-row quotients; the OUTPUT "
+    "rounding uses the engine-portable floor form (the quotient is a "
+    "computed double, where Spark's and DuckDB's round() half-case "
+    "semantics can differ). One shuffle on the key serves both the "
+    "window and the final aggregate.",
 )
 def q_drawdown(spark, sf_dir):
     b = _bars(spark, sf_dir)
@@ -1124,8 +1101,8 @@ def q_drawdown(spark, sf_dir):
     return (
         dd.groupBy("ticker")
         .agg(
-            F.round(F.min("drawdown"), 6).alias("max_drawdown"),
-            F.round(
+            stable_round(F.min("drawdown"), 6).alias("max_drawdown"),
+            stable_round(
                 F.max_by("drawdown", F.struct(F.col("ts"), F.col("seq"))), 6
             ).alias("final_drawdown"),
             F.count(F.lit(1)).cast("long").alias("n_bars"),

@@ -70,3 +70,20 @@ def test_gap_fill_daily_total_on_empty(spark):
         [], "sid string, day date, close double"
     ).where(F.lit(False))
     assert gap_fill_daily(empty, key="sid").count() == 0
+
+
+def test_gap_fill_daily_observed_null_is_not_marked_filled(spark):
+    """An OBSERVED day whose value is null is not a synthesized row:
+    is_filled stays false (presence-based flag), while the null value
+    forward-fills from the previous day like pandas ffill."""
+    rows = [("A", "2024-01-01", 3.0), ("A", "2024-01-02", None)]
+    df = spark.createDataFrame(rows, "sid string, day string, close double")
+    df = df.withColumn("day", F.to_date("day"))
+    out = {
+        str(r["day"]): (r["close"], r["is_filled"])
+        for r in gap_fill_daily(df, key="sid").collect()
+    }
+    assert out == {
+        "2024-01-01": (3.0, False),
+        "2024-01-02": (3.0, False),
+    }
