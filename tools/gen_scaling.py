@@ -41,6 +41,9 @@ HEADLINE = [
     "q_kmeans_clusters",   # fused Arrow Lloyd iterations
     "q_decontaminate",     # checkpointed shingle base, broadcast eval set
     "q_near_dup_jaccard",  # DF-pruned inverted index
+    "q_resample_weekly",   # one min_by/max_by OHLC aggregate
+    "q_gapfill_daily",     # per-key calendar + ffill window
+    "q_macd",              # composed halo-block EWM convolutions
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
