@@ -349,3 +349,130 @@ def latest_per_key_tws(
         outputMode="update",
         timeMode="processingTime" if ttl_ms is not None else "none",
     )
+
+
+RSI_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("last_price", DoubleType()),
+        StructField("g", DoubleType()),
+        StructField("l", DoubleType()),
+        StructField("nd", LongType()),
+    ]
+)
+
+RSI_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("value", DoubleType()),
+        StructField("rsi", DoubleType()),
+    ]
+)
+
+
+def _rsi_step(
+    n: int,
+    key0: str,
+    last_seq: int,
+    last_price: float | None,
+    g: float,
+    l: float,
+    nd: int,
+    parts: list[pd.DataFrame],
+):
+    """One micro-batch of Wilder's recursive RSI — the streaming-native
+    smoothing the batch Cutler form (operators/indicators.with_rsi)
+    deliberately avoids: avg = (prev*(n-1) + cur)/n after an n-delta
+    simple-average warmup, O(1) state per key, unbounded history.
+
+    During warmup (``nd < n``) the ``g``/``l`` state fields hold SUMS of
+    gains/losses; at the nth delta they become Wilder averages. Same
+    late-replay and in-batch-duplicate guards as ``_ewma_step`` (shared
+    replay semantics; pure pandas/python so the applyInPandasWithState
+    and any future TWS form run the identical recursion). RSI is null
+    until n deltas exist; zero-denominator conventions are the batch
+    form's: all-loss ⇒ 0, all-gain ⇒ 100, flat ⇒ 50.
+
+    Returns ``(out_frame, new_state)`` or ``(None, None)``."""
+    if not parts:
+        return None, None
+    pdf = pd.concat(parts).sort_values("seq", kind="mergesort")
+    pdf = pdf[pdf["seq"] > last_seq]
+    pdf = pdf.drop_duplicates(subset=["seq"], keep="first")
+    if pdf.empty:
+        return None, None
+    out_rsi = []
+    for x in pdf["value"].astype(float):
+        if last_price is None:
+            last_price = x
+            out_rsi.append(None)
+            continue
+        d = x - last_price
+        last_price = x
+        gain = d if d > 0 else 0.0
+        loss = -d if d < 0 else 0.0
+        if nd < n:
+            g += gain
+            l += loss
+            nd += 1
+            if nd == n:
+                g /= n
+                l /= n
+        else:
+            g = (g * (n - 1) + gain) / n
+            l = (l * (n - 1) + loss) / n
+        if nd < n:
+            out_rsi.append(None)
+        elif l == 0.0:
+            out_rsi.append(50.0 if g == 0.0 else 100.0)
+        else:
+            out_rsi.append(100.0 - 100.0 / (1.0 + g / l))
+    out = pd.DataFrame(
+        {
+            "key": key0,
+            "seq": pdf["seq"].astype("int64").to_numpy(),
+            "value": pdf["value"].astype(float).to_numpy(),
+            "rsi": pd.array(out_rsi, dtype="float64"),
+        }
+    )
+    return out, (int(out["seq"].iloc[-1]), float(last_price), float(g), float(l), int(nd))
+
+
+def _make_rsi_fn(n: int):
+    def _rsi_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        last_seq, last_price, g, l, nd = (
+            state.get if state.exists else (-1, None, 0.0, 0.0, 0)
+        )
+        out, new_state = _rsi_step(
+            n, key[0], last_seq, last_price, g, l, nd,
+            [p for p in pdfs if not p.empty],
+        )
+        if out is None:
+            return
+        state.update(new_state)
+        yield out
+
+    return _rsi_fn
+
+
+def rsi_per_key_stateful(
+    stream: DataFrame, n: int = 14, key_col: str = "key"
+) -> DataFrame:
+    """Per-key Wilder RSI via applyInPandasWithState: the recursive
+    smoothing twin of the batch Cutler RSI (q_rsi). State per key is one
+    (seq, last_price, avg_gain, avg_loss, n_deltas) tuple — O(live keys)
+    regardless of stream length, the incremental form the bounded-window
+    batch operator cannot express."""
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            _make_rsi_fn(n),
+            outputStructType=RSI_OUTPUT_SCHEMA,
+            stateStructType=RSI_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

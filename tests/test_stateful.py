@@ -277,3 +277,88 @@ def test_ewma_stateful_survives_query_restart(spark, tmp_path):
     # seqs 3-4 continue the recursion seeded from the recovered (2, e2)
     for i, e in enumerate(expect):
         assert abs(got[i + 1] - e) < 1e-12, (i + 1, got.get(i + 1), e)
+
+
+def test_rsi_stateful_matches_wilder_reference_across_batches(spark, tmp_path):
+    """Streaming Wilder RSI must equal a single-pass reference over the
+    concatenated series regardless of micro-batch boundaries, with the
+    same replay/duplicate guards as the EWMA twin."""
+    from market_analyze_data_stream_processing_spark.streaming.stateful import (
+        rsi_per_key_stateful,
+    )
+
+    n = 3
+    a_vals = [10.0, 12.0, 11.0, 13.0, 14.0, 12.0, 12.0]
+
+    def wilder(vals):
+        g = l = 0.0
+        nd = 0
+        last = None
+        out = []
+        for x in vals:
+            if last is None:
+                last = x
+                out.append(None)
+                continue
+            d = x - last
+            last = x
+            gain, loss = max(d, 0.0), max(-d, 0.0)
+            if nd < n:
+                g, l, nd = g + gain, l + loss, nd + 1
+                if nd == n:
+                    g, l = g / n, l / n
+            else:
+                g, l = (g * (n - 1) + gain) / n, (l * (n - 1) + loss) / n
+            if nd < n:
+                out.append(None)
+            elif l == 0.0:
+                out.append(50.0 if g == 0.0 else 100.0)
+            else:
+                out.append(100.0 - 100.0 / (1.0 + g / l))
+        return out
+
+    d = tmp_path / "in_rsi"
+    d.mkdir()
+    msgs = [
+        {"key": "A", "seq": i + 1, "value": v, "payload": ""}
+        for i, v in enumerate(a_vals)
+    ]
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in msgs[:2]))
+    replay_and_dup = [
+        {"key": "A", "seq": 2, "value": 999.0, "payload": "replay"},
+        *msgs[2:5],
+        {"key": "A", "seq": 5, "value": 999.0, "payload": "dup-in-batch"},
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in replay_and_dup))
+    (d / "b2.json").write_text("\n".join(json.dumps(r) for r in msgs[5:]))
+    import os
+    import time
+
+    now = time.time()
+    for i, f in enumerate(["b0.json", "b1.json", "b2.json"]):
+        os.utime(d / f, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .select("key", "seq", "value")
+    )
+    q = (
+        rsi_per_key_stateful(stream, n=n)
+        .writeStream.format("memory")
+        .queryName("rsi_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_rsi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM rsi_state ORDER BY seq").collect()
+    assert len(rows) == len(a_vals)
+    assert not any(r["value"] == 999.0 for r in rows)
+    expect = wilder(a_vals)
+    for r, e in zip(rows, expect):
+        if e is None:
+            assert r["rsi"] is None
+        else:
+            assert abs(r["rsi"] - e) < 1e-12
