@@ -1109,3 +1109,95 @@ def q_drawdown(spark, sf_dir):
         )
         .orderBy("ticker")
     )
+
+
+@register(
+    "q_beta_daily",
+    """
+    WITH daily AS (
+        SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                   AS close
+        FROM events GROUP BY 1, 2
+    ),
+    rets AS (
+        SELECT ticker, day,
+               CAST(close / lag(close) OVER (PARTITION BY ticker ORDER BY day)
+                    - 1.0 AS DECIMAL(18,12)) AS r
+        FROM daily
+    ),
+    mkt AS (
+        SELECT day, sum(r) AS m, count(*) AS n_tickers
+        FROM rets WHERE r IS NOT NULL GROUP BY day
+    ),
+    j AS (
+        SELECT rets.ticker, rets.r, mkt.m
+        FROM rets JOIN mkt ON rets.day = mkt.day
+        WHERE rets.r IS NOT NULL
+    ),
+    sums AS (
+        SELECT ticker,
+               count(*) AS n,
+               sum(r) AS sx, sum(m) AS sy,
+               sum(r * m) AS sxy, sum(m * m) AS syy
+        FROM j GROUP BY ticker
+    )
+    SELECT ticker, n::BIGINT AS n_days,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS beta
+    FROM sums ORDER BY ticker
+    """,
+    doc="Per-ticker beta vs the cross-sectional return basket: daily "
+    "closes (tie-robust last-of-day), simple returns, market series = "
+    "per-day SUM of returns (an equal-weight basket up to the constant "
+    "ticker count — betas scale by 1/n_tickers vs the textbook mean "
+    "basket; the sum form keeps every aggregate DECIMAL-EXACT, since a "
+    "mean would reintroduce engine-specific decimal division). Returns "
+    "are quantized to DECIMAL(18,12) (same double→decimal rounding both "
+    "engines), so Σx, Σy, Σxy, Σy² are exact and the closed-form "
+    "beta = (nΣxy - ΣxΣy)/(nΣy² - (Σy)²) is evaluated in double in an "
+    "identical expression order — hash-exact. One shuffle to daily "
+    "closes, one to per-day market sums (broadcast back), one to "
+    "per-ticker sums.",
+)
+def q_beta_daily(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("ticker"), F.to_date("ts").alias("day")
+    ).agg(
+        F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias("close")
+    )
+    w = Window.partitionBy("ticker").orderBy("day")
+    rets = daily.select(
+        "ticker",
+        "day",
+        (F.col("close") / F.lag("close").over(w) - 1.0)
+        .cast("decimal(18,12)")
+        .alias("r"),
+    )
+    nn = rets.where(F.col("r").isNotNull())
+    mkt = nn.groupBy("day").agg(F.sum("r").alias("m"))
+    j = nn.join(F.broadcast(mkt), "day")
+    sums = j.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sx"),
+        F.sum("m").alias("sy"),
+        F.sum(F.col("r") * F.col("m")).alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, syy = F.col("sxy").cast("double"), F.col("syy").cast("double")
+    from ..functions.scalars import stable_round
+
+    return sums.select(
+        "ticker",
+        F.col("n").cast("long").alias("n_days"),
+        stable_round(
+            (n_d * sxy - sx * sy) / (n_d * syy - sy * sy), 6
+        ).alias("beta"),
+    ).orderBy("ticker")
