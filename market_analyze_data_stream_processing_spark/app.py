@@ -25,7 +25,7 @@ import argparse
 import sys
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -238,6 +238,64 @@ def render_chart(rows: Sequence, ticker: str, width: int = 64, height: int = 12)
     return head + "\n" + ascii_chart(series, width=width, height=height)
 
 
+def build_indicator_rows(bars: DataFrame) -> list:
+    """Latest-per-ticker technical snapshot from the oracle-checked
+    indicator operators (q_bollinger/q_rsi/q_macd/q_drawdown semantics):
+    per-row indicators stay distributed; only the tie-robust last row
+    per ticker (O(tickers)) reaches the driver."""
+    from .operators.indicators import macd_blocked, with_bollinger, with_rsi
+
+    w = (
+        Window.partitionBy("ticker")
+        .orderBy("ts", "seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_row = with_rsi(with_bollinger(bars)).withColumn(
+        "drawdown", F.col("price") / F.max("price").over(w) - 1.0
+    )
+    macd = macd_blocked(bars).select(
+        "ticker", F.col("seq").alias("mseq"), "macd", "signal", "histogram"
+    )
+    joined = per_row.join(
+        macd,
+        (per_row["ticker"] == macd["ticker"]) & (per_row["seq"] == macd["mseq"]),
+    ).drop(macd["ticker"]).drop("mseq")
+    order = F.struct(F.col("ts"), F.col("seq"))
+    cols = ["price", "rsi", "bb_lower", "bb_upper", "drawdown", "macd",
+            "signal", "histogram"]
+    latest = joined.groupBy("ticker").agg(
+        *[F.max_by(c, order).alias(c) for c in cols]
+    )
+    return latest.orderBy("ticker").collect()
+
+
+def render_indicators(rows: Sequence) -> str:
+    """Technical snapshot table: RSI, Bollinger %B, MACD histogram and
+    drawdown per ticker — the indicator families layered over the
+    reference's MA-only panel."""
+
+    def pct_b(r):
+        lo, hi = r["bb_lower"], r["bb_upper"]
+        if lo is None or hi is None or hi == lo:
+            return "—"
+        return f"{(r['price'] - lo) / (hi - lo):.2f}"
+
+    table = [
+        (
+            r["ticker"],
+            f"{r['price']:.2f}",
+            "—" if r["rsi"] is None else f"{r['rsi']:.1f}",
+            pct_b(r),
+            f"{r['histogram']:+.4f}",
+            f"{r['drawdown'] * 100:+.2f}%",
+        )
+        for r in rows
+    ]
+    return "== INDICATORS ==\n" + fmt_table(
+        ["ticker", "close", "rsi14", "%B", "macd-hist", "drawdown"], table
+    )
+
+
 def render_sources(sources: Sequence[dict]) -> str:
     """Typed source rows under the RAG answer (main.py:430-487) — same
     type markers as the context formatter."""
@@ -264,6 +322,7 @@ def run_dashboard(
     ask: str | None = None,
     width: int = 64,
     height: int = 12,
+    indicators: bool = False,
     out=None,
 ) -> None:
     from .operators.serving import chart_frame, market_watch
@@ -276,6 +335,10 @@ def run_dashboard(
     watch = market_watch(build_watch_docs(daily, bars), now)
     watch_rows = watch.orderBy("ticker").collect()
     print(render_market_watch(watch_rows), file=out)
+
+    if indicators:
+        print(file=out)
+        print(render_indicators(build_indicator_rows(bars)), file=out)
 
     if ticker is None and watch_rows:
         ticker = watch_rows[0]["ticker"]
@@ -312,6 +375,10 @@ def main(argv: Sequence[str] | None = None) -> int:
     p.add_argument("--ask", default=None, help="RAG query for the answer panel")
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--height", type=int, default=12)
+    p.add_argument(
+        "--indicators", action="store_true",
+        help="show the RSI/Bollinger/MACD/drawdown snapshot panel",
+    )
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -320,7 +387,7 @@ def main(argv: Sequence[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     run_dashboard(
         spark, args.sf_dir, ticker=args.ticker, ask=args.ask,
-        width=args.width, height=args.height,
+        width=args.width, height=args.height, indicators=args.indicators,
     )
     return 0
 

@@ -76,3 +76,38 @@ def test_dashboard_end_to_end_deterministic(spark):
     # typed context blocks from the engine's formatter parity
     assert "[TECHNICAL ANALYSIS]" in one or "[MARKET HISTORY]" in one
     assert render() == one
+
+
+def test_indicator_panel_renders_latest_snapshot(spark):
+    """--indicators: latest-per-ticker RSI/%B/MACD/drawdown snapshot,
+    deterministic and screen-sized."""
+    import io
+
+    from market_analyze_data_stream_processing_spark.app import run_dashboard
+
+    buf = io.StringIO()
+    run_dashboard(
+        spark, "/root/testdata/sf0.001", ticker="click",
+        indicators=True, out=buf,
+    )
+    text = buf.getvalue()
+    assert "== INDICATORS ==" in text
+    section = text.split("== INDICATORS ==")[1]
+    lines = []
+    for ln in section.splitlines():
+        if ln.startswith("== "):  # next panel begins
+            break
+        if ln.strip():
+            lines.append(ln)
+    # header + separator + one row per ticker (5 event types)
+    assert len(lines) == 7
+    assert lines[0].split()[:3] == ["ticker", "close", "rsi14"]
+    # drawdown column is a signed percentage; every data row has one
+    assert all("%" in ln for ln in lines[2:])
+    # deterministic across calls
+    buf2 = io.StringIO()
+    run_dashboard(
+        spark, "/root/testdata/sf0.001", ticker="click",
+        indicators=True, out=buf2,
+    )
+    assert buf2.getvalue() == text
