@@ -250,8 +250,11 @@ def build_indicator_rows(bars: DataFrame) -> list:
         .orderBy("ts", "seq")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    peak = F.max("price").over(w)
+    # zero running peak (series opening at 0) -> NULL, not an ANSI
+    # DIVIDE_BY_ZERO crash (same guard as q_drawdown)
     per_row = with_rsi(with_bollinger(bars)).withColumn(
-        "drawdown", F.col("price") / F.max("price").over(w) - 1.0
+        "drawdown", F.when(peak != 0.0, F.col("price") / peak - 1.0)
     )
     macd = macd_blocked(bars).select(
         "ticker", F.col("seq").alias("mseq"), "macd", "signal", "histogram"
@@ -287,7 +290,7 @@ def render_indicators(rows: Sequence) -> str:
             "—" if r["rsi"] is None else f"{r['rsi']:.1f}",
             pct_b(r),
             f"{r['histogram']:+.4f}",
-            f"{r['drawdown'] * 100:+.2f}%",
+            "—" if r["drawdown"] is None else f"{r['drawdown'] * 100:+.2f}%",
         )
         for r in rows
     ]

@@ -1066,10 +1066,11 @@ def q_macd(spark, sf_dir):
     + """
     , dd AS (
         SELECT ticker, ts, seq, price,
-               price / max(price) OVER (PARTITION BY ticker ORDER BY ts, seq
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0
-                   AS drawdown
+               CASE WHEN max(price) OVER peak = 0.0 THEN NULL
+                    ELSE price / max(price) OVER peak - 1.0 END AS drawdown
         FROM bars
+        WINDOW peak AS (PARTITION BY ticker ORDER BY ts, seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT ticker,
            floor(min(drawdown) * 1000000 + 0.5) / 1000000 AS max_drawdown,
@@ -1083,12 +1084,16 @@ def q_macd(spark, sf_dir):
     doc="Maximum drawdown per ticker: drawdown = price / running-peak - 1 "
     "(one running-max window pass — the peak is an actual data value, no "
     "float accumulation), max_drawdown = min over rows, final_drawdown = "
-    "the last row's (tie-robust (ts, seq) ordering). The aggregates are "
-    "order-insensitive over bit-identical per-row quotients; the OUTPUT "
-    "rounding uses the engine-portable floor form (the quotient is a "
-    "computed double, where Spark's and DuckDB's round() half-case "
-    "semantics can differ). One shuffle on the key serves both the "
-    "window and the final aggregate.",
+    "the last row with a DEFINED drawdown (tie-robust (ts, seq) "
+    "ordering; the null-key max_by mirrors DuckDB arg_max's null "
+    "skipping). A zero running peak (a series opening at price 0) "
+    "yields NULL drawdown on both sides — total under ANSI mode instead "
+    "of a Spark DIVIDE_BY_ZERO. The aggregates are order-insensitive "
+    "over bit-identical per-row quotients; the OUTPUT rounding uses the "
+    "engine-portable floor form (the quotient is a computed double, "
+    "where Spark's and DuckDB's round() half-case semantics can "
+    "differ). One shuffle on the key serves both the window and the "
+    "final aggregate.",
 )
 def q_drawdown(spark, sf_dir):
     b = _bars(spark, sf_dir)
@@ -1097,13 +1102,24 @@ def q_drawdown(spark, sf_dir):
         .orderBy("ts", "seq")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    dd = b.withColumn("drawdown", F.col("price") / F.max("price").over(w) - 1.0)
+    peak = F.max("price").over(w)
+    dd = b.withColumn(
+        "drawdown",
+        F.when(peak != 0.0, F.col("price") / peak - 1.0),
+    )
     return (
         dd.groupBy("ticker")
         .agg(
             stable_round(F.min("drawdown"), 6).alias("max_drawdown"),
             stable_round(
-                F.max_by("drawdown", F.struct(F.col("ts"), F.col("seq"))), 6
+                F.max_by(
+                    "drawdown",
+                    F.when(
+                        F.col("drawdown").isNotNull(),
+                        F.struct(F.col("ts"), F.col("seq")),
+                    ),
+                ),
+                6,
             ).alias("final_drawdown"),
             F.count(F.lit(1)).cast("long").alias("n_bars"),
         )
@@ -1123,16 +1139,21 @@ def q_drawdown(spark, sf_dir):
     ),
     rets AS (
         SELECT ticker, day,
-               CAST(close / lag(close) OVER (PARTITION BY ticker ORDER BY day)
-                    - 1.0 AS DECIMAL(18,12)) AS r
+               CASE WHEN lag(close) OVER w IS NULL
+                      OR lag(close) OVER w = 0.0
+                      OR abs(close / lag(close) OVER w - 1.0) >= 99.0
+                    THEN NULL
+                    ELSE CAST(close / lag(close) OVER w - 1.0
+                              AS DECIMAL(8,6)) END AS r
         FROM daily
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ),
     mkt AS (
-        SELECT day, sum(r) AS m, count(*) AS n_tickers
+        SELECT day, CAST(sum(r) AS DECIMAL(18,6)) AS m
         FROM rets WHERE r IS NOT NULL GROUP BY day
     ),
     j AS (
-        SELECT rets.ticker, rets.r, mkt.m
+        SELECT rets.ticker, CAST(rets.r AS DECIMAL(8,6)) AS r, mkt.m
         FROM rets JOIN mkt ON rets.day = mkt.day
         WHERE rets.r IS NOT NULL
     ),
@@ -1144,11 +1165,15 @@ def q_drawdown(spark, sf_dir):
         FROM j GROUP BY ticker
     )
     SELECT ticker, n::BIGINT AS n_days,
-           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-                 * 1000000 + 0.5) / 1000000 AS beta
+           CASE WHEN n < 2
+                     OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+                THEN NULL
+                ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000 END AS beta
     FROM sums ORDER BY ticker
     """,
     doc="Per-ticker beta vs the cross-sectional return basket: daily "
@@ -1157,12 +1182,18 @@ def q_drawdown(spark, sf_dir):
     "ticker count — betas scale by 1/n_tickers vs the textbook mean "
     "basket; the sum form keeps every aggregate DECIMAL-EXACT, since a "
     "mean would reintroduce engine-specific decimal division). Returns "
-    "are quantized to DECIMAL(18,12) (same double→decimal rounding both "
-    "engines), so Σx, Σy, Σxy, Σy² are exact and the closed-form "
+    "are quantized to DECIMAL(8,6) — the scale is chosen so EVERY "
+    "product stays within precision 38 on BOTH engines ((8,6)x(18,6) → "
+    "(27,12); (18,6)² → (37,12)); a wider scale silently demotes "
+    "Spark's product type and the moment sums stop being exact. With "
+    "that, Σx, Σy, Σxy, Σy² are exact and the closed-form "
     "beta = (nΣxy - ΣxΣy)/(nΣy² - (Σy)²) is evaluated in double in an "
-    "identical expression order — hash-exact. One shuffle to daily "
-    "closes, one to per-day market sums (broadcast back), one to "
-    "per-ticker sums.",
+    "identical expression order — hash-exact. Totality under ANSI "
+    "mode: a zero previous close, a return beyond the quantization "
+    "range (|r| ≥ 99), and a zero variance denominator (a ticker with "
+    "one return) all yield NULL on both sides instead of a Spark "
+    "DIVIDE_BY_ZERO/overflow error. One shuffle to daily closes, one "
+    "to per-day market sums (broadcast back), one to per-ticker sums.",
 )
 def q_beta_daily(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
@@ -1172,15 +1203,25 @@ def q_beta_daily(spark, sf_dir):
         F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias("close")
     )
     w = Window.partitionBy("ticker").orderBy("day")
+    prev = F.lag("close").over(w)
+    raw_r = F.col("close") / prev - 1.0
     rets = daily.select(
         "ticker",
         "day",
-        (F.col("close") / F.lag("close").over(w) - 1.0)
-        .cast("decimal(18,12)")
+        F.when(
+            prev.isNotNull() & (prev != 0.0), raw_r
+        ).alias("rr"),
+    ).select(
+        "ticker",
+        "day",
+        F.when(F.abs(F.col("rr")) < 99.0, F.col("rr"))
+        .cast("decimal(8,6)")
         .alias("r"),
     )
     nn = rets.where(F.col("r").isNotNull())
-    mkt = nn.groupBy("day").agg(F.sum("r").alias("m"))
+    mkt = nn.groupBy("day").agg(
+        F.sum("r").cast("decimal(18,6)").alias("m")
+    )
     j = nn.join(F.broadcast(mkt), "day")
     sums = j.groupBy("ticker").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1192,12 +1233,14 @@ def q_beta_daily(spark, sf_dir):
     n_d = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, syy = F.col("sxy").cast("double"), F.col("syy").cast("double")
+    den = n_d * syy - sy * sy
     from ..functions.scalars import stable_round
 
     return sums.select(
         "ticker",
         F.col("n").cast("long").alias("n_days"),
-        stable_round(
-            (n_d * sxy - sx * sy) / (n_d * syy - sy * sy), 6
+        F.when(
+            (F.col("n") >= 2) & (den != 0.0),
+            stable_round((n_d * sxy - sx * sy) / den, 6),
         ).alias("beta"),
     ).orderBy("ticker")

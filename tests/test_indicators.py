@@ -133,3 +133,39 @@ def test_macd_matches_truncated_reference(spark):
         assert abs(got[i]["macd"] - macd[i]) < 1e-12
         assert abs(got[i]["signal"] - signal[i]) < 1e-12
         assert abs(got[i]["histogram"] - (macd[i] - signal[i])) < 1e-12
+
+
+def test_zero_price_series_is_total_under_ansi(spark, tmp_path):
+    """Zero closes are reachable data (sf0.1 contains value=0.0 rows):
+    q_drawdown and q_beta_daily must yield NULLs, not an ANSI
+    DIVIDE_BY_ZERO, when a series opens at 0 / a previous close is 0 /
+    a ticker has a single return (zero variance denominator)."""
+    from market_analyze_data_stream_processing_spark.plans import QUERIES
+
+    rows = [
+        # ticker Z opens at 0.0 -> drawdown null on row 1; day-2 return
+        # divides by the 0.0 close -> return null
+        (1, "2024-01-01 10:00:00", 7, "Z", 0.0, ""),
+        (2, "2024-01-02 10:00:00", 7, "Z", 5.0, ""),
+        # ticker Y has exactly two days -> one return -> zero variance
+        (3, "2024-01-01 11:00:00", 8, "Y", 10.0, ""),
+        (4, "2024-01-02 11:00:00", 8, "Y", 11.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    dd = {r["ticker"]: r for r in QUERIES["q_drawdown"].fn(spark, sf_dir).collect()}
+    # Z: row-1 drawdown null (peak 0), row-2 defined (5/5 - 1 = 0)
+    assert dd["Z"]["max_drawdown"] == 0.0 and dd["Z"]["final_drawdown"] == 0.0
+    assert dd["Z"]["n_bars"] == 2
+
+    beta = {r["ticker"]: r for r in QUERIES["q_beta_daily"].fn(spark, sf_dir).collect()}
+    # Z's only return divides by a 0.0 close -> dropped entirely
+    assert "Z" not in beta
+    # Y's single return makes the variance denominator exactly 0 -> null
+    assert beta["Y"]["n_days"] == 1 and beta["Y"]["beta"] is None

@@ -188,7 +188,7 @@ def main() -> None:
     out.append("| rows (single key) | blocks | seconds | rows/sec |")
     out.append("|---|---|---|---|")
     for n, t in hot_rows:
-        out.append(f"| {n:,} | {n // 4096 + 1} | {t:.2f} | {n / t:,.0f} |")
+        out.append(f"| {n:,} | {-(-n // 4096)} | {t:.2f} | {n / t:,.0f} |")
     out.append("")
     out.append(
         "The entire series belongs to ONE key — the case that serializes "
