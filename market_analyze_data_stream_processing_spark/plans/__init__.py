@@ -28,7 +28,7 @@ from . import media  # noqa: E402,F401
 #          refresh over rounds 6-8. The round-7 additions
 #          (q_sketch_reaggregation, q_kll_quantile_merge,
 #          q_resample_weekly, q_gapfill_daily, q_bollinger, q_rsi,
-#          q_macd, q_drawdown, q_beta_daily)
+#          q_macd, q_drawdown, q_beta_daily, q_stochastic)
 #          have no driver row yet and belong at the head of the
 #          round-8 front alongside them.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all expose

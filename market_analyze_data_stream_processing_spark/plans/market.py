@@ -1244,3 +1244,80 @@ def q_beta_daily(spark, sf_dir):
             stable_round((n_d * sxy - sx * sy) / den, 6),
         ).alias("beta"),
     ).orderBy("ticker")
+
+
+@register(
+    "q_stochastic",
+    _BARS_CTE
+    + """
+    , k AS (
+        SELECT ticker, ts, seq,
+               CASE WHEN max(price) OVER w14 = min(price) OVER w14 THEN NULL
+                    ELSE (price - min(price) OVER w14)
+                         / (max(price) OVER w14 - min(price) OVER w14) * 100.0
+               END AS pk_raw
+        FROM bars
+        WINDOW w14 AS (PARTITION BY ticker ORDER BY ts, seq
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), q AS (
+        SELECT ticker, ts, seq, CAST(pk_raw AS DECIMAL(10,6)) AS pk
+        FROM k
+    ), runs AS (
+        SELECT ticker, seq, pk,
+               sum(pk) OVER run AS s,
+               count(pk) OVER run AS c
+        FROM q
+        WINDOW run AS (PARTITION BY ticker ORDER BY ts, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, seq,
+           floor(CAST(pk AS DOUBLE) * 10000 + 0.5) / 10000 AS pct_k,
+           CASE WHEN c - coalesce(lag(c, 3) OVER base, 0) = 3
+                THEN floor(CAST(s - coalesce(lag(s, 3) OVER base, 0) AS DOUBLE)
+                           / 3.0 * 10000 + 0.5) / 10000 END AS pct_d
+    FROM runs
+    WINDOW base AS (PARTITION BY ticker ORDER BY seq)
+    """,
+    doc="Stochastic oscillator %K/%D (14, 3): %K positions the close "
+    "inside the rolling 14-bar [min, max] range — window EXTREMES are "
+    "actual data values (order-insensitive, no float accumulation), and "
+    "a flat window (max == min) yields NULL on both engines instead of "
+    "an ANSI DIVIDE_BY_ZERO. %D is the 3-bar SMA of %K via the "
+    "decimal-quantized running-sum difference (the q_ma_rolling "
+    "lowering; a plain float window avg would be "
+    "accumulation-order-dependent across engines), emitted only when 3 "
+    "non-null %K values fill the frame. One shuffle+sort serves the "
+    "range window, the running sums, and the lag pass. Oracle note: ts "
+    "values are unique per ticker, so the lag CTE may order by seq "
+    "alone (same convention as q_bollinger).",
+)
+def q_stochastic(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    base = Window.partitionBy("ticker").orderBy("ts", "seq")
+    w14 = base.rowsBetween(-13, 0)
+    hi, lo = F.max("price").over(w14), F.min("price").over(w14)
+    pk_raw = F.when(hi != lo, (F.col("price") - lo) / (hi - lo) * 100.0)
+    q = bars.select(
+        "ticker", "ts", "seq", pk_raw.cast("decimal(10,6)").alias("pk")
+    )
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    runs = q.select(
+        "ticker",
+        "ts",
+        "seq",
+        "pk",
+        F.sum("pk").over(run).alias("s"),
+        F.count("pk").over(run).alias("c"),
+    )
+    s_3 = F.col("s") - F.coalesce(
+        F.lag("s", 3).over(base), F.lit(0).cast("decimal(20,6)")
+    )
+    c_3 = F.col("c") - F.coalesce(F.lag("c", 3).over(base), F.lit(0))
+    return runs.select(
+        "ticker",
+        "seq",
+        stable_round(F.col("pk").cast("double"), 4).alias("pct_k"),
+        F.when(
+            c_3 == 3, stable_round(s_3.cast("double") / 3.0, 4)
+        ).alias("pct_d"),
+    )
