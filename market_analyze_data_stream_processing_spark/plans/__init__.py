@@ -16,76 +16,33 @@ from . import advanced  # noqa: E402,F401
 from . import media  # noqa: E402,F401
 
 # The external driver's correctness sweep checks only the FIRST 50
-# registry entries per round (each of rounds 1-4 recorded exactly 50 in
-# registration order). Rotate queries that still lack a green driver row
-# to the front so evidence accumulates across rounds. Round-7 front-set:
-# the 72 queries NOT sampled in round 6 (the r06 front has fresh
-# evidence in CORRECTNESS_r06.json), ordered oldest-driver-evidence
-# first so the sweep is disjoint from r06's:
-#   1-30:  newest driver row is r04 (name order);
-#   31-72: newest driver row is r05 (name order) — positions 51-72
-#          rotate to the front next round, completing full-registry
-#          refresh over rounds 6-8. The round-7 additions
-#          (q_sketch_reaggregation, q_kll_quantile_merge,
-#          q_resample_weekly, q_gapfill_daily, q_bollinger, q_rsi,
-#          q_macd, q_drawdown, q_beta_daily, q_stochastic)
-#          have no driver row yet and belong at the head of the
-#          round-8 front alongside them.
+# registry entries per round (each recorded round sampled exactly 50 in
+# registration order). Rotate queries with the stalest (or missing)
+# driver evidence to the front so every query accumulates a fresh
+# driver row within a few rounds. Round-8 front (from
+# tools/rotate_front.py, which now counts only hash-green rows as
+# evidence):
+#   1-10:  the round-7 additions (indicators, resample/gapfill, the
+#          mergeable sketch lifecycle) — registered mid-round-7 behind
+#          that round's front, so they have NO driver row yet;
+#   11-32: the 22 queries whose newest driver row is r05 — after this
+#          round, no query's evidence is older than r06;
+#   33-50: r06-evidence queries (name order) to fill the front.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all expose
 # the same full set.
 _SWEEP_FRONT = [
-    # newest driver evidence r04
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    "q_array_functions",
-    "q_bpe_tokens",
-    "q_cube_status",
-    "q_cumulative_spend",
-    "q_date_functions",
-    "q_doc_chunks",
-    "q_domain_mix_sample",
-    "q_dq_checks",
-    "q_embedding_centroids",
-    "q_gopher_filters",
-    "q_grouping_sets",
-    "q_hash_split",
-    "q_null_semantics",
-    "q_parse_date_flexible",
-    "q_range_frame_window",
-    "q_rank_distribution_family",
-    "q_redact_tokens",
-    "q_sentence_explode",
-    "q_stratified_sample",
-    "q_string_agg",
-    "q_string_functions",
-    "q_tfidf_top_tokens",
-    "q_token_frequency",
-    "q_token_pack",
-    "q_unigram_logprob",
-    "q_unpivot_ohlc",
-    "q_window_lead_first",
-    "q_zorder_values",
-    # newest driver evidence r05
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_regional_revenue",
-    "q_asof_join",
-    "q_asof_last_value",
-    "q_chunk_dup_rate",
-    "q_cohort_retention",
-    "q_conditional_agg",
-    "q_curation_pipeline",
-    "q_daily_summary",
-    "q_decay_score",
-    "q_decontaminate",
-    "q_doc_exact_dedup",
-    "q_doc_fingerprint",
-    "q_doc_source_stats",
-    "q_ewma",
-    "q_funnel_conversion",
-    "q_grouped_pandas_quantiles",
-    "q_histogram_buckets",
-    "q_humanize_fmt",
+    # newest driver evidence: none (registered mid-round-7)
+    "q_beta_daily",
+    "q_bollinger",
+    "q_drawdown",
+    "q_gapfill_daily",
+    "q_kll_quantile_merge",
+    "q_macd",
+    "q_resample_weekly",
+    "q_rsi",
+    "q_sketch_reaggregation",
+    "q_stochastic",
+    # newest driver evidence: r05
     "q_json_extract",
     "q_keep_last_dedup",
     "q_lag_variation",
@@ -108,6 +65,25 @@ _SWEEP_FRONT = [
     "q_tumbling_hourly",
     "q_validity_intervals",
     "q_winsorized_stats",
+    # newest driver evidence: r06
+    "q02_min_cost_supplier",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_excess_quantity_suppliers",
+    "q21_sole_late_supplier",
+    "q_ann_ivf",
 ]
 
 

@@ -1038,7 +1038,7 @@ def _macd_oracle_sql() -> str:
     "halo-block Arrow pass (operators/indicators.macd_blocked): "
     "macd = EMA12 - EMA26 over price, signal = EMA9 over the MACD "
     "SERIES, histogram = macd - signal. The composed convolution needs "
-    "halo (K_slow-1)+(K_sig-1) = 190 rows; a hot key still "
+    "halo (K_slow-1)+(K_sig-1) = 160 rows; a hot key still "
     "parallelizes across 4096-row blocks with O(block) task state. "
     "The oracle chains 70+110 price lags for macd and 52 macd lags for "
     "signal in the kernel's exact left-associated accumulation order, "

@@ -194,7 +194,7 @@ def main() -> None:
         "The entire series belongs to ONE key — the case that serializes "
         "any groupBy(key).applyInPandas operator into a single task. The "
         "halo-block lowering instead fans it out across "
-        "rows/4096 blocks (+190-row halos), so throughput HOLDS at 10× "
+        "rows/4096 blocks (+160-row halos), so throughput HOLDS at 10× "
         "the rows: per-task state stays O(block), and the same shape "
         "spreads a billion-row ticker across a cluster."
     )

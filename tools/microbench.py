@@ -52,16 +52,24 @@ def main() -> None:
 
     for name in names:
         best = None
+        err = None
         for _ in range(2):
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # match bench.py: report, keep going
+                err = f"{type(exc).__name__}: {exc}".splitlines()[0]
+                break
             t = time.perf_counter() - t0
             drop_persisted()
             invalidate_ivf_index()
             best = t if best is None else min(best, t)
-        print(f"{name}: {best:.2f}s", flush=True)
+        if err is not None:
+            print(f"{name}: ERROR {err}", flush=True)
+        else:
+            print(f"{name}: {best:.2f}s", flush=True)
     spark.stop()
 
 

@@ -31,7 +31,12 @@ def main() -> None:
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         with open(path) as f:
-            for name in json.load(f):
+            for name, row in json.load(f).items():
+                # Only a clean row counts as evidence: a query that FAILED in
+                # the latest round must rotate forward for re-sampling, not
+                # to the back of the front.
+                if row.get("err") is not None or not row.get("hash_match", False):
+                    continue
                 latest[name] = max(latest.get(name, 0), rnd)
     ranked = sorted(QUERIES, key=lambda n: (latest.get(n, -1), n))
     print(f"# suggested _SWEEP_FRONT (driver samples first {n_front}):")
