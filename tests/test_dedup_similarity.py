@@ -201,6 +201,37 @@ def test_ann_ivf_stored_version_cache_evicts_superseded(spark, vectors, tmp_path
     assert ("ivf-stored", other, "other-v1") in _IVF_INDEX_CACHE
 
 
+def test_ann_ivf_stored_rebuild_serves_fresh_centroids(spark, vectors, tmp_path):
+    """A rebuild AT THE SAME PATH must be served from the new layout, not
+    the cached old one: after overwriting the layout with a disjoint
+    corpus and bumping index_version, a probe returns the new corpus's
+    ids and the stale cache entry is gone. (With a reused version stamp
+    the cache would — by design — still serve the old centroids; the
+    version bump is the contract.)"""
+    from market_analyze_data_stream_processing_spark.operators.similarity import (
+        _IVF_INDEX_CACHE,
+        ann_ivf_stored,
+        write_ivf_layout,
+    )
+
+    df, q = vectors
+    path = str(tmp_path / "ivf_rebuild")
+    write_ivf_layout(df, path)
+    first = {r["vec_id"] for r in
+             ann_ivf_stored(spark, path, q, k=3, index_version=1).collect()}
+    assert first  # old corpus answers
+
+    # Rebuild with ids offset by 10_000 — any old-corpus id in the new
+    # answer proves a stale serve.
+    df2 = df.withColumn("vec_id", F.col("vec_id") + F.lit(10_000))
+    write_ivf_layout(df2, path)
+    second = {r["vec_id"] for r in
+              ann_ivf_stored(spark, path, q, k=3, index_version=2).collect()}
+    assert second and all(v >= 10_000 for v in second)
+    assert ("ivf-stored", path, 1) not in _IVF_INDEX_CACHE
+    assert ("ivf-stored", path, 2) in _IVF_INDEX_CACHE
+
+
 def test_simhash_fingerprints_match_expression_form(docs):
     # the scale (explode+agg) form must equal the per-row array-fold form
     agg = {r["doc_id"]: r["fingerprint"]
@@ -437,6 +468,45 @@ def test_connected_components_releases_its_caches(spark):
     assert after - before <= 1  # the returned frame's checkpoint only
     got = {r["node"]: r["component"] for r in result.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_spares_caller_caches(spark):
+    """A CALLER's own persisted / lazily-checkpointed frames must survive
+    CC's cleanup. The footgun: a caller localCheckpoint(eager=False)s its
+    edges, the checkpoint first MATERIALIZES during CC's jobs, and a
+    release that diffs getPersistentRDDs around the whole call would
+    sweep it — leaving the caller's frame silently recomputing (or, for
+    a checkpoint whose lineage was truncated, broken). CC must release
+    only the RDD ids its own persist/checkpoint sites registered
+    (registration is synchronous with the localCheckpoint() CALL, so
+    per-site snapshot diffing is exact)."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def persistent_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {rid for rid in m.keySet().toArray()}
+
+    # Caller-owned lazy checkpoint: registered now, materialized only
+    # when CC's first job runs over it.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    ).localCheckpoint(eager=False)
+    # Caller-owned plain cache, also lazy until an action.
+    aux = spark.createDataFrame([(99,)], ["x"]).persist()
+    caller_ids = persistent_ids()
+
+    comp = connected_components(edges, "id_a", "id_b")
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    # Both caller frames are still registered and still usable.
+    assert caller_ids <= persistent_ids()
+    assert edges.count() == 3
+    assert aux.count() == 1
+    aux.unpersist()
+    edges.unpersist()
 
 
 def test_lsh_coverage_contract_non_vacuous_at_sf01(spark):
