@@ -651,19 +651,32 @@ def connected_components(
     persists the new labels and returns the convergence scalars — not a
     materialize-then-probe pair.
 
-    Memory discipline: the edge checkpoint, the cached symmetrized set,
-    and every per-round labels checkpoint are RELEASED before returning
-    (the converged labels are re-checkpointed first — one extra tiny
-    |V|-row job — so the returned frame survives the cleanup). Without
-    this, each call pinned a 2|E|-row cache plus one |V|-row checkpoint
-    per round for the session lifetime. Only the RDD ids whose
-    registration was observed immediately after THIS call's own
-    persist/checkpoint sites are released — a caller's own cached or
+    Memory discipline: the pinned symmetrized set and every superseded
+    per-round labels checkpoint are RELEASED before returning; only the
+    CONVERGED round's labels checkpoint — already materialized by that
+    round's convergence aggregate, and what the returned frame reads —
+    stays pinned (one |V|-row block set per call, exactly what an eager
+    result re-checkpoint would pin, without spending a job on it).
+    Without the cleanup, each call pinned a 2|E|-row cache plus one
+    |V|-row checkpoint per round for the session lifetime. Only the RDD
+    ids whose registration was observed immediately after THIS call's
+    own persist/checkpoint sites are released — a caller's own cached or
     lazily-checkpointed frames are never swept, even if they first
-    materialize during CC's jobs. (Registration is synchronous with
-    persist()/localCheckpoint(), so the only remaining caveat is a
-    concurrent thread registering a cache in the same instant — run CC
-    serially with other cache-CREATING calls.)"""
+    materialize during CC's jobs. (localCheckpoint registration is
+    synchronous with the call — every pin CC creates is one — so the
+    only remaining caveat is a concurrent thread registering a cache in
+    the same instant; run CC serially with other cache-CREATING calls.)
+
+    Job count: symmetrization is a map-side ``explode`` of each edge
+    into both directions — NOT ``union(e, e.reversed)``, which executes
+    pair generation twice and forced an extra eager edge-checkpoint job
+    to prevent that. With the explode form, pair generation runs exactly
+    once, into the sym checkpoint's blocks, whatever round first
+    materializes it — so a converged-at-init graph (pairs, stars,
+    cliques: the overwhelming near-dup shapes) completes in ONE Spark
+    job: the round-1 aggregate that fills the sym pin, builds the
+    initial labels, checks the fixed point, and persists the result
+    checkpoint."""
     sc = edges.sparkSession.sparkContext
 
     def _persistent_ids():
@@ -676,36 +689,42 @@ def connected_components(
             if rid in ids:
                 m.get(rid).unpersist()
 
-    created: set[int] = set()
+    created: list[set[int]] = []
 
     def _track(make):
         """Run a persist/checkpoint-creating thunk and record exactly the
-        RDD ids it registered (registration is synchronous)."""
+        RDD ids it registered (registration is synchronous), one id-set
+        per call site so the converged round's checkpoint can be spared.
+        Returns (result, ids)."""
         before = _persistent_ids()
         out = make()
-        created.update(_persistent_ids() - before)
-        return out
+        ids = _persistent_ids() - before
+        created.append(ids)
+        return out, ids
 
-    # Checkpoint the EDGES (not the symmetrized union): a union of the
-    # edge plan with its reversal executes pair generation twice — often
-    # the most expensive part of the whole clustering. Materialize the
-    # pairs once; symmetrization is then a cheap map over stored blocks.
-    e = _track(
-        lambda: edges.select(
-            F.col(src).alias("u"), F.col(dst).alias("v")
-        ).localCheckpoint()
+    # Pin the symmetrized set so pair generation runs once, not once per
+    # round. No pre-repartition: under AQE the planner sees a pinned
+    # frame's partitioning as unknown (cached-plan output partitioning
+    # is hidden), so every round's join re-exchanges sym regardless — a
+    # repartition here would be one extra 2|E| shuffle that buys
+    # nothing. A LAZY localCheckpoint (not persist) for two reasons: no
+    # job of its own (the round-1 aggregate materializes it), and —
+    # load-bearing for the release bookkeeping — localCheckpoint
+    # registers its RDD synchronously AT THE CALL, while
+    # DataFrame.persist registers only at first materialization
+    # (mid-round-1, where a site-diff would misattribute it to the
+    # round and a convergence at round 1 would pin the 2|E|-row block
+    # set for the session lifetime).
+    both_dirs = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )
     )
-    # Cache the symmetrized set PRE-PARTITIONED on the join key: persist
-    # (unlike localCheckpoint) keeps the repartition in the plan, so the
-    # cached partitioning satisfies every round's join requirement and
-    # the 2|E|-row edge side is shuffled ONCE at cache fill instead of
-    # once per round — per-round shuffle volume drops to the |V|-row
-    # label side. (The iterated LABELS still use localCheckpoint: their
-    # lineage grows per round and must be truncated; sym's is static.)
-    sym = _track(
-        lambda: e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(F.col("v"))
-        .persist()
+    sym, _ = _track(
+        lambda: edges.select(both_dirs.alias("e"))
+        .select("e.u", "e.v")
+        .localCheckpoint(eager=False)
     )
     # Initial labels = closed-neighborhood minimum: the same one-shuffle
     # groupBy a distinct() node list would cost, but it already performs
@@ -715,14 +734,13 @@ def connected_components(
         F.least(F.min("v"), F.first("u")).alias("comp")
     )
     try:
-        converged = _cc_iterate(sym, labels, max_iter, _track)
-        # Re-checkpoint the result EAGERLY so it no longer reads the
-        # per-round checkpoints we are about to release.
-        result = converged.localCheckpoint()
-        _release(created)
-        return result
+        converged, keep = _cc_iterate(sym, labels, max_iter, _track)
+        # The converged round's checkpoint is already materialized (its
+        # convergence aggregate was the action); release everything else.
+        _release(set().union(*(s for s in created if s is not keep)))
+        return converged
     except Exception:
-        _release(created)
+        _release(set().union(*created) if created else set())
         raise
 
 
@@ -752,7 +770,7 @@ def _cc_iterate(sym, labels, max_iter, track):
         lut = propagated.select(
             F.col("node").alias("__jn"), F.col("comp").alias("__jc")
         )
-        labels = track(
+        labels, round_ids = track(
             lambda: propagated.join(
                 lut, propagated["comp"] == F.col("__jn"), "left"
             )
@@ -770,7 +788,10 @@ def _cc_iterate(sym, labels, max_iter, track):
         # both convergence scalars in a single job.
         cur_sum, old_sum = labels.agg(F.sum("comp"), F.sum("old")).first()
         if cur_sum == old_sum:
-            return labels.select("node", F.col("comp").alias("component"))
+            return (
+                labels.select("node", F.col("comp").alias("component")),
+                round_ids,
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
         "(component diameter > ~2^max_iter); truncated labels would be "

@@ -469,6 +469,18 @@ def test_connected_components_releases_its_caches(spark):
     got = {r["node"]: r["component"] for r in result.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
+    # Round-1 convergence (disjoint pairs): the symmetrized-set pin must
+    # be released here too — its RDD registration timing is what made
+    # this shape leak a 2|E|-row block set when keep-tracking went by
+    # round site with a persist()-backed sym.
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(50)], ["id_a", "id_b"]
+    )
+    before = persistent_count()
+    result = connected_components(pairs, "id_a", "id_b")
+    assert result.where("component != node - node % 2").count() == 0
+    assert persistent_count() - before <= 1
+
 
 def test_connected_components_spares_caller_caches(spark):
     """A CALLER's own persisted / lazily-checkpointed frames must survive
@@ -488,14 +500,22 @@ def test_connected_components_spares_caller_caches(spark):
         m = spark.sparkContext._jsc.getPersistentRDDs()
         return {rid for rid in m.keySet().toArray()}
 
+    # Track exactly THIS test's registrations (earlier tests' abandoned
+    # caches may be swept by the ContextCleaner mid-test; asserting on a
+    # whole-session snapshot would race with that).
+    before = persistent_ids()
     # Caller-owned lazy checkpoint: registered now, materialized only
     # when CC's first job runs over it.
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
     ).localCheckpoint(eager=False)
-    # Caller-owned plain cache, also lazy until an action.
+    # Caller-owned plain cache. Unlike localCheckpoint, DataFrame
+    # persist() registers its RDD only at first materialization, so
+    # materialize it now to pin the id into the snapshot.
     aux = spark.createDataFrame([(99,)], ["x"]).persist()
-    caller_ids = persistent_ids()
+    aux.count()
+    caller_ids = persistent_ids() - before
+    assert len(caller_ids) == 2
 
     comp = connected_components(edges, "id_a", "id_b")
     got = {r["node"]: r["component"] for r in comp.collect()}
