@@ -105,6 +105,252 @@ def with_rsi(
     return with_d.withColumn("rsi", rsi).drop("__g", "__l", "__has")
 
 
+def with_obv(
+    bars: DataFrame,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "price",
+    seq: str = "seq",
+    vol: str = "vol",
+) -> DataFrame:
+    """On-balance volume: running sum of sign(Δprice)·volume.
+
+    Volume is integral, so the cumulative sum stays in LONG arithmetic —
+    exact, order-insensitive, bit-reproducible with no decimal cast.
+    The flat/first tick contributes 0 (the standard OBV convention).
+    One (key, ts, seq) shuffle+sort serves both the lag and the
+    running sum."""
+    base = Window.partitionBy(key).orderBy(ts, seq)
+    delta = F.col(price) - F.lag(price).over(base)
+    signed = (
+        F.when(delta > 0, F.col(vol))
+        .when(delta < 0, -F.col(vol))
+        .otherwise(F.lit(0))
+    )
+    with_s = bars.withColumn("__sv", signed.cast("long"))
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    return with_s.withColumn("obv", F.sum("__sv").over(run)).drop("__sv")
+
+
+def with_true_range(
+    daily: DataFrame,
+    key: str = "ticker",
+    day: str = "day",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """True range per daily bar: max(H-L, |H-prev C|, |L-prev C|); the
+    first bar of a key (no previous close) degrades to H-L. All inputs
+    are data values, so TR is a fixed-order double expression an oracle
+    mirrors verbatim."""
+    base = Window.partitionBy(key).orderBy(day)
+    prev = F.lag(close).over(base)
+    hl = F.col(high) - F.col(low)
+    tr = F.when(prev.isNull(), hl).otherwise(
+        F.greatest(hl, F.abs(F.col(high) - prev), F.abs(F.col(low) - prev))
+    )
+    return daily.withColumn("tr", tr)
+
+
+def with_atr(
+    daily: DataFrame,
+    n: int = 14,
+    key: str = "ticker",
+    day: str = "day",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """ATR(n), SMA form (like Cutler's RSI, the window-expressible
+    variant; Wilder's recursive smoothing is the EWMA kernel's job):
+    n-period simple mean of true range via the exact decimal
+    running-sum-difference lowering — O(1) per row, no frame
+    re-aggregation. Null until n true ranges exist."""
+    d = with_true_range(daily, key=key, day=day, high=high, low=low, close=close)
+    base = Window.partitionBy(key).orderBy(day)
+    s = _running(base, F.col("tr"), "decimal(18,6)")
+    c_run = F.count("tr").over(base.rowsBetween(Window.unboundedPreceding, 0))
+    tr_n = _frame_diff(base, s, n, F.lit(0).cast("decimal(28,6)"))
+    c_n = c_run - F.coalesce(F.lag(c_run, n).over(base), F.lit(0))
+    atr = F.when(c_n >= n, tr_n.cast("double") / c_n)
+    return d.withColumn("atr", atr)
+
+
+def with_vwap_anchored(
+    bars: DataFrame,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "price",
+    seq: str = "seq",
+    vol: str = "vol",
+) -> DataFrame:
+    """Anchored (intraday) VWAP: within each (key, day) session,
+    cumulative Σ(price·vol) / Σvol ordered by (ts, seq) — the running
+    fair-value line that resets at each session open.
+
+    Σ(price·vol) accumulates in DECIMAL (exact, order-insensitive);
+    Σvol in LONG; the division to double happens once per row AFTER the
+    exact sums, in an expression an oracle mirrors. One shuffle on
+    (key, day) — sessions of one key parallelize across partitions,
+    which is the scale story: no per-key serialization."""
+    with_day = bars.withColumn("__day", F.to_date(F.col(ts)))
+    base = Window.partitionBy(key, "__day").orderBy(ts, seq)
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    pv = F.sum((F.col(price) * F.col(vol)).cast("decimal(28,6)")).over(run)
+    v = F.sum(F.col(vol).cast("long")).over(run)
+    return (
+        with_day.withColumn("vwap", pv.cast("double") / v)
+        .withColumnRenamed("__day", "session")
+    )
+
+
+def with_donchian(
+    bars: DataFrame,
+    n: int = 20,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "price",
+    seq: str = "seq",
+) -> DataFrame:
+    """Donchian channel: n-period rolling high/low/mid plus breakout
+    flags (price strictly beyond the PREVIOUS row's completed channel —
+    comparing against the current row's channel would be vacuous, the
+    current price is inside it by construction).
+
+    Channel bounds are actual data values (rolling max/min — no float
+    accumulation at all); channel and flags are null-gated until the
+    window is full. Two stacked Window operators share one
+    (key, ts, seq) shuffle+sort."""
+    base = Window.partitionBy(key).orderBy(ts, seq)
+    w = base.rowsBetween(-(n - 1), 0)
+    staged = bars.withColumns(
+        {
+            "__up": F.max(price).over(w),
+            "__lo": F.min(price).over(w),
+            "__c": F.count(price).over(w),
+        }
+    )
+    prev_up = F.lag("__up").over(base)
+    prev_lo = F.lag("__lo").over(base)
+    prev_full = F.lag("__c").over(base) >= n
+    full = F.col("__c") >= n
+    return staged.withColumns(
+        {
+            "dc_upper": F.when(full, F.col("__up")),
+            "dc_lower": F.when(full, F.col("__lo")),
+            "dc_mid": F.when(full, (F.col("__up") + F.col("__lo")) / 2.0),
+            "breakout_up": F.when(prev_full, F.col(price) > prev_up),
+            "breakout_down": F.when(prev_full, F.col(price) < prev_lo),
+        }
+    ).drop("__up", "__lo", "__c")
+
+
+def with_aroon(
+    bars: DataFrame,
+    n: int = 25,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "price",
+    seq: str = "seq",
+) -> DataFrame:
+    """Aroon up/down over an n-row window: 100·(n-1 - rows_since_extreme)
+    / (n-1), where rows_since uses the MOST RECENT extreme on ties (both
+    sides — the high tiebreak is free from lexicographic struct max; the
+    low negates the row number so min-struct also lands on the latest).
+
+    The windowed ARGMAX POSITION comes from ``max(struct(price, rn))``
+    — an aggregate over data values, no float accumulation — which the
+    oracle mirrors with DuckDB's lexicographic list max. Null-gated
+    until the window holds n rows."""
+    base = Window.partitionBy(key).orderBy(ts, seq)
+    staged = bars.withColumn("__rn", F.row_number().over(base))
+    w = base.rowsBetween(-(n - 1), 0)
+    hi_rn = F.max(
+        F.struct(F.col(price).alias("p"), F.col("__rn").alias("r"))
+    ).over(w)["r"]
+    lo_rn = -F.min(
+        F.struct(F.col(price).alias("p"), (-F.col("__rn")).alias("r"))
+    ).over(w)["r"]
+    cnt = F.count(price).over(w)
+    span = float(n - 1)
+    up = 100.0 * (span - (F.col("__rn") - hi_rn)) / span
+    down = 100.0 * (span - (F.col("__rn") - lo_rn)) / span
+    return (
+        staged.withColumns(
+            {
+                "aroon_up": F.when(cnt >= n, up),
+                "aroon_down": F.when(cnt >= n, down),
+            }
+        )
+        .drop("__rn")
+    )
+
+
+def with_cci(
+    daily: DataFrame,
+    n: int = 20,
+    key: str = "ticker",
+    day: str = "day",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """CCI(n): (TP - SMA(TP,n)) / (0.015 · MAD(TP,n)) over daily bars,
+    TP = (H+L+C)/3, MAD = mean absolute deviation around the window's
+    OWN mean.
+
+    MAD is the one rolling statistic here that genuinely cannot lower
+    to a running-sum difference — each row's deviations are taken
+    around that row's mean, so the frame must be re-aggregated. The
+    honest lowering is a WINDOWED ARRAY FOLD: collect the n-row frame
+    (bounded — n·16 bytes per row, not a skew risk), sort by row number
+    for a canonical order, and left-fold Σ|tp - sma| in that order — an
+    accumulation sequence the oracle replays exactly (DuckDB
+    list_sort + list_transform + list_reduce). SMA itself still uses
+    the exact decimal running-sum difference. Cost is O(n) per row
+    (vs O(1) for the decomposable indicators) — the price of the
+    statistic, stated rather than hidden. Null until the window is
+    full and when MAD is 0 (flat window: CCI undefined)."""
+    base = Window.partitionBy(key).orderBy(day)
+    tp = (F.col(high) + F.col(low) + F.col(close)) / 3.0
+    staged = daily.withColumn("__tp", tp).withColumn(
+        "__rn", F.row_number().over(base)
+    )
+    s = _running(base, F.col("__tp"), "decimal(18,6)")
+    c_run = F.count("__tp").over(base.rowsBetween(Window.unboundedPreceding, 0))
+    tp_n = _frame_diff(base, s, n, F.lit(0).cast("decimal(28,6)"))
+    c_n = c_run - F.coalesce(F.lag(c_run, n).over(base), F.lit(0))
+    staged = staged.withColumns(
+        {
+            "__sma": tp_n.cast("double") / c_n,
+            "__cn": c_n,
+            "__vals": F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__rn").alias("r"), F.col("__tp").alias("t"))
+                ).over(base.rowsBetween(-(n - 1), 0))
+            ),
+        }
+    )
+    mad = (
+        F.aggregate(
+            F.transform(F.col("__vals"), lambda x: F.abs(x["t"] - F.col("__sma"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.col("__cn")
+    )
+    cci = F.when(
+        (F.col("__cn") >= n) & (mad != 0.0),
+        (F.col("__tp") - F.col("__sma")) / (0.015 * mad),
+    )
+    return (
+        staged.withColumn("cci", cci)
+        .drop("__rn", "__sma", "__cn", "__vals")
+        .withColumnRenamed("__tp", "tp")
+    )
+
+
 def ewm_weights(alpha: float, k: int) -> list[float]:
     """Adjusted-EWM kernel weights (1-alpha)^j, truncated to k terms."""
     w = [1.0]

@@ -1321,3 +1321,330 @@ def q_stochastic(spark, sf_dir):
             c_3 == 3, stable_round(s_3.cast("double") / 3.0, 4)
         ).alias("pct_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 indicator tier: volume-aware and daily-bar indicators.
+# ---------------------------------------------------------------------------
+
+_VBARS_CTE = """
+WITH vbars AS (
+    SELECT event_type AS ticker, ts, value AS price, event_id AS seq,
+           (user_id % 997) + 1 AS vol
+    FROM events
+)
+"""
+
+_DAILYBARS_CTE = """
+WITH dailybars AS (
+    SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
+           max(value) AS high, min(value) AS low,
+           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close
+    FROM events GROUP BY 1, 2
+)
+"""
+
+
+def _vbars(spark, sf_dir):
+    """Tick bars with a deterministic integral volume column: the events
+    table carries no volume, so ``(user_id % 997) + 1`` stands in — an
+    arbitrary-but-fixed positive BIGINT both engines derive identically."""
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("ticker"),
+        "ts",
+        F.col("value").alias("price"),
+        F.col("event_id").alias("seq"),
+        ((F.col("user_id") % 997) + 1).cast("long").alias("vol"),
+    )
+
+
+def _daily_bars(spark, sf_dir):
+    """Daily H/L/C bars per ticker (resample_ohlc at day grain)."""
+    from ..operators.timeseries import resample_ohlc
+
+    return (
+        resample_ohlc(_bars(spark, sf_dir), unit="day")
+        .withColumnRenamed("period", "day")
+        .select("ticker", "day", "high", "low", "close")
+    )
+
+
+@register(
+    "q_obv",
+    _VBARS_CTE
+    + """
+    , d AS (
+        SELECT ticker, ts, seq, vol,
+               price - lag(price) OVER (PARTITION BY ticker ORDER BY ts, seq)
+                   AS delta
+        FROM vbars
+    ), s AS (
+        SELECT ticker, ts, seq,
+               CASE WHEN delta > 0 THEN vol
+                    WHEN delta < 0 THEN -vol ELSE 0 END AS sv
+        FROM d
+    )
+    SELECT ticker, seq,
+           CAST(sum(sv) OVER (PARTITION BY ticker ORDER BY ts, seq
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS obv
+    FROM s
+    """,
+    doc="On-balance volume: running sum of sign(Δprice)·volume per "
+    "ticker. Volume is integral ((user_id % 997) + 1 — the events table "
+    "has no volume column, so a fixed derivation stands in), so the "
+    "cumulative sum stays in exact LONG arithmetic: order-insensitive, "
+    "no decimal quantization, bit-equal across engines by construction. "
+    "One (ticker, ts, seq) shuffle+sort serves the lag and the running "
+    "sum.",
+)
+def q_obv(spark, sf_dir):
+    from ..operators.indicators import with_obv
+
+    out = with_obv(_vbars(spark, sf_dir))
+    return out.select("ticker", "seq", F.col("obv").cast("long").alias("obv"))
+
+
+@register(
+    "q_atr",
+    _DAILYBARS_CTE
+    + """
+    , tr AS (
+        SELECT ticker, day,
+               CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                    ELSE greatest(high - low,
+                                  abs(high - lag(close) OVER w),
+                                  abs(low  - lag(close) OVER w)) END AS tr
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), runs AS (
+        SELECT ticker, day, tr,
+               sum(CAST(tr AS DECIMAL(18,6))) OVER run AS s,
+               count(tr) OVER run AS c
+        FROM tr
+        WINDOW run AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           floor(tr * 1000000 + 0.5) / 1000000 AS tr,
+           CASE WHEN c - coalesce(lag(c, 14) OVER base, 0) >= 14
+                THEN floor(CAST(s - coalesce(lag(s, 14) OVER base, 0) AS DOUBLE)
+                           / (c - coalesce(lag(c, 14) OVER base, 0))
+                           * 1000000 + 0.5) / 1000000 END AS atr
+    FROM runs
+    WINDOW base AS (PARTITION BY ticker ORDER BY day)
+    """,
+    doc="ATR(14) over daily H/L/C bars (resample_ohlc at day grain — "
+    "one hash aggregate, then one (ticker, day) window pass). True "
+    "range = max(H-L, |H-prev C|, |L-prev C|), degrading to H-L on each "
+    "key's first bar; ATR is the 14-day SMA of TR via the exact decimal "
+    "running-sum difference (the q_ma_rolling lowering — Wilder's "
+    "recursive smoothing is the EWMA kernel's job, like q_rsi). Null "
+    "until 14 true ranges exist.",
+)
+def q_atr(spark, sf_dir):
+    from ..operators.indicators import with_atr
+
+    out = with_atr(_daily_bars(spark, sf_dir), n=14)
+    return out.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("tr"), 6).alias("tr"),
+        stable_round(F.col("atr"), 6).alias("atr"),
+    )
+
+
+@register(
+    "q_vwap",
+    _VBARS_CTE
+    + """
+    SELECT ticker, seq,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS session,
+           floor(CAST(sum(CAST(price * vol AS DECIMAL(28,6))) OVER run
+                      AS DOUBLE)
+                 / sum(vol) OVER run * 10000 + 0.5) / 10000 AS vwap
+    FROM vbars
+    WINDOW run AS (PARTITION BY ticker, CAST(ts AS DATE) ORDER BY ts, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Anchored (intraday) VWAP: within each (ticker, session-day), "
+    "cumulative Σ(price·vol)/Σvol ordered by (ts, seq) — the running "
+    "fair-value line that resets at each session open. Σ(price·vol) "
+    "accumulates in DECIMAL (exact, order-insensitive), Σvol in LONG; "
+    "the double division happens once per row AFTER the exact sums. One "
+    "shuffle on (ticker, day): a key's sessions parallelize across "
+    "partitions — no per-ticker serialization at scale.",
+)
+def q_vwap(spark, sf_dir):
+    from ..operators.indicators import with_vwap_anchored
+
+    out = with_vwap_anchored(_vbars(spark, sf_dir))
+    return out.select(
+        "ticker",
+        "seq",
+        F.date_format("session", "yyyy-MM-dd").alias("session"),
+        stable_round(F.col("vwap"), 4).alias("vwap"),
+    )
+
+
+@register(
+    "q_donchian",
+    _BARS_CTE
+    + """
+    , ch AS (
+        SELECT ticker, ts, seq, price,
+               max(price) OVER w AS up,
+               min(price) OVER w AS lo,
+               count(price) OVER w AS c
+        FROM bars
+        WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, seq,
+           CASE WHEN c >= 20 THEN up END AS dc_upper,
+           CASE WHEN c >= 20 THEN lo END AS dc_lower,
+           CASE WHEN c >= 20
+                THEN floor((up + lo) / 2.0 * 10000 + 0.5) / 10000 END AS dc_mid,
+           CASE WHEN lag(c) OVER base >= 20
+                THEN price > lag(up) OVER base END AS breakout_up,
+           CASE WHEN lag(c) OVER base >= 20
+                THEN price < lag(lo) OVER base END AS breakout_down
+    FROM ch
+    WINDOW base AS (PARTITION BY ticker ORDER BY seq)
+    """,
+    doc="Donchian channel (20): rolling high/low/mid plus breakout flags "
+    "— price strictly beyond the PREVIOUS row's completed channel "
+    "(comparing against the current channel would be vacuous: the "
+    "current price is inside it by construction). Bounds are actual "
+    "data values (no float accumulation); channel and flags null-gate "
+    "until the window (respectively the previous row's window) is "
+    "full. Two stacked Window operators share one (ticker, ts, seq) "
+    "shuffle+sort. Oracle note: ts values are unique per ticker, so "
+    "the lag CTE orders by seq alone (q_bollinger convention).",
+)
+def q_donchian(spark, sf_dir):
+    from ..operators.indicators import with_donchian
+
+    out = with_donchian(_bars(spark, sf_dir), n=20)
+    return out.select(
+        "ticker",
+        "seq",
+        "dc_upper",
+        "dc_lower",
+        stable_round(F.col("dc_mid"), 4).alias("dc_mid"),
+        "breakout_up",
+        "breakout_down",
+    )
+
+
+@register(
+    "q_aroon",
+    _BARS_CTE
+    + """
+    , r AS (
+        SELECT ticker, ts, seq, price,
+               row_number() OVER (PARTITION BY ticker ORDER BY ts, seq) AS rn
+        FROM bars
+    ), x AS (
+        SELECT ticker, seq, rn,
+               (max([price, CAST(rn AS DOUBLE)]) OVER w)[2] AS hi_rn,
+               -((min([price, -CAST(rn AS DOUBLE)]) OVER w)[2]) AS lo_rn,
+               count(price) OVER w AS c
+        FROM r
+        WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq
+                     ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, seq,
+           CASE WHEN c >= 25
+                THEN floor(100.0 * (24 - (rn - hi_rn)) / 24 * 10000 + 0.5)
+                     / 10000 END AS aroon_up,
+           CASE WHEN c >= 25
+                THEN floor(100.0 * (24 - (rn - lo_rn)) / 24 * 10000 + 0.5)
+                     / 10000 END AS aroon_down
+    FROM x
+    """,
+    doc="Aroon up/down (25-row window): 100·(24 - rows_since_extreme)/24, "
+    "most-recent extreme on ties for BOTH sides (the high tiebreak is "
+    "free from lexicographic struct max; the low negates the row number "
+    "so min-struct also lands on the latest). The windowed ARGMAX "
+    "POSITION is max(struct(price, rn)) — an aggregate over data "
+    "values, no float accumulation — mirrored in the oracle by DuckDB's "
+    "lexicographic list max (rn < 2^53, so its DOUBLE image is exact). "
+    "Null until the window holds 25 rows.",
+)
+def q_aroon(spark, sf_dir):
+    from ..operators.indicators import with_aroon
+
+    out = with_aroon(_bars(spark, sf_dir), n=25)
+    return out.select(
+        "ticker",
+        "seq",
+        stable_round(F.col("aroon_up"), 4).alias("aroon_up"),
+        stable_round(F.col("aroon_down"), 4).alias("aroon_down"),
+    )
+
+
+@register(
+    "q_cci",
+    _DAILYBARS_CTE
+    + """
+    , t AS (
+        SELECT ticker, day, (high + low + close) / 3.0 AS tp,
+               row_number() OVER (PARTITION BY ticker ORDER BY day) AS rn
+        FROM dailybars
+    ), runs AS (
+        SELECT ticker, day, tp, rn,
+               sum(CAST(tp AS DECIMAL(18,6))) OVER run AS s,
+               count(tp) OVER run AS c,
+               list([CAST(rn AS DOUBLE), tp]) OVER w20 AS vals
+        FROM t
+        WINDOW run AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w20 AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), f AS (
+        SELECT ticker, day, tp, vals,
+               CAST(s - coalesce(lag(s, 20) OVER base, 0) AS DOUBLE)
+                   / (c - coalesce(lag(c, 20) OVER base, 0)) AS sma,
+               c - coalesce(lag(c, 20) OVER base, 0) AS cn
+        FROM runs
+        WINDOW base AS (PARTITION BY ticker ORDER BY day)
+    ), m AS (
+        SELECT ticker, day, tp, sma, cn,
+               list_reduce(list_transform(list_sort(vals),
+                                          x -> abs(x[2] - sma)),
+                           (a, b) -> a + b) / cn AS mad
+        FROM f
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           floor(tp * 1000000 + 0.5) / 1000000 AS tp,
+           CASE WHEN cn >= 20 AND mad <> 0.0
+                THEN floor((tp - sma) / (0.015 * mad) * 10000 + 0.5)
+                     / 10000 END AS cci
+    FROM m
+    """,
+    doc="CCI(20) over daily bars: (TP - SMA(TP,20)) / (0.015·MAD), "
+    "TP=(H+L+C)/3, MAD = mean absolute deviation around the window's "
+    "OWN mean. MAD cannot lower to a running-sum difference (each "
+    "row's deviations center on that row's mean), so the honest "
+    "lowering is a WINDOWED ARRAY FOLD: collect the 20-row frame "
+    "(bounded — never a skew risk), sort by row number for a canonical "
+    "order, left-fold Σ|tp - sma| in that exact order, and have the "
+    "oracle replay the same sequence (list_sort + list_transform + "
+    "list_reduce; Spark's 0.0-seeded fold and DuckDB's seedless "
+    "first-element fold are IEEE-identical since 0.0 + x == x). SMA "
+    "itself stays on the exact decimal running-sum difference. O(n) "
+    "per row — the price of the statistic, stated rather than hidden. "
+    "Null until the window is full or when MAD = 0 (flat window).",
+)
+def q_cci(spark, sf_dir):
+    from ..operators.indicators import with_cci
+
+    out = with_cci(_daily_bars(spark, sf_dir), n=20)
+    return out.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("tp"), 6).alias("tp"),
+        stable_round(F.col("cci"), 4).alias("cci"),
+    )

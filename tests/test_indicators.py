@@ -169,3 +169,134 @@ def test_zero_price_series_is_total_under_ansi(spark, tmp_path):
     assert "Z" not in beta
     # Y's single return makes the variance denominator exactly 0 -> null
     assert beta["Y"]["n_days"] == 1 and beta["Y"]["beta"] is None
+
+
+def test_obv_signed_accumulation(spark):
+    rows = [
+        # (ticker, ts, price, seq, vol)
+        ("A", "2024-01-01 10:00:00", 10.0, 0, 5),
+        ("A", "2024-01-01 10:01:00", 12.0, 1, 3),  # up   -> +3
+        ("A", "2024-01-01 10:02:00", 12.0, 2, 7),  # flat -> +0
+        ("A", "2024-01-01 10:03:00", 11.0, 3, 4),  # down -> -4
+        ("A", "2024-01-01 10:04:00", 13.0, 4, 2),  # up   -> +2
+    ]
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        with_obv,
+    )
+
+    df = spark.createDataFrame(
+        rows, "ticker string, ts string, price double, seq long, vol long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["seq"]: r["obv"] for r in with_obv(df).collect()}
+    assert got == {0: 0, 1: 3, 2: 3, 3: -1, 4: 1}
+
+
+def test_true_range_and_atr(spark):
+    rows = [
+        ("A", "2024-01-01", 12.0, 9.0, 10.0),
+        ("A", "2024-01-02", 11.0, 10.5, 11.0),  # TR = max(0.5, 1.0, 0.5) = 1.0
+        ("A", "2024-01-03", 15.0, 14.0, 14.5),  # TR = max(1.0, 4.0, 3.0) = 4.0
+    ]
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        with_atr,
+    )
+
+    df = spark.createDataFrame(
+        rows, "ticker string, day string, high double, low double, close double"
+    ).withColumn("day", F.to_date("day"))
+    out = {r["day"].isoformat(): r for r in with_atr(df, n=2).collect()}
+    assert out["2024-01-01"]["tr"] == 3.0  # first bar: H - L
+    assert out["2024-01-02"]["tr"] == 1.0
+    assert out["2024-01-03"]["tr"] == 4.0
+    assert out["2024-01-01"]["atr"] is None  # window not full
+    assert abs(out["2024-01-02"]["atr"] - 2.0) < 1e-9  # (3+1)/2
+    assert abs(out["2024-01-03"]["atr"] - 2.5) < 1e-9  # (1+4)/2
+
+
+def test_vwap_resets_per_session(spark):
+    rows = [
+        ("A", "2024-01-01 10:00:00", 10.0, 0, 2),
+        ("A", "2024-01-01 11:00:00", 20.0, 1, 2),  # vwap = (20+40)/4 = 15
+        ("A", "2024-01-02 10:00:00", 30.0, 2, 1),  # new session: vwap = 30
+    ]
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        with_vwap_anchored,
+    )
+
+    df = spark.createDataFrame(
+        rows, "ticker string, ts string, price double, seq long, vol long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["seq"]: r["vwap"] for r in with_vwap_anchored(df).collect()}
+    assert got[0] == 10.0 and got[1] == 15.0 and got[2] == 30.0
+
+
+def test_donchian_breakout_uses_previous_channel(spark):
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        with_donchian,
+    )
+
+    prices = [10.0, 12.0, 11.0, 13.0, 9.0]
+    out = {r["seq"]: r for r in with_donchian(_bars(spark, prices), n=3).collect()}
+    # channel null until 3 rows
+    assert out[1]["dc_upper"] is None and out[1]["breakout_up"] is None
+    assert out[2]["dc_upper"] == 12.0 and out[2]["dc_lower"] == 10.0
+    # seq 3: price 13 > prev channel high 12 -> breakout up
+    assert out[3]["breakout_up"] is True and out[3]["breakout_down"] is False
+    # seq 4: price 9 < prev channel low 11 -> breakout down
+    assert out[4]["dc_lower"] == 9.0
+    assert out[4]["breakout_down"] is True and out[4]["breakout_up"] is False
+
+
+def test_aroon_positions_and_tie_handling(spark):
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        with_aroon,
+    )
+
+    # window n=3: ties on the high must resolve to the MOST RECENT bar
+    prices = [5.0, 5.0, 4.0, 3.0]
+    out = {r["seq"]: r for r in with_aroon(_bars(spark, prices), n=3).collect()}
+    assert out[1]["aroon_up"] is None  # gated until 3 rows
+    # seq 2: window [5, 5, 4]; latest high at seq 1 -> 1 row back
+    assert abs(out[2]["aroon_up"] - 100.0 * (2 - 1) / 2) < 1e-9
+    # lowest 4 at seq 2 (current) -> down = 100
+    assert out[2]["aroon_down"] == 100.0
+    # seq 3: window [5, 4, 3]; high 2 back -> 0, low current -> 100
+    assert out[3]["aroon_up"] == 0.0
+    assert out[3]["aroon_down"] == 100.0
+
+
+def test_cci_matches_manual_mad(spark):
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        with_cci,
+    )
+
+    rows = [
+        ("A", "2024-01-01", 12.0, 9.0, 10.5),   # tp = 10.5
+        ("A", "2024-01-02", 13.0, 10.0, 11.5),  # tp = 11.5
+        ("A", "2024-01-03", 16.0, 13.0, 14.5),  # tp = 14.5
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, day string, high double, low double, close double"
+    ).withColumn("day", F.to_date("day"))
+    out = {r["day"].isoformat(): r for r in with_cci(df, n=3).collect()}
+    assert out["2024-01-02"]["cci"] is None  # window not full
+    tps = [10.5, 11.5, 14.5]
+    sma = sum(tps) / 3
+    mad = sum(abs(t - sma) for t in tps) / 3
+    want = (14.5 - sma) / (0.015 * mad)
+    assert abs(out["2024-01-03"]["cci"] - want) < 1e-6
+
+
+def test_cci_flat_window_is_null(spark):
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        with_cci,
+    )
+
+    rows = [
+        ("A", f"2024-01-0{i}", 5.0, 5.0, 5.0) for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, day string, high double, low double, close double"
+    ).withColumn("day", F.to_date("day"))
+    out = with_cci(df, n=3).collect()
+    assert all(r["cci"] is None for r in out)  # MAD = 0 -> undefined
