@@ -22,15 +22,24 @@ from . import media  # noqa: E402,F401
 # driver row within a few rounds. Round-8 front (from
 # tools/rotate_front.py, which now counts only hash-green rows as
 # evidence):
-#   1-10:  the round-7 additions (indicators, resample/gapfill, the
+#   1-6:   the round-8 additions (OBV/ATR/VWAP/Donchian/Aroon/CCI) —
+#          registered this round, NO driver row yet;
+#   7-16:  the round-7 additions (indicators, resample/gapfill, the
 #          mergeable sketch lifecycle) — registered mid-round-7 behind
 #          that round's front, so they have NO driver row yet;
-#   11-32: the 22 queries whose newest driver row is r05 — after this
+#   17-38: the 22 queries whose newest driver row is r05 — after this
 #          round, no query's evidence is older than r06;
-#   33-50: r06-evidence queries (name order) to fill the front.
+#   39-50: r06-evidence queries (name order) to fill the front.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all expose
 # the same full set.
 _SWEEP_FRONT = [
+    # newest driver evidence: none (registered in round 8)
+    "q_obv",
+    "q_atr",
+    "q_vwap",
+    "q_donchian",
+    "q_aroon",
+    "q_cci",
     # newest driver evidence: none (registered mid-round-7)
     "q_beta_daily",
     "q_bollinger",
@@ -78,12 +87,6 @@ _SWEEP_FRONT = [
     "q13_order_count_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_excess_quantity_suppliers",
-    "q21_sole_late_supplier",
-    "q_ann_ivf",
 ]
 
 
