@@ -523,11 +523,75 @@ def jaccard_pairs(
     max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs sharing ≥1
-    shingle, via a GROUPED inverted index: explode shingles once, prune
-    by document frequency, collect the ≤``max_shingle_df`` doc ids per
-    surviving shingle, and expand pairs map-side from each sorted list —
-    no self-join. The pair fan-out is bounded per-shingle by
-    construction (df_cap·(df_cap-1)/2) instead of by join-skew luck.
+    shingle: ``_shingle_pair_stats`` builds the shared-shingle counts,
+    jaccard = n_common / (n_a + n_b - n_common) filters them. See the
+    stats builder for the scale shape."""
+    common = _shingle_pair_stats(df, id_col, text_col, shingle_n, max_shingle_df)
+    return (
+        common.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: n-gram CONTAINMENT — the fraction of the
+    smaller document's shingles found in the other,
+    ``max(n_common/n_a, n_common/n_b)``.
+
+    This is the dedup lens symmetric Jaccard is blind to: a short
+    document quoted whole inside a long one (boilerplate wrapping,
+    quote inclusion, template expansion) has near-1 containment but
+    tiny Jaccard (the union is dominated by the long side). Same
+    inverted-index pipeline and skew guard as :func:`jaccard_pairs` —
+    the two share ``_shingle_pair_stats`` — so the scale story is
+    identical: linear in postings, never all-pairs. The ratios are
+    exact-integer divisions (bit-identical across engines); both
+    directed ratios are emitted alongside the max so a consumer can
+    tell container from containee."""
+    common = _shingle_pair_stats(df, id_col, text_col, shingle_n, max_shingle_df)
+    cont_a = F.col("n_common") / F.col("n_a")
+    cont_b = F.col("n_common") / F.col("n_b")
+    return (
+        common.withColumns(
+            {
+                "cont_a_in_b": cont_a,
+                "cont_b_in_a": cont_b,
+                "containment": F.greatest(cont_a, cont_b),
+            }
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b", "n_common",
+            "cont_a_in_b", "cont_b_in_a", "containment",
+        )
+    )
+
+
+def _shingle_pair_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """Shared-shingle pair statistics ``(id_a, id_b, n_common, n_a,
+    n_b)`` for every candidate pair sharing ≥1 surviving shingle, via a
+    GROUPED inverted index: explode shingles once, prune by document
+    frequency, collect the ≤``max_shingle_df`` doc ids per surviving
+    shingle, and expand pairs map-side from each sorted list — no
+    self-join. The pair fan-out is bounded per-shingle by construction
+    (df_cap·(df_cap-1)/2) instead of by join-skew luck.
 
     ``max_shingle_df`` drops shingles occurring in more than N documents
     BEFORE the collect (the skew guard from dedup literature: a stopword
@@ -540,13 +604,14 @@ def jaccard_pairs(
 
     Per-doc set sizes ride INSIDE the inverted index: a window count
     over ``partitionBy(id)`` attaches ``n_sh`` before grouping, so each
-    expanded pair already carries both sizes and the Jaccard ratio needs
-    NO join after pair aggregation. The joinless form trades one extra
-    shuffle of the pruned shingle set for two shuffles of the PAIR
-    stream — the largest intermediate at corpus scale (up to
-    df_cap·(df_cap−1)/2 pairs per shingle vs df_cap rows). The whole
-    plan is one linear chain (explode → df-prune → size → group →
-    expand → aggregate), so nothing needs checkpointing."""
+    expanded pair already carries both sizes and the downstream ratio
+    (Jaccard or containment) needs NO join after pair aggregation. The
+    joinless form trades one extra shuffle of the pruned shingle set
+    for two shuffles of the PAIR stream — the largest intermediate at
+    corpus scale (up to df_cap·(df_cap−1)/2 pairs per shingle vs df_cap
+    rows). The whole plan is one linear chain (explode → df-prune →
+    size → group → expand → aggregate), so nothing needs
+    checkpointing."""
     from pyspark.sql import Window
 
     sh = df.select(
@@ -603,14 +668,7 @@ def jaccard_pairs(
             F.max("n_b").alias("n_b"),
         )
     )
-    return (
-        common.withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
-    )
+    return common
 
 
 def connected_components(

@@ -22,18 +22,19 @@ from . import media  # noqa: E402,F401
 # driver row within a few rounds. Round-8 front (from
 # tools/rotate_front.py, which now counts only hash-green rows as
 # evidence):
-#   1-6:   the round-8 additions (OBV/ATR/VWAP/Donchian/Aroon/CCI) —
-#          registered this round, NO driver row yet;
-#   7-16:  the round-7 additions (indicators, resample/gapfill, the
+#   1-7:   the round-8 additions (containment dedup + the six new
+#          indicators) — registered this round, NO driver row yet;
+#   8-17:  the round-7 additions (indicators, resample/gapfill, the
 #          mergeable sketch lifecycle) — registered mid-round-7 behind
 #          that round's front, so they have NO driver row yet;
-#   17-38: the 22 queries whose newest driver row is r05 — after this
+#   18-39: the 22 queries whose newest driver row is r05 — after this
 #          round, no query's evidence is older than r06;
-#   39-50: r06-evidence queries (name order) to fill the front.
+#   40-50: r06-evidence queries (name order) to fill the front.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all expose
 # the same full set.
 _SWEEP_FRONT = [
     # newest driver evidence: none (registered in round 8)
+    "q_ngram_containment",
     "q_obv",
     "q_atr",
     "q_vwap",
@@ -86,7 +87,6 @@ _SWEEP_FRONT = [
     "q12_late_shipment_priority",
     "q13_order_count_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
 ]
 
 

@@ -1228,3 +1228,52 @@ def q_split_leakage(spark, sf_dir):
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@register(
+    "q_ngram_containment",
+    rf"""
+    WITH {_JACCARD_PAIRS_CTES},
+    contained AS (
+        SELECT id_a, id_b, n_common,
+               CAST(n_common AS DOUBLE) / sa.n_sh AS cont_a_in_b,
+               CAST(n_common AS DOUBLE) / sb.n_sh AS cont_b_in_a
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, n_common,
+           round(cont_a_in_b, 6) AS cont_a_in_b,
+           round(cont_b_in_a, 6) AS cont_b_in_a,
+           round(greatest(cont_a_in_b, cont_b_in_a), 6) AS containment
+    FROM contained
+    WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
+    """,
+    doc="ASYMMETRIC near-dup: n-gram CONTAINMENT — "
+    "max(n_common/n_a, n_common/n_b), the fraction of the smaller "
+    "document's shingles found in the other. The dedup lens symmetric "
+    "Jaccard is blind to: a short document quoted whole inside a long "
+    "one has near-1 containment but tiny Jaccard (the union is "
+    "dominated by the long side). Shares the inverted-index pipeline "
+    "and >100-doc shingle DF skew guard with q_near_dup_jaccard "
+    "(operators.dedup._shingle_pair_stats — linear in postings, never "
+    "all-pairs); the ratios are exact-integer divisions, bit-identical "
+    "across engines. Both directed ratios are emitted so a consumer "
+    "can tell container from containee.",
+)
+def q_ngram_containment(spark, sf_dir):
+    from ..operators.dedup import containment_pairs
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pairs = containment_pairs(
+        d, id_col="doc_id", text_col="text", shingle_n=3, threshold=0.5,
+        max_shingle_df=100,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        F.round("cont_a_in_b", 6).alias("cont_a_in_b"),
+        F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
+        F.round("containment", 6).alias("containment"),
+    )

@@ -797,3 +797,36 @@ def test_kll_merged_quantiles_total_on_empty_input(spark):
     row = kll_merged_quantiles(sk, [0.5, 0.9]).collect()
     assert len(row) == 1
     assert row[0]["q_0"] is None and row[0]["q_1"] is None
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment ~1 for
+    the pair, Jaccard tiny (union dominated by the long side). The
+    containment lens must emit the pair; symmetric Jaccard at the same
+    strictness must not."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} word{i} unique{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, filler + " " + quote + " " + filler.replace("filler", "tail")),
+        (3, "a completely unrelated document body with other words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cont = {(r["id_a"], r["id_b"]): r for r in containment_pairs(
+        df, threshold=0.5).collect()}
+    assert (1, 2) in cont
+    r = cont[(1, 2)]
+    # doc 1 is the contained side: every one of its shingles is in doc 2
+    assert r["cont_a_in_b"] == 1.0
+    assert r["cont_b_in_a"] < 0.2
+    assert r["containment"] == 1.0
+
+    jac = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(
+        df, threshold=0.5).collect()}
+    assert (1, 2) not in jac  # symmetric Jaccard is blind to it
