@@ -1277,3 +1277,93 @@ def q_ngram_containment(spark, sf_dir):
         F.round("cont_b_in_a", 6).alias("cont_b_in_a"),
         F.round("containment", 6).alias("containment"),
     )
+
+
+@register(
+    "q_bloom_decontaminate",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), eval_grams AS (
+        SELECT DISTINCT s FROM (
+            SELECT unnest({_SHINGLES5_SQL}) AS s
+            FROM w WHERE doc_id % 53 = 0 AND len(toks) >= 5
+        )
+    ), train AS (
+        SELECT doc_id, list_distinct({_SHINGLES5_SQL}) AS grams
+        FROM w WHERE doc_id % 53 <> 0 AND len(toks) >= 5
+    ), sh AS (
+        SELECT doc_id, unnest(grams) AS s FROM train
+    ), hits AS (
+        SELECT doc_id, count(*) AS n_hits
+        FROM sh JOIN eval_grams USING (s)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.grams) AS n_grams,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(t.grams), 6)
+               AS hit_frac,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(t.grams) >= 0.05
+               AS is_contaminated
+    FROM train t LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Decontamination, BLOOM-PREFILTERED scale path: q_decontaminate's "
+    "exact semantics through a different physical strategy for the case "
+    "where the eval n-gram set outgrows a broadcast-join hash table "
+    "(~50+ bytes/entry) but a bit-packed Bloom filter (~10 bits/key) "
+    "still fits. Build: k=4 xxhash64 positions per eval gram folded into "
+    "64-bit words by a bit_or hash aggregate — the driver collects at "
+    "most m/64 = 4096 rows (the BITMAP size, not the eval-set size). "
+    "Probe: the bitmap rides the plan as an array<bigint> literal and "
+    "each corpus gram is k element_at+shift+mask tests — pure JVM "
+    "codegen, no join, no corpus-side shuffle. Survivors (true hits + "
+    "~(1-e^(-kn/m))^k false positives) then pass the exact broadcast "
+    "confirm join: no false negatives by construction, so the final "
+    "answer is EXACT and the oracle is the plain exact SQL — the "
+    "hash-parity check proves the prefilter preserved semantics. "
+    "operators/bloom.py.",
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    from ..operators.bloom import bloom_build, bloom_might_contain
+
+    M_BITS, K = 1 << 18, 4
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toksed = d.select("doc_id", T.tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 5
+    )
+    base = toksed.select(
+        "doc_id",
+        F.array_distinct(T.shingles_from_tokens(F.col("toks"), 5)).alias("grams"),
+    ).localCheckpoint()
+    eval_grams = (
+        base.where(F.col("doc_id") % 53 == 0)
+        .select(F.explode("grams").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    words = bloom_build(eval_grams, col="s", m_bits=M_BITS, k=K)
+    train = base.where(F.col("doc_id") % 53 != 0)
+    candidates = train.select("doc_id", F.explode("grams").alias("s")).where(
+        bloom_might_contain(F.col("s"), words, m_bits=M_BITS, k=K)
+    )
+    hits = (
+        candidates.join(F.broadcast(eval_grams), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    frac = n_hits.cast("double") / F.size("grams")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            n_hits.alias("n_hits"),
+            F.round(frac, 6).alias("hit_frac"),
+            (frac >= 0.05).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
