@@ -476,3 +476,168 @@ def rsi_per_key_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+OBV_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("price", DoubleType()),
+        StructField("obv", LongType()),
+    ]
+)
+
+OBV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("price", DoubleType()),
+        StructField("obv", LongType()),
+    ]
+)
+
+
+def _obv_step(
+    key0: str,
+    last_seq: int,
+    last_price: float | None,
+    obv: int,
+    parts: list[pd.DataFrame],
+) -> pd.DataFrame | None:
+    """One micro-batch of streaming OBV: obv += sign(Δprice)·vol, seeded
+    from state. Same replay discipline as _ewma_step (rows at or before
+    the last processed seq dropped; in-batch duplicate seqs collapsed to
+    their first copy), and the same exactness as the batch operator —
+    the accumulator is an INT, so streaming and batch agree bit-for-bit,
+    not just to tolerance. Returns the output frame (its last row is the
+    new state) or None when nothing advanced."""
+    if not parts:
+        return None
+    pdf = pd.concat(parts).sort_values("seq", kind="mergesort")
+    pdf = pdf[pdf["seq"] > last_seq]
+    pdf = pdf.drop_duplicates(subset=["seq"], keep="first")
+    if pdf.empty:
+        return None
+    out_obv = []
+    prev = last_price
+    acc = obv
+    for price, vol in zip(pdf["price"].astype(float), pdf["vol"].astype(int)):
+        if prev is not None:
+            if price > prev:
+                acc += vol
+            elif price < prev:
+                acc -= vol
+        prev = price
+        out_obv.append(acc)
+    return pd.DataFrame(
+        {
+            "key": key0,
+            "seq": pdf["seq"].astype("int64").to_numpy(),
+            "price": pdf["price"].astype(float).to_numpy(),
+            "obv": pd.array(out_obv, dtype="int64"),
+        }
+    )
+
+
+def _obv_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """State per key is ONE (seq, price, obv) triple — O(live keys)
+    whatever the stream length, the streaming-native form of the batch
+    running sum (operators/indicators.with_obv)."""
+    last_seq, last_price, obv = state.get if state.exists else (-1, None, 0)
+    out = _obv_step(
+        key[0], last_seq, last_price, obv, [p for p in pdfs if not p.empty]
+    )
+    if out is None:
+        return
+    state.update(
+        (
+            int(out["seq"].iloc[-1]),
+            float(out["price"].iloc[-1]),
+            int(out["obv"].iloc[-1]),
+        )
+    )
+    yield out
+
+
+def obv_per_key_stateful(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """Streaming twin of ``operators.indicators.with_obv``: per-key
+    on-balance volume via applyInPandasWithState. Input columns:
+    (key, seq, price, vol). Integer accumulation makes the twin
+    BIT-EQUAL to the batch operator over the same rows."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _obv_fn,
+        outputStructType=OBV_OUTPUT_SCHEMA,
+        stateStructType=OBV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+VWAP_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("pv", DoubleType()),
+        StructField("v", LongType()),
+    ]
+)
+
+VWAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session", StringType()),
+        StructField("seq", LongType()),
+        StructField("price", DoubleType()),
+        StructField("vwap", DoubleType()),
+    ]
+)
+
+
+def _vwap_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Anchored VWAP, streaming form: state is one (seq, Σpv, Σv)
+    triple per (key, session) group — the session anchor IS part of the
+    grouping key, so the reset-at-open semantics of the batch operator
+    (operators.indicators.with_vwap_anchored) fall out of state scoping
+    rather than windowing; an ended session's state simply stops
+    receiving rows. Same replay discipline as the other kernels."""
+    last_seq, pv, v = state.get if state.exists else (-1, 0.0, 0)
+    parts = [p for p in pdfs if not p.empty]
+    if not parts:
+        return
+    pdf = pd.concat(parts).sort_values("seq", kind="mergesort")
+    pdf = pdf[pdf["seq"] > last_seq]
+    pdf = pdf.drop_duplicates(subset=["seq"], keep="first")
+    if pdf.empty:
+        return
+    out_vwap = []
+    for price, vol in zip(pdf["price"].astype(float), pdf["vol"].astype(int)):
+        pv += price * vol
+        v += vol
+        out_vwap.append(pv / v)
+    state.update((int(pdf["seq"].iloc[-1]), float(pv), int(v)))
+    yield pd.DataFrame(
+        {
+            "key": key[0],
+            "session": key[1],
+            "seq": pdf["seq"].astype("int64").to_numpy(),
+            "price": pdf["price"].astype(float).to_numpy(),
+            "vwap": out_vwap,
+        }
+    )
+
+
+def vwap_per_key_stateful(
+    stream: DataFrame, key_col: str = "key", session_col: str = "session"
+) -> DataFrame:
+    """Streaming twin of ``operators.indicators.with_vwap_anchored``:
+    running Σ(price·vol)/Σvol per (key, session). Input columns:
+    (key, session, seq, price, vol)."""
+    return stream.groupBy(key_col, session_col).applyInPandasWithState(
+        _vwap_fn,
+        outputStructType=VWAP_OUTPUT_SCHEMA,
+        stateStructType=VWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

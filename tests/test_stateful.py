@@ -362,3 +362,137 @@ def test_rsi_stateful_matches_wilder_reference_across_batches(spark, tmp_path):
             assert r["rsi"] is None
         else:
             assert abs(r["rsi"] - e) < 1e-12
+
+
+def test_obv_stateful_bit_equal_to_batch_across_batches(spark, tmp_path):
+    """Streaming OBV must be BIT-EQUAL to the batch operator over the
+    concatenated series (integer accumulator — no tolerance), with
+    state seeding across micro-batches and both replay shapes dropped."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.operators.indicators import (
+        with_obv,
+    )
+    from market_analyze_data_stream_processing_spark.streaming.stateful import (
+        obv_per_key_stateful,
+    )
+
+    d = tmp_path / "in_obv"
+    d.mkdir()
+    series = [  # (seq, price, vol)
+        (1, 10.0, 5), (2, 12.0, 3), (3, 12.0, 7), (4, 11.0, 4), (5, 13.0, 2),
+    ]
+    schema = "key string, seq long, price double, vol long"
+    (d / "b0.json").write_text(
+        "\n".join(
+            json.dumps({"key": "A", "seq": s, "price": p, "vol": v})
+            for s, p, v in series[:2]
+        )
+    )
+    (d / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"key": "A", "seq": 2, "price": 99.0, "vol": 9},  # replay
+                {"key": "A", "seq": 3, "price": 12.0, "vol": 7},
+                {"key": "A", "seq": 4, "price": 11.0, "vol": 4},
+                {"key": "A", "seq": 4, "price": 99.0, "vol": 9},  # in-batch dup
+            ]
+        )
+    )
+    (d / "b2.json").write_text(
+        json.dumps({"key": "A", "seq": 5, "price": 13.0, "vol": 2})
+    )
+    now = time.time()
+    for i, f in enumerate(["b0.json", "b1.json", "b2.json"]):
+        os.utime(d / f, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        obv_per_key_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("obv_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_obv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM obv_state ORDER BY seq").collect()
+    assert len(rows) == len(series)
+    assert not any(r["price"] == 99.0 for r in rows)
+
+    batch = spark.createDataFrame(
+        [("A", f"2024-01-01 10:{s:02d}:00", p, s, v) for s, p, v in series],
+        "ticker string, ts string, price double, seq long, vol long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expect = {r["seq"]: r["obv"] for r in with_obv(batch).collect()}
+    for r in rows:
+        assert r["obv"] == expect[r["seq"]]  # exact, not approximate
+
+
+def test_vwap_stateful_resets_per_session(spark, tmp_path):
+    """Anchored VWAP: the session anchor is part of the state key, so a
+    new session starts a fresh accumulator while the old one's rows
+    (arriving late in the same stream) still extend the old state."""
+    import os
+    import time
+
+    from market_analyze_data_stream_processing_spark.streaming.stateful import (
+        vwap_per_key_stateful,
+    )
+
+    d = tmp_path / "in_vwap"
+    d.mkdir()
+    schema = "key string, session string, seq long, price double, vol long"
+    (d / "b0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"key": "A", "session": "d1", "seq": 1, "price": 10.0, "vol": 2},
+                {"key": "A", "session": "d1", "seq": 2, "price": 20.0, "vol": 2},
+            ]
+        )
+    )
+    (d / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                # new session resets; old session's late row continues
+                {"key": "A", "session": "d2", "seq": 3, "price": 30.0, "vol": 1},
+                {"key": "A", "session": "d1", "seq": 4, "price": 40.0, "vol": 4},
+            ]
+        )
+    )
+    now = time.time()
+    for i, f in enumerate(["b0.json", "b1.json"]):
+        os.utime(d / f, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        vwap_per_key_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("vwap_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_vwap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["session"], r["seq"]): r["vwap"]
+        for r in spark.sql("SELECT * FROM vwap_state").collect()
+    }
+    assert got[("d1", 1)] == 10.0
+    assert got[("d1", 2)] == (10.0 * 2 + 20.0 * 2) / 4
+    assert got[("d2", 3)] == 30.0  # fresh accumulator
+    assert got[("d1", 4)] == (10.0 * 2 + 20.0 * 2 + 40.0 * 4) / 8
