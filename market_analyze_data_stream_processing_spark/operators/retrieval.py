@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import composite_relevance, time_decay
+from ..functions.text import tokens
 from ..functions.vectors import as_double, cosine_sim, lit_vector
 
 
@@ -180,3 +181,67 @@ def assemble_context(
         )
     dominant = route.ticker or rows[0]["ticker"]
     return header + "\n\n".join(r["context_block"] for r in rows) + "\n\n", dominant
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 scoring of a whole corpus against a term set — the
+    lexical retrieval leg a RAG stack runs beside the vector kNN
+    (``knn_exact``), here as one declarative plan:
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    with the Robertson idf ``ln((N-df+0.5)/(df+0.5) + 1)``.
+
+    Plan shape, scan-out: tokenize once; (N, avgdl) is a ONE-row
+    aggregate broadcast onto the stream (the scalar-subquery form — the
+    allowlisted 1-row NLJ, never a real cross join); term frequencies
+    come from one explode filtered TO THE QUERY TERMS at the scan (the
+    filter prunes the exploded stream to |terms| matches per doc before
+    any shuffle); per-term document frequencies are a |terms|-row
+    aggregate joined back by broadcast. Per-doc summation casts each
+    term's partial to DECIMAL(18,8) so the sum is order-insensitive —
+    bit-reproducible whatever the aggregation order, same convention as
+    the indicator running sums. Output: one row per document matching
+    ≥1 term (doc_id, n_matched, bm25)."""
+    terms = [str(t) for t in query_terms]
+    toksed = docs.select(id_col, tokens(F.col(text_col)).alias("toks"))
+    base = toksed.select(id_col, "toks", F.size("toks").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("toks").alias("s"))
+        .where(F.col("s").isin(terms))
+        .groupBy(id_col, "dl", "s")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    part = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_), "s")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, part.cast("decimal(18,8)").alias("__p"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("__p").cast("double").alias("bm25"),
+        )
+    )

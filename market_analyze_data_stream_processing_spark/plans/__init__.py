@@ -22,20 +22,21 @@ from . import media  # noqa: E402,F401
 # driver row within a few rounds. Round-8 front (from
 # tools/rotate_front.py, which now counts only hash-green rows as
 # evidence):
-#   1-8:   the round-8 additions (bloom decontamination, containment
-#          dedup, six indicators) — registered this round, NO driver
-#          row yet;
-#   9-18:  the round-7 additions (indicators, resample/gapfill, the
+#   1-9:   the round-8 additions (bloom decontamination, BM25,
+#          containment dedup, six indicators) — registered this round,
+#          NO driver row yet;
+#   10-19: the round-7 additions (indicators, resample/gapfill, the
 #          mergeable sketch lifecycle) — registered mid-round-7 behind
 #          that round's front, so they have NO driver row yet;
-#   19-40: the 22 queries whose newest driver row is r05 — after this
+#   20-41: the 22 queries whose newest driver row is r05 — after this
 #          round, no query's evidence is older than r06;
-#   41-50: r06-evidence queries (name order) to fill the front.
+#   42-50: r06-evidence queries (name order) to fill the front.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all expose
 # the same full set.
 _SWEEP_FRONT = [
     # newest driver evidence: none (registered in round 8)
     "q_bloom_decontaminate",
+    "q_bm25",
     "q_ngram_containment",
     "q_obv",
     "q_atr",
@@ -87,7 +88,6 @@ _SWEEP_FRONT = [
     "q10_returned_items",
     "q11_important_parts",
     "q12_late_shipment_priority",
-    "q13_order_count_distribution",
 ]
 
 

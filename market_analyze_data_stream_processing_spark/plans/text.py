@@ -1367,3 +1367,58 @@ def q_bloom_decontaminate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_bm25",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), base AS (
+        SELECT doc_id, toks, len(toks) AS dl FROM w
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base
+    ), tf AS (
+        SELECT doc_id, dl, s, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS s FROM base)
+        WHERE s IN ('hash', 'join', 'vector')
+        GROUP BY doc_id, dl, s
+    ), df AS (
+        SELECT s, count(*) AS df FROM tf GROUP BY s
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                    * tf.tf * (1.2 + 1.0)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+                    AS DECIMAL(18,8)) AS part
+        FROM tf JOIN df USING (s) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_matched,
+           round(CAST(sum(part) AS DOUBLE), 4) AS bm25
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Okapi BM25 corpus scoring for the query terms "
+    "('hash', 'join', 'vector') — the lexical retrieval leg beside the "
+    "vector kNN (q_knn_exact) in a hybrid RAG stack. Robertson idf "
+    "ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75. Plan shape: tokenize "
+    "once; (N, avgdl) is a 1-row aggregate broadcast (the allowlisted "
+    "scalar-subquery NLJ); the explode is filtered TO THE QUERY TERMS "
+    "before any shuffle, so the shuffled stream is |terms| matches per "
+    "doc, not the token stream; per-term document frequencies are a "
+    "|terms|-row broadcast join. Per-term partials cast to "
+    "DECIMAL(18,8) so the per-doc sum is order-insensitive — "
+    "bit-reproducible whatever Spark's aggregation order (ln precedent: "
+    "q_unigram_logprob).",
+)
+def q_bm25(spark, sf_dir):
+    from ..operators.retrieval import bm25_scores
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    out = bm25_scores(d, ["hash", "join", "vector"], k1=1.2, b=0.75)
+    return out.select(
+        "doc_id",
+        "n_matched",
+        F.round("bm25", 4).alias("bm25"),
+    ).orderBy("doc_id")

@@ -113,3 +113,30 @@ def test_context_assembly_empty_window_alert(docs):
     ctx, dominant = assemble_context(top, route, "now")
     assert "SYSTEM ALERT: No data found" in ctx
     assert dominant == "MC.PA"
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 sanity on a handcrafted corpus: more occurrences of a term
+    rank higher at equal length; a rarer term outweighs a common one at
+    equal tf; unmatched docs are absent."""
+    from market_analyze_data_stream_processing_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    rows = [
+        (1, "alpha alpha alpha filler filler filler"),
+        (2, "alpha filler filler filler filler filler"),
+        (3, "beta filler filler filler filler filler"),   # beta is rarer
+        (4, "gamma filler filler filler filler filler"),  # matches nothing
+        (5, "alpha beta filler filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bm25_scores(
+        df, ["alpha", "beta"]).collect()}
+    assert 4 not in got
+    assert got[1]["bm25"] > got[2]["bm25"]  # tf=3 beats tf=1, same dl
+    # beta: df=2, alpha: df=3 -> beta's idf higher at equal tf and dl
+    assert got[3]["bm25"] > got[2]["bm25"]
+    assert got[5]["n_matched"] == 2
+    # two matched terms beat either single match of the same shape
+    assert got[5]["bm25"] > got[2]["bm25"] and got[5]["bm25"] > got[3]["bm25"]

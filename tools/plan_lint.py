@@ -79,6 +79,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_unigram_logprob": {
         "NLJ": "1-row corpus-total token count broadcast for log-prob normalization",
     },
+    "q_bm25": {
+        "NLJ": "1-row (N, avgdl) corpus-stats aggregate broadcast (scalar subquery form)",
+    },
     "q_near_dup_pipeline": {
         "NLJ": "contract row: 1-row coverage and soundness aggregates cross-joined",
     },
