@@ -1317,7 +1317,7 @@ def q_ngram_containment(spark, sf_dir):
     "still fits. Build: k=4 xxhash64 positions per eval gram folded into "
     "64-bit words by a bit_or hash aggregate — the driver collects at "
     "most m/64 = 4096 rows (the BITMAP size, not the eval-set size). "
-    "Probe: the bitmap rides the plan as an array<bigint> literal and "
+    "Probe: the bitmap ships as a 1-row broadcast column (a large array LITERAL is re-materialized per row — measured 5x slower) and "
     "each corpus gram is k element_at+shift+mask tests — pure JVM "
     "codegen, no join, no corpus-side shuffle. Survivors (true hits + "
     "~(1-e^(-kn/m))^k false positives) then pass the exact broadcast "
@@ -1327,7 +1327,7 @@ def q_ngram_containment(spark, sf_dir):
     "operators/bloom.py.",
 )
 def q_bloom_decontaminate(spark, sf_dir):
-    from ..operators.bloom import bloom_build, bloom_might_contain
+    from ..operators.bloom import bloom_build, bloom_prefilter
 
     M_BITS, K = 1 << 18, 4
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -1346,8 +1346,9 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
     words = bloom_build(eval_grams, col="s", m_bits=M_BITS, k=K)
     train = base.where(F.col("doc_id") % 53 != 0)
-    candidates = train.select("doc_id", F.explode("grams").alias("s")).where(
-        bloom_might_contain(F.col("s"), words, m_bits=M_BITS, k=K)
+    candidates = bloom_prefilter(
+        train.select("doc_id", F.explode("grams").alias("s")),
+        "s", words, m_bits=M_BITS, k=K,
     )
     hits = (
         candidates.join(F.broadcast(eval_grams), "s")

@@ -56,10 +56,9 @@ def test_prefilter_plus_confirm_is_exact_despite_false_positives(spark):
     assert confirmed == exact
 
 
-def test_probe_is_join_free(spark):
-    """The bitmap probe must be a scan-level expression: no join node in
-    the prefilter plan (the whole point — the 100 TB side never
-    shuffles for the Bloom stage)."""
+def test_literal_probe_is_join_free(spark):
+    """The expression-form probe is a pure scan-level filter: no join,
+    no exchange (the small-bitmap fast path)."""
     keys = spark.createDataFrame([("a",), ("b",)], ["s"])
     words = bloom_build(keys, m_bits=1 << 12, k=3)
     plan = (
@@ -70,3 +69,29 @@ def test_probe_is_join_free(spark):
         .toString()
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_prefilter_never_shuffles_the_corpus(spark):
+    """bloom_prefilter ships the bitmap as a 1-row broadcast: the only
+    join is the broadcast attach (no shuffle Exchange anywhere, no
+    corpus-side movement), and it agrees with the literal-form probe."""
+    from market_analyze_data_stream_processing_spark.operators.bloom import (
+        bloom_prefilter,
+    )
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["s"])
+    words = bloom_build(keys, m_bits=1 << 14, k=4)
+    corpus = spark.createDataFrame(
+        [(f"k{i}",) for i in range(100)], ["s"]
+    )
+    pre = bloom_prefilter(corpus, "s", words, m_bits=1 << 14, k=4)
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # no shuffle
+    lit_rows = {
+        r["s"]
+        for r in corpus.where(
+            bloom_might_contain(F.col("s"), words, m_bits=1 << 14, k=4)
+        ).collect()
+    }
+    assert {r["s"] for r in pre.collect()} == lit_rows
+    assert pre.columns == ["s"]  # helper column dropped

@@ -82,6 +82,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_bm25": {
         "NLJ": "1-row (N, avgdl) corpus-stats aggregate broadcast (scalar subquery form)",
     },
+    "q_bloom_decontaminate": {
+        "NLJ": "1-row bloom-bitmap broadcast attach (bloom_prefilter; a large array literal re-materializes per row)",
+    },
     "q_near_dup_pipeline": {
         "NLJ": "contract row: 1-row coverage and soundness aggregates cross-joined",
     },
