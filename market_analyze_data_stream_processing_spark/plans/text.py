@@ -1397,7 +1397,7 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
     SELECT doc_id,
            count(*)::BIGINT AS n_matched,
-           round(CAST(sum(part) AS DOUBLE), 4) AS bm25
+           floor(CAST(sum(part) AS DOUBLE) * 10000 + 0.5) / 10000 AS bm25
     FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
     doc="Okapi BM25 corpus scoring for the query terms "
@@ -1414,6 +1414,7 @@ def q_bloom_decontaminate(spark, sf_dir):
     "q_unigram_logprob).",
 )
 def q_bm25(spark, sf_dir):
+    from ..functions.scalars import stable_round
     from ..operators.retrieval import bm25_scores
 
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -1421,5 +1422,5 @@ def q_bm25(spark, sf_dir):
     return out.select(
         "doc_id",
         "n_matched",
-        F.round("bm25", 4).alias("bm25"),
+        stable_round(F.col("bm25"), 4).alias("bm25"),
     ).orderBy("doc_id")
