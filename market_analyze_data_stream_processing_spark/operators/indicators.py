@@ -351,6 +351,160 @@ def with_cci(
     )
 
 
+def with_williams_r(
+    daily: DataFrame,
+    n: int = 14,
+    key: str = "ticker",
+    day: str = "day",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Williams %R(n): -100 · (HH - C) / (HH - LL) over the n-bar
+    rolling highest-high / lowest-low. Bounds are actual data values
+    (frame max/min — no accumulation), so the quotient is a fixed-order
+    double expression. Null until n bars exist and on a flat window
+    (HH == LL: %R undefined)."""
+    base = Window.partitionBy(key).orderBy(day)
+    frame = base.rowsBetween(-(n - 1), 0)
+    hh = F.max(high).over(frame)
+    ll = F.min(low).over(frame)
+    c_n = F.count(close).over(frame)
+    willr = F.when(
+        (c_n >= n) & (hh != ll),
+        F.lit(-100.0) * (hh - F.col(close)) / (hh - ll),
+    )
+    return daily.withColumn("willr", willr)
+
+
+def with_mfi(
+    daily: DataFrame,
+    n: int = 14,
+    key: str = "ticker",
+    day: str = "day",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    vol: str = "vol",
+) -> DataFrame:
+    """Money Flow Index(n) over daily bars with volume: a volume-
+    weighted RSI on the typical price TP = (H+L+C)/3.
+
+    Works on 3·TP = H+L+C throughout — the common factor cancels in
+    posMF/negMF, and H+L+C is exact in double for fixed-point prices,
+    so raw money flow (H+L+C)·vol casts to DECIMAL losslessly and the
+    rolling sums use the exact running-sum-difference lowering. Null
+    until n TP-deltas exist; zero negative flow ⇒ 100 (50 when both
+    flows are zero — flat window)."""
+    base = Window.partitionBy(key).orderBy(day)
+    tp3 = F.col(high) + F.col(low) + F.col(close)
+    delta = tp3 - F.lag(tp3).over(base)
+    mf = (tp3 * F.col(vol)).cast("decimal(28,6)")
+    staged = daily.withColumns(
+        {
+            "__pos": F.when(delta > 0, mf).otherwise(F.lit(0).cast("decimal(28,6)")),
+            "__neg": F.when(delta < 0, mf).otherwise(F.lit(0).cast("decimal(28,6)")),
+            "__has": delta.isNotNull().cast("long"),
+        }
+    )
+    sp = _running(base, F.col("__pos"), "decimal(38,6)")
+    sn = _running(base, F.col("__neg"), "decimal(38,6)")
+    sh = _running(base, F.col("__has"), "long")
+    zero = F.lit(0).cast("decimal(38,6)")
+    p_n = _frame_diff(base, sp, n, zero).cast("double")
+    n_n = _frame_diff(base, sn, n, zero).cast("double")
+    h_n = sh - F.coalesce(F.lag(sh, n).over(base), F.lit(0))
+    mfi = F.when(h_n < n, F.lit(None).cast("double")).otherwise(
+        F.when(n_n == 0.0, F.when(p_n == 0.0, 50.0).otherwise(100.0)).otherwise(
+            100.0 - 100.0 / (1.0 + p_n / n_n)
+        )
+    )
+    return staged.withColumn("mfi", mfi).drop("__pos", "__neg", "__has")
+
+
+def with_ichimoku(
+    bars: DataFrame,
+    n_tenkan: int = 9,
+    n_kijun: int = 26,
+    n_senkou: int = 52,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "price",
+    seq: str = "seq",
+) -> DataFrame:
+    """Ichimoku cloud at bar grain (periods are in bars): tenkan /
+    kijun are rolling (max+min)/2 midlines over 9/26 bars; senkou A =
+    (tenkan+kijun)/2 and senkou B = 52-bar midline, both DISPLACED
+    forward 26 bars (lag — today's cloud was computed 26 bars ago);
+    chikou = price displaced backward (lead 26). Every value is a
+    midpoint of actual frame extrema — no accumulation anywhere, one
+    shuffle + one sort shared by all six windows."""
+    base = Window.partitionBy(key).orderBy(ts, seq)
+
+    def midline(n: int) -> Column:
+        frame = base.rowsBetween(-(n - 1), 0)
+        return F.when(
+            F.count(price).over(frame) >= n,
+            (F.max(price).over(frame) + F.min(price).over(frame)) / 2.0,
+        )
+
+    tenkan = midline(n_tenkan)
+    kijun = midline(n_kijun)
+    staged = bars.withColumns({"__tenkan": tenkan, "__kijun": kijun,
+                               "__mid_s": midline(n_senkou)})
+    senkou_a = F.lag((F.col("__tenkan") + F.col("__kijun")) / 2.0, n_kijun).over(base)
+    senkou_b = F.lag(F.col("__mid_s"), n_kijun).over(base)
+    chikou = F.lead(price, n_kijun).over(base)
+    return (
+        staged.withColumns(
+            {
+                "tenkan": F.col("__tenkan"),
+                "kijun": F.col("__kijun"),
+                "senkou_a": senkou_a,
+                "senkou_b": senkou_b,
+                "chikou": chikou,
+            }
+        )
+        .drop("__tenkan", "__kijun", "__mid_s")
+    )
+
+
+def with_keltner(
+    daily: DataFrame,
+    n_ma: int = 10,
+    n_atr: int = 10,
+    k: float = 2.0,
+    key: str = "ticker",
+    day: str = "day",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Keltner channel, SMA form: basis = SMA(typical price, n_ma),
+    bands = basis ± k·ATR(n_atr) (the EMA-basis variant is the EWMA
+    kernel's job, like Wilder RSI/ATR). Works on 3·TP = H+L+C (exact
+    in double for fixed-point prices → lossless DECIMAL running sums);
+    the /3 happens once, after the exact frame difference. Bands are
+    null until BOTH windows fill, and reuse with_atr's decimal ATR —
+    all passes share the one (key, day) shuffle+sort."""
+    d = with_atr(daily, n=n_atr, key=key, day=day, high=high, low=low, close=close)
+    base = Window.partitionBy(key).orderBy(day)
+    tp3 = F.col(high) + F.col(low) + F.col(close)
+    staged = d.withColumn("__tp3", tp3)
+    s = _running(base, F.col("__tp3"), "decimal(18,4)")
+    c_run = F.count("__tp3").over(base.rowsBetween(Window.unboundedPreceding, 0))
+    tp3_n = _frame_diff(base, s, n_ma, F.lit(0).cast("decimal(28,4)"))
+    c_n = c_run - F.coalesce(F.lag(c_run, n_ma).over(base), F.lit(0))
+    basis = F.when(c_n >= n_ma, tp3_n.cast("double") / c_n / 3.0)
+    return staged.withColumns(
+        {
+            "kc_mid": basis,
+            "kc_upper": basis + F.lit(k) * F.col("atr"),
+            "kc_lower": basis - F.lit(k) * F.col("atr"),
+        }
+    ).drop("__tp3")
+
+
 def ewm_weights(alpha: float, k: int) -> list[float]:
     """Adjusted-EWM kernel weights (1-alpha)^j, truncated to k terms."""
     w = [1.0]

@@ -1,0 +1,103 @@
+"""Range-based volatility estimators and return autocorrelation — the
+per-key risk statistics a market dashboard derives from daily OHLC bars
+(extends the reference's per-ticker variation analytics, main.py's
+daily-summary family, from first moments to second-moment risk).
+
+Scale shape: both operators are ONE hash aggregate over the daily-bar
+frame (itself one aggregate over ticks) — per-row terms are computed
+map-side, partials combine, and the output is one row per key. No
+window pass, no per-key serialization: a billion-bar ticker costs the
+same shuffle as a small one, and the aggregation tree is exactly what
+Catalyst's partial/final HashAggregate already does.
+
+Numerical design: the per-row terms (log range ratios, squared log
+returns) are fixed-order double expressions both engines evaluate
+identically; only the final mean is a float accumulation, so outputs
+round at coarse precision (the registry's float discipline for
+non-decimal sums).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_LN2 = 0.6931471805599453
+
+
+def ohlc_volatility(
+    daily: DataFrame,
+    key: str = "ticker",
+    open_: str = "open",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Per-key Parkinson, Garman-Klass, and Rogers-Satchell volatility
+    from daily OHLC bars (per-bar, unannualized):
+
+    - Parkinson:       sqrt( mean(ln(H/L)^2) / (4 ln 2) )
+    - Garman-Klass:    sqrt( mean( 0.5 ln(H/L)^2 - (2 ln 2 - 1) ln(C/O)^2 ) )
+    - Rogers-Satchell: sqrt( mean( ln(H/C) ln(H/O) + ln(L/C) ln(L/O) ) )
+
+    GK's mean can go (slightly) negative on drift-dominated series, so
+    it is clamped at 0 before the sqrt; RS is non-negative per-term for
+    true OHLC bars (H >= O,C >= L) but clamped too for safety.
+    """
+    lhl = F.log(F.col(high) / F.col(low))
+    lco = F.log(F.col(close) / F.col(open_))
+    lhc = F.log(F.col(high) / F.col(close))
+    lho = F.log(F.col(high) / F.col(open_))
+    llc = F.log(F.col(low) / F.col(close))
+    llo = F.log(F.col(low) / F.col(open_))
+    park_t = lhl * lhl
+    gk_t = F.lit(0.5) * lhl * lhl - F.lit(2.0 * _LN2 - 1.0) * lco * lco
+    rs_t = lhc * lho + llc * llo
+    return (
+        daily.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.avg(park_t).alias("__park"),
+            F.avg(gk_t).alias("__gk"),
+            F.avg(rs_t).alias("__rs"),
+        )
+        .select(
+            key,
+            "n_days",
+            F.sqrt(F.col("__park") / F.lit(4.0 * _LN2)).alias("park_vol"),
+            F.sqrt(F.greatest(F.col("__gk"), F.lit(0.0))).alias("gk_vol"),
+            F.sqrt(F.greatest(F.col("__rs"), F.lit(0.0))).alias("rs_vol"),
+        )
+    )
+
+
+def return_autocorr(
+    daily: DataFrame,
+    lags: Sequence[int] = (1, 2, 5),
+    key: str = "ticker",
+    day: str = "day",
+    close: str = "close",
+) -> DataFrame:
+    """Autocorrelation of daily log returns at the given lags, one row
+    per key with an ``acf_<k>`` column per lag.
+
+    Returns r_t = ln(C_t / C_{t-1}) come from one (key, day) window
+    pass; each ACF is the sample Pearson correlation of (r_t, r_{t-k})
+    — a built-in ``corr`` aggregate, so all lags fold into ONE hash
+    aggregate after the single window shuffle. Pairs where either side
+    is null (series head) drop out of that lag's correlation only.
+    """
+    base = Window.partitionBy(key).orderBy(day)
+    r = F.log(F.col(close) / F.lag(close).over(base))
+    with_r = daily.withColumn("__r", r)
+    # corr is an aggregate, not a window fn: materialize the lagged
+    # columns first, then aggregate — still one window pass + one agg.
+    lagged = with_r.withColumns(
+        {f"__r_{k}": F.lag("__r", k).over(base) for k in lags}
+    )
+    return lagged.groupBy(key).agg(
+        F.count("__r").alias("n_returns"),
+        *[F.corr(F.col("__r"), F.col(f"__r_{k}")).alias(f"acf_{k}") for k in lags],
+    )

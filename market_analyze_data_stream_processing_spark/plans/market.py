@@ -1648,3 +1648,337 @@ def q_cci(spark, sf_dir):
         stable_round(F.col("tp"), 6).alias("tp"),
         stable_round(F.col("cci"), 4).alias("cci"),
     )
+
+
+_ORDKEY = ("lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') "
+           "|| lpad(CAST(event_id AS VARCHAR), 20, '0')")
+
+_DAILYOHLC_CTE = f"""
+WITH dailyohlc AS (
+    SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
+           arg_min(value, {_ORDKEY}) AS open,
+           max(value) AS high, min(value) AS low,
+           arg_max(value, {_ORDKEY}) AS close
+    FROM events GROUP BY 1, 2
+)
+"""
+
+_DAILYVOL_CTE = f"""
+WITH dailyvol AS (
+    SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
+           max(value) AS high, min(value) AS low,
+           arg_max(value, {_ORDKEY}) AS close,
+           CAST(sum((user_id % 997) + 1) AS BIGINT) AS vol
+    FROM events GROUP BY 1, 2
+)
+"""
+
+
+def _daily_ohlc(spark, sf_dir):
+    """Daily O/H/L/C bars per ticker (resample_ohlc at day grain)."""
+    from ..operators.timeseries import resample_ohlc
+
+    return (
+        resample_ohlc(_bars(spark, sf_dir), unit="day")
+        .withColumnRenamed("period", "day")
+        .select("ticker", "day", "open", "high", "low", "close")
+    )
+
+
+def _daily_vol_bars(spark, sf_dir):
+    """Daily H/L/C bars plus summed volume (from the _vbars derivation)."""
+    v = _vbars(spark, sf_dir)
+    order = F.struct(F.col("ts"), F.col("seq"))
+    return v.groupBy("ticker", F.col("ts").cast("date").alias("day")).agg(
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by(F.col("price"), order).alias("close"),
+        F.sum("vol").alias("vol"),
+    )
+
+
+@register(
+    "q_volatility_estimators",
+    _DAILYOHLC_CTE
+    + """
+    , terms AS (
+        SELECT ticker,
+               ln(high / low) AS lhl, ln(close / open) AS lco,
+               ln(high / close) AS lhc, ln(high / open) AS lho,
+               ln(low / close) AS llc, ln(low / open) AS llo
+        FROM dailyohlc
+    )
+    SELECT ticker, CAST(count(*) AS BIGINT) AS n_days,
+           round(sqrt(avg(lhl * lhl) / 2.772588722239781), 6) AS park_vol,
+           round(sqrt(greatest(avg(0.5 * lhl * lhl
+                                   - 0.3862943611198906 * lco * lco), 0.0)), 6)
+               AS gk_vol,
+           round(sqrt(greatest(avg(lhc * lho + llc * llo), 0.0)), 6) AS rs_vol
+    FROM terms GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Range-based volatility estimators per ticker over daily OHLC "
+    "bars: Parkinson (log-range), Garman-Klass (range + open-close "
+    "drift term, clamped at 0), Rogers-Satchell (drift-independent). "
+    "Two hash aggregates total (tick->daily resample, daily->ticker "
+    "estimate) with map-side partials and a one-row-per-key output — "
+    "no window pass, no per-key serialization; the per-bar terms are "
+    "fixed-order double expressions, so only the final mean is a float "
+    "accumulation (round 6, the registry's float discipline).",
+)
+def q_volatility_estimators(spark, sf_dir):
+    from ..operators.volatility import ohlc_volatility
+
+    out = ohlc_volatility(_daily_ohlc(spark, sf_dir))
+    return out.select(
+        "ticker",
+        "n_days",
+        F.round("park_vol", 6).alias("park_vol"),
+        F.round("gk_vol", 6).alias("gk_vol"),
+        F.round("rs_vol", 6).alias("rs_vol"),
+    ).orderBy("ticker")
+
+
+@register(
+    "q_autocorr",
+    _DAILYBARS_CTE
+    + """
+    , r AS (
+        SELECT ticker, day,
+               ln(close / lag(close) OVER (PARTITION BY ticker ORDER BY day))
+                   AS r
+        FROM dailybars
+    ), lagged AS (
+        SELECT ticker, r,
+               lag(r, 1) OVER w AS r1,
+               lag(r, 2) OVER w AS r2,
+               lag(r, 5) OVER w AS r5
+        FROM r
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    )
+    SELECT ticker, CAST(count(r) AS BIGINT) AS n_returns,
+           round(corr(r, r1), 6) AS acf_1,
+           round(corr(r, r2), 6) AS acf_2,
+           round(corr(r, r5), 6) AS acf_5
+    FROM lagged GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Autocorrelation of daily log returns at lags 1/2/5 per ticker "
+    "— the mean-reversion / momentum diagnostic. One (ticker, day) "
+    "window pass materializes the lagged return columns, then ONE hash "
+    "aggregate computes all three sample Pearson correlations (series-"
+    "head nulls drop out of each lag's pairs only). Pearson is scale-"
+    "invariant so population/sample normalization cancels; the float "
+    "co-moment accumulation rounds at 6 (cf. q_series_correlation).",
+)
+def q_autocorr(spark, sf_dir):
+    from ..operators.volatility import return_autocorr
+
+    out = return_autocorr(_daily_bars(spark, sf_dir), lags=(1, 2, 5))
+    return out.select(
+        "ticker",
+        "n_returns",
+        F.round("acf_1", 6).alias("acf_1"),
+        F.round("acf_2", 6).alias("acf_2"),
+        F.round("acf_5", 6).alias("acf_5"),
+    ).orderBy("ticker")
+
+
+@register(
+    "q_williams_mfi",
+    _DAILYVOL_CTE
+    + """
+    , w AS (
+        SELECT ticker, day, high, low, close, vol,
+               max(high) OVER f AS hh, min(low) OVER f AS ll,
+               count(close) OVER f AS cw
+        FROM dailyvol
+        WINDOW f AS (PARTITION BY ticker ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), d AS (
+        SELECT ticker, day, close, hh, ll, cw,
+               (high + low + close)
+                   - lag(high + low + close) OVER b AS delta,
+               CAST((high + low + close) * vol AS DECIMAL(28,6)) AS mf
+        FROM w
+        WINDOW b AS (PARTITION BY ticker ORDER BY day)
+    ), s AS (
+        SELECT ticker, day, close, hh, ll, cw,
+               CASE WHEN delta > 0 THEN mf
+                    ELSE CAST(0 AS DECIMAL(28,6)) END AS pos,
+               CASE WHEN delta < 0 THEN mf
+                    ELSE CAST(0 AS DECIMAL(28,6)) END AS neg,
+               CASE WHEN delta IS NULL THEN 0 ELSE 1 END AS has
+        FROM d
+    ), runs AS (
+        SELECT ticker, day, close, hh, ll, cw,
+               sum(CAST(pos AS DECIMAL(38,6))) OVER run AS sp,
+               sum(CAST(neg AS DECIMAL(38,6))) OVER run AS sn,
+               sum(has) OVER run AS sh
+        FROM s
+        WINDOW run AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN cw >= 14 AND hh <> ll
+                THEN floor(-100.0 * (hh - close) / (hh - ll) * 10000 + 0.5)
+                     / 10000 END AS willr,
+           CASE WHEN sh - coalesce(lag(sh, 14) OVER b, 0) >= 14 THEN
+                CASE WHEN CAST(sn - coalesce(lag(sn, 14) OVER b,
+                                             CAST(0 AS DECIMAL(38,6)))
+                          AS DOUBLE) = 0.0
+                     THEN CASE WHEN CAST(sp - coalesce(lag(sp, 14) OVER b,
+                                                       CAST(0 AS DECIMAL(38,6)))
+                                    AS DOUBLE) = 0.0
+                               THEN 50.0 ELSE 100.0 END
+                     ELSE floor((100.0 - 100.0 / (1.0
+                              + CAST(sp - coalesce(lag(sp, 14) OVER b,
+                                                   CAST(0 AS DECIMAL(38,6)))
+                                     AS DOUBLE)
+                              / CAST(sn - coalesce(lag(sn, 14) OVER b,
+                                                   CAST(0 AS DECIMAL(38,6)))
+                                     AS DOUBLE))) * 10000 + 0.5) / 10000 END
+           END AS mfi
+    FROM runs
+    WINDOW b AS (PARTITION BY ticker ORDER BY day)
+    ORDER BY ticker, day
+    """,
+    doc="Williams %R(14) + Money Flow Index(14) over daily H/L/C bars "
+    "with summed volume. %R is a pure frame-extrema quotient (null on "
+    "unfilled or flat windows); MFI is a volume-weighted RSI on the "
+    "typical price, computed on 3*TP = H+L+C (the /3 cancels in "
+    "posMF/negMF) so raw money flow casts to DECIMAL losslessly and "
+    "the rolling flows use the exact running-sum-difference lowering. "
+    "One (ticker, day) shuffle+sort serves every window pass.",
+)
+def q_williams_mfi(spark, sf_dir):
+    from ..operators.indicators import with_mfi, with_williams_r
+
+    daily = _daily_vol_bars(spark, sf_dir)
+    out = with_mfi(with_williams_r(daily, n=14), n=14)
+    return out.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("willr"), 4).alias("willr"),
+        stable_round(F.col("mfi"), 4).alias("mfi"),
+    )
+
+
+@register(
+    "q_ichimoku",
+    _BARS_CTE
+    + """
+    , ch AS (
+        SELECT ticker, ts, seq, price,
+               CASE WHEN count(price) OVER w9 >= 9
+                    THEN (max(price) OVER w9 + min(price) OVER w9) / 2.0
+               END AS tenkan,
+               CASE WHEN count(price) OVER w26 >= 26
+                    THEN (max(price) OVER w26 + min(price) OVER w26) / 2.0
+               END AS kijun,
+               CASE WHEN count(price) OVER w52 >= 52
+                    THEN (max(price) OVER w52 + min(price) OVER w52) / 2.0
+               END AS mid_s
+        FROM bars
+        WINDOW w9  AS (PARTITION BY ticker ORDER BY ts, seq
+                       ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+               w26 AS (PARTITION BY ticker ORDER BY ts, seq
+                       ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+               w52 AS (PARTITION BY ticker ORDER BY ts, seq
+                       ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, seq,
+           floor(tenkan * 10000 + 0.5) / 10000 AS tenkan,
+           floor(kijun * 10000 + 0.5) / 10000 AS kijun,
+           floor(lag((tenkan + kijun) / 2.0, 26) OVER b * 10000 + 0.5) / 10000
+               AS senkou_a,
+           floor(lag(mid_s, 26) OVER b * 10000 + 0.5) / 10000 AS senkou_b,
+           lead(price, 26) OVER b AS chikou
+    FROM ch
+    WINDOW b AS (PARTITION BY ticker ORDER BY ts, seq)
+    """,
+    doc="Ichimoku cloud at bar grain (9/26/52 bars): tenkan/kijun "
+    "rolling midlines, senkou A/B displaced forward 26 bars (lag over "
+    "the bar order — today's cloud was drawn 26 bars ago), chikou = "
+    "price displaced back (lead 26). Every output is a midpoint of "
+    "actual frame extrema — no accumulation — and all six window "
+    "passes share ONE (ticker, ts, seq) shuffle+sort; null-gated "
+    "until each lookback fills.",
+)
+def q_ichimoku(spark, sf_dir):
+    from ..operators.indicators import with_ichimoku
+
+    out = with_ichimoku(_bars(spark, sf_dir))
+    return out.select(
+        "ticker",
+        "seq",
+        stable_round(F.col("tenkan"), 4).alias("tenkan"),
+        stable_round(F.col("kijun"), 4).alias("kijun"),
+        stable_round(F.col("senkou_a"), 4).alias("senkou_a"),
+        stable_round(F.col("senkou_b"), 4).alias("senkou_b"),
+        "chikou",
+    )
+
+
+@register(
+    "q_keltner",
+    _DAILYBARS_CTE
+    + """
+    , tr AS (
+        SELECT ticker, day, high, low, close,
+               CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                    ELSE greatest(high - low,
+                                  abs(high - lag(close) OVER w),
+                                  abs(low  - lag(close) OVER w)) END AS tr
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), runs AS (
+        SELECT ticker, day,
+               sum(CAST(tr AS DECIMAL(18,6))) OVER run AS s_tr,
+               count(tr) OVER run AS c_tr,
+               sum(CAST(high + low + close AS DECIMAL(18,4))) OVER run AS s_tp,
+               count(*) OVER run AS c_tp
+        FROM tr
+        WINDOW run AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), m AS (
+        SELECT ticker, day,
+               CASE WHEN c_tp - coalesce(lag(c_tp, 10) OVER b, 0) >= 10
+                    THEN CAST(s_tp - coalesce(lag(s_tp, 10) OVER b,
+                                              CAST(0 AS DECIMAL(28,4)))
+                              AS DOUBLE)
+                         / (c_tp - coalesce(lag(c_tp, 10) OVER b, 0)) / 3.0
+               END AS basis,
+               CASE WHEN c_tr - coalesce(lag(c_tr, 10) OVER b, 0) >= 10
+                    THEN CAST(s_tr - coalesce(lag(s_tr, 10) OVER b,
+                                              CAST(0 AS DECIMAL(28,6)))
+                              AS DOUBLE)
+                         / (c_tr - coalesce(lag(c_tr, 10) OVER b, 0))
+               END AS atr
+        FROM runs
+        WINDOW b AS (PARTITION BY ticker ORDER BY day)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           floor(basis * 10000 + 0.5) / 10000 AS kc_mid,
+           floor((basis + 2.0 * atr) * 10000 + 0.5) / 10000 AS kc_upper,
+           floor((basis - 2.0 * atr) * 10000 + 0.5) / 10000 AS kc_lower
+    FROM m
+    ORDER BY ticker, day
+    """,
+    doc="Keltner channel (SMA form): basis = SMA(typical price, 10), "
+    "bands = basis +/- 2*ATR(10) over daily bars. Computed on 3*TP = "
+    "H+L+C (exact in double for fixed-point prices -> lossless DECIMAL "
+    "running sums; the /3 happens once after the exact frame "
+    "difference) and reuses the decimal ATR lowering of q_atr — both "
+    "running sums and the frame differences share one (ticker, day) "
+    "shuffle+sort. Bands null-gate until both windows fill.",
+)
+def q_keltner(spark, sf_dir):
+    from ..operators.indicators import with_keltner
+
+    out = with_keltner(_daily_bars(spark, sf_dir), n_ma=10, n_atr=10, k=2.0)
+    return out.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("kc_mid"), 4).alias("kc_mid"),
+        stable_round(F.col("kc_upper"), 4).alias("kc_upper"),
+        stable_round(F.col("kc_lower"), 4).alias("kc_lower"),
+    )

@@ -1,0 +1,157 @@
+"""Round-8 risk/indicator tier: Williams %R, MFI, Ichimoku, Keltner,
+range-based volatility estimators, return autocorrelation. The oracle
+differentials cover the corpus; these pin edge conventions on
+handcrafted bars."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from market_analyze_data_stream_processing_spark.operators.indicators import (
+    with_ichimoku,
+    with_keltner,
+    with_mfi,
+    with_williams_r,
+)
+from market_analyze_data_stream_processing_spark.operators.volatility import (
+    ohlc_volatility,
+    return_autocorr,
+)
+
+
+def _daily(spark, bars, ticker="A", with_vol=False):
+    """bars: list of (high, low, close[, vol]) tuples, one per day."""
+    schema = "ticker string, day date, high double, low double, close double"
+    if with_vol:
+        schema += ", vol long"
+    rows = [
+        (ticker, f"2024-01-{i + 1:02d}", *[float(x) for x in b[:3]],
+         *([int(b[3])] if with_vol else []))
+        for i, b in enumerate(bars)
+    ]
+    return spark.createDataFrame(
+        [r for r in rows],
+        schema.replace("day date", "day string"),
+    ).withColumn("day", F.to_date("day"))
+
+
+def _bars(spark, prices, ticker="A"):
+    rows = [
+        (ticker, f"2024-01-01 10:{i:02d}:00", float(p), i)
+        for i, p in enumerate(prices)
+    ]
+    return spark.createDataFrame(
+        rows, "ticker string, ts string, price double, seq long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_williams_r_position_and_gates(spark):
+    d = _daily(spark, [(10, 8, 9), (12, 9, 11), (12, 12, 12)])
+    out = {r["day"].day: r for r in with_williams_r(d, n=2).collect()}
+    assert out[1]["willr"] is None  # window not filled
+    # hh=12, ll=8 over days 1-2; %R = -100*(12-11)/(12-8) = -25
+    assert out[2]["willr"] == -25.0
+    # hh=12, ll=9 over days 2-3; %R = -100*(12-12)/3 = 0 (at the high)
+    assert out[3]["willr"] == 0.0
+    flat = _daily(spark, [(5, 5, 5), (5, 5, 5)])
+    r2 = {r["day"].day: r for r in with_williams_r(flat, n=2).collect()}
+    assert r2[2]["willr"] is None  # flat window: undefined
+
+
+def test_mfi_conventions_and_value(spark):
+    # TPs strictly rising -> all positive flow -> MFI 100
+    up = _daily(
+        spark,
+        [(10, 8, 9, 5), (11, 9, 10, 5), (12, 10, 11, 5)],
+        with_vol=True,
+    )
+    out = {r["day"].day: r for r in with_mfi(up, n=2).collect()}
+    assert out[1]["mfi"] is None and out[2]["mfi"] is None  # needs 2 deltas
+    assert out[3]["mfi"] == 100.0
+    # flat TPs -> both flows zero -> 50 convention
+    flat = _daily(
+        spark, [(5, 5, 5, 1), (5, 5, 5, 1), (5, 5, 5, 1)], with_vol=True
+    )
+    f = {r["day"].day: r for r in with_mfi(flat, n=2).collect()}
+    assert f[3]["mfi"] == 50.0
+    # mixed: day2 delta +, day3 delta −; MFI3 = 100 − 100/(1 + pos/neg)
+    mixed = _daily(
+        spark,
+        [(10, 8, 9, 2), (11, 9, 10, 3), (9, 7, 8, 4)],
+        with_vol=True,
+    )
+    m = {r["day"].day: r for r in with_mfi(mixed, n=2).collect()}
+    pos = (11 + 9 + 10) * 3
+    neg = (9 + 7 + 8) * 4
+    assert abs(m[3]["mfi"] - (100.0 - 100.0 / (1.0 + pos / neg))) < 1e-9
+
+
+def test_ichimoku_displacement(spark):
+    prices = [float(p) for p in [10, 12, 11, 14, 13, 15, 12, 16, 14, 15]]
+    out = {
+        r["seq"]: r
+        for r in with_ichimoku(
+            _bars(spark, prices), n_tenkan=2, n_kijun=3, n_senkou=4
+        ).collect()
+    }
+    # tenkan at seq 1 = (max+min)/2 of first two prices
+    assert out[1]["tenkan"] == (12 + 10) / 2
+    assert out[0]["tenkan"] is None
+    # senkou_a at seq i = (tenkan+kijun)/2 from seq i-3
+    i = 7
+    src = out[i - 3]
+    assert out[i]["senkou_a"] == (src["tenkan"] + src["kijun"]) / 2
+    # senkou_b displaced 4-bar midline; chikou = price 3 bars ahead
+    lo4 = min(prices[i - 3 - 3 : i - 3 + 1])
+    hi4 = max(prices[i - 3 - 3 : i - 3 + 1])
+    assert out[i]["senkou_b"] == (hi4 + lo4) / 2
+    assert out[2]["chikou"] == prices[5]
+    assert out[9]["chikou"] is None  # series tail
+
+
+def test_keltner_band_arithmetic(spark):
+    d = _daily(spark, [(10, 8, 9), (12, 9, 11), (13, 10, 12)])
+    out = {r["day"].day: r for r in with_keltner(d, n_ma=2, n_atr=2, k=2.0).collect()}
+    assert out[1]["kc_mid"] is None
+    tp2 = (10 + 8 + 9) / 3.0
+    tp3_ = (12 + 9 + 11) / 3.0
+    basis = (tp2 + tp3_) / 2.0
+    tr1 = 10 - 8  # first bar: H-L
+    tr2 = max(12 - 9, abs(12 - 9), abs(9 - 9))  # prev close 9
+    atr = (tr1 + tr2) / 2.0
+    assert abs(out[2]["kc_mid"] - basis) < 1e-9
+    assert abs(out[2]["kc_upper"] - (basis + 2 * atr)) < 1e-9
+    assert abs(out[2]["kc_lower"] - (basis - 2 * atr)) < 1e-9
+
+
+def test_ohlc_volatility_manual(spark):
+    rows = [("A", "2024-01-01", 10.0, 12.0, 9.0, 11.0),
+            ("A", "2024-01-02", 11.0, 13.0, 10.0, 12.0)]
+    d = spark.createDataFrame(
+        rows, "ticker string, day string, open double, high double, "
+        "low double, close double"
+    ).withColumn("day", F.to_date("day"))
+    r = ohlc_volatility(d).collect()[0]
+    terms = []
+    for _, _, o, h, lo, c in rows:
+        terms.append(math.log(h / lo) ** 2)
+    park = math.sqrt((sum(terms) / 2) / (4 * math.log(2)))
+    assert r["n_days"] == 2
+    assert abs(r["park_vol"] - park) < 1e-12
+    # RS is drift-independent and non-negative on true OHLC bars
+    assert r["rs_vol"] >= 0.0 and r["gk_vol"] >= 0.0
+
+
+def test_return_autocorr_alternating_is_minus_one(spark):
+    # prices alternate p, p*e, p, ... -> log returns alternate +1/-1
+    prices = [10.0, 10.0 * math.e, 10.0, 10.0 * math.e, 10.0, 10.0 * math.e]
+    rows = [("A", f"2024-01-{i + 1:02d}", p) for i, p in enumerate(prices)]
+    d = spark.createDataFrame(
+        rows, "ticker string, day string, close double"
+    ).withColumn("day", F.to_date("day"))
+    r = return_autocorr(d, lags=(1, 2)).collect()[0]
+    assert r["n_returns"] == 5
+    assert abs(r["acf_1"] - (-1.0)) < 1e-9
+    assert abs(r["acf_2"] - 1.0) < 1e-9
