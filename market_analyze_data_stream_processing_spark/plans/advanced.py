@@ -1632,3 +1632,229 @@ def q_kll_quantile_merge(spark, sf_dir):
         stable_round(F.col("ex")[2], 2).alias("p75"),
         ok.alias("kll_rank_ok"),
     )
+
+
+@register(
+    "q_rolling_distinct",
+    """
+    WITH ed AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT event_type, day FROM ed
+    )
+    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS users_7d
+    FROM days d
+    JOIN ed e ON e.event_type = d.event_type
+             AND e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.event_type, d.day
+    ORDER BY d.event_type, d.day
+    """,
+    doc="Rolling 7-day distinct users per event type — the windowed "
+    "COUNT(DISTINCT) SQL windows can't express and a naive range self-"
+    "join makes quadratic. Lowered to linear row growth: dedup to "
+    "(type, user, active-day), EXPLODE each activity onto the <= 7 "
+    "window-end days it can serve (sequence + explode), dedup again, "
+    "and hash-count per (type, day) — exactly 7x the deduped activity "
+    "rows, shuffled on (type, day), joined back to observed days. At "
+    "100 TB this stays two hash aggregates + one map-side explode; no "
+    "range join, no per-key window sort.",
+)
+def q_rolling_distinct(spark, sf_dir):
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    contrib = e.select(
+        "event_type",
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+    ).distinct()
+    counts = contrib.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("users_7d")
+    )
+    days = e.select("event_type", "day").distinct()
+    return (
+        counts.join(days, ["event_type", "day"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "users_7d",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "q_mad_outliers",
+    """
+    WITH o AS (
+        SELECT c_mktsegment AS segment, o_totalprice AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), med AS (
+        SELECT segment, quantile_cont(x, 0.5) AS med FROM o GROUP BY segment
+    ), dev AS (
+        SELECT o.segment, x, med, abs(x - med) AS adev
+        FROM o JOIN med USING (segment)
+    ), mad AS (
+        SELECT segment, any_value(med) AS med, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY segment
+    )
+    SELECT d.segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(m.med), 4) AS med,
+           round(any_value(m.mad), 4) AS mad,
+           CAST(count(*) FILTER (d.adev > 4.4478 * m.mad) AS BIGINT)
+               AS n_outliers,
+           floor(CAST(count(*) FILTER (d.adev > 4.4478 * m.mad) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS outlier_pct
+    FROM dev d JOIN mad m USING (segment)
+    GROUP BY d.segment ORDER BY d.segment
+    """,
+    doc="Robust outlier detection per market segment: median / MAD "
+    "(median absolute deviation) on order totals, flagging "
+    "|x - med| > 3 * 1.4826 * MAD (the normal-consistent robust "
+    "z > 3). Two exact-percentile aggregates with the 5-row medians "
+    "broadcast back between passes — three scans, no window. Exact "
+    "percentile concentrates each segment into one task; at 100 TB "
+    "the same plan swaps percentile() for approx_percentile / the "
+    "q_kll_quantile_merge sketch lifecycle (stated trade: exactness "
+    "here, sketch at scale).",
+)
+def q_mad_outliers(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    o = t.orders.join(
+        t.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("x"))
+    med = o.groupBy("segment").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    dev = o.join(F.broadcast(med), "segment").withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("segment").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    out_flag = F.col("adev") > F.lit(4.4478) * F.col("mad")
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(out_flag.cast("long")).alias("n_outliers"),
+            stable_round(
+                F.sum(out_flag.cast("long")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("outlier_pct"),
+        )
+        .orderBy("segment")
+    )
+
+
+_BENFORD_EXP = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p!r}::DOUBLE" for d, p in _BENFORD_EXP.items()
+) + " END"
+
+
+@register(
+    "q_benford",
+    f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS BIGINT) AS d
+        FROM orders
+    ), c AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY d
+    )
+    SELECT d, n,
+           floor(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c)
+                 * 1000000 + 0.5) / 1000000 AS obs_freq,
+           floor(({_BENFORD_CASE}) * 1000000 + 0.5) / 1000000 AS exp_freq,
+           floor((CAST(n AS DOUBLE) / (SELECT sum(n) FROM c)
+                  - ({_BENFORD_CASE})) * 1000000 + 0.5) / 1000000 AS dev
+    FROM c ORDER BY d
+    """,
+    doc="Benford's-law data-quality audit on order totals: observed "
+    "first-significant-digit distribution vs log10(1+1/d), with "
+    "per-digit deviation — the classic fabricated-data screen. The "
+    "digit comes from the bigint integer part rendered as a string "
+    "(portable across engines; no float log10 at power-of-ten "
+    "boundaries). One 9-group hash aggregate + a 1-row total "
+    "broadcast; expected frequencies are shared literal constants.",
+)
+def q_benford(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    digits = t.orders.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("d")
+    )
+    c = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    expr = None
+    for d, p in _BENFORD_EXP.items():
+        expr = (
+            F.when(F.col("d") == d, F.lit(p))
+            if expr is None
+            else expr.when(F.col("d") == d, F.lit(p))
+        )
+    obs = F.col("n").cast("double") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            stable_round(obs, 6).alias("obs_freq"),
+            stable_round(expr, 6).alias("exp_freq"),
+            stable_round(obs - expr, 6).alias("dev"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "q_fuzzy_match",
+    """
+    WITH names AS (
+        SELECT DISTINCT p_name FROM part
+    ), b AS (
+        SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b2.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
+    FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+    WHERE levenshtein(a.p_name, b2.p_name) <= 4
+    ORDER BY name_a, name_b
+    """,
+    doc="Blocked fuzzy record linkage on part names: dedup to distinct "
+    "names, block on the first token, and emit within-block pairs "
+    "with edit distance <= 4 (ordered a < b). Blocking is the "
+    "standard linkage scale move — the quadratic is confined to "
+    "within-block pairs (an equi-join shuffle on the block key, "
+    "never all-pairs); at 100 TB add a block-size cap exactly like "
+    "dedup's max_bucket. Levenshtein runs JVM-side (built-in), no "
+    "Python in the pair loop.",
+)
+def q_fuzzy_match(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    names = t.part.select("p_name").distinct()
+    b = names.withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
+    a = b.select(F.col("p_name").alias("name_a"), F.col("blk"))
+    c = b.select(F.col("p_name").alias("name_b"), F.col("blk"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(c, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(dist <= 4)
+        .select("name_a", "name_b", dist.cast("long").alias("dist"))
+        .orderBy("name_a", "name_b")
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.scalars import stable_round
 from ..operators.dedup import (
     connected_components,
     exact_dedup,
@@ -1424,3 +1425,90 @@ def q_bm25(spark, sf_dir):
         "n_matched",
         stable_round(F.col("bm25"), 4).alias("bm25"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_heavy_hitters",
+    r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+        FROM documents
+    )
+    SELECT item, CAST(count(*) AS BIGINT) AS cnt,
+           floor(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM toks)
+                 * 1000000 + 0.5) / 1000000 AS share
+    FROM toks
+    GROUP BY item
+    HAVING count(*) * 50 > (SELECT count(*) FROM toks)
+    ORDER BY cnt DESC, item
+    """,
+    doc="Exact heavy hitters (tokens with frequency > N/50) via the "
+    "two-pass Misra-Gries shape: per-partition MG summaries (<= 50 "
+    "candidate rows per task, O(k) state, Arrow-batched) whose union "
+    "is a pigeonhole-guaranteed SUPERSET of the answer, then a "
+    "broadcast semi-join recount of only the candidates with the "
+    "exact N/k threshold. The wide groupBy over the full vocabulary "
+    "(billions of mostly-singleton keys at 100 TB) never happens — "
+    "the shuffle is bounded by partitions x k — yet the output is "
+    "exact and partitioning-independent (false candidates die at the "
+    "threshold; true hitters cannot be missed). operators/frequency.py.",
+)
+def q_heavy_hitters(spark, sf_dir):
+    from ..operators.frequency import heavy_hitters
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("item"))
+    out = heavy_hitters(toks, "item", k=50)
+    return out.select(
+        "item",
+        "cnt",
+        stable_round(F.col("share"), 6).alias("share"),
+    ).orderBy(F.desc("cnt"), "item")
+
+
+@register(
+    "q_char_entropy",
+    r"""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents
+    ), freq AS (
+        SELECT doc_id, ch, count(*) AS c
+        FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round((ln(CAST(sum(c) AS DOUBLE))
+                  - sum(c * ln(CAST(c AS DOUBLE))) / sum(c))
+                 / 0.6931471805599453, 4) AS entropy_bits
+    FROM freq GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document character-level Shannon entropy in bits (plus "
+    "char counts) — the compressibility/quality gate that catches "
+    "degenerate or repetitive text (low entropy) and binary-ish noise "
+    "(high entropy). Algebraic form H = log2(n) - (sum c*log2 c)/n "
+    "needs only the per-(doc, char) counts: explode chars -> one hash "
+    "aggregate on (doc_id, ch) -> one on doc_id, all map-side "
+    "combined; cost is linear in corpus characters (the honest price "
+    "of char-grain stats, same shape as the tokenization queries).",
+)
+def q_char_entropy(spark, sf_dir):
+    d = spread(load_table(spark, sf_dir, "documents"))
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    sln = F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(
+                (F.log(n.cast("double")) - sln / n) / F.lit(0.6931471805599453), 4
+            ).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -94,6 +94,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_kll_quantile_merge": {
         "NLJ": "contract row: 1-row exact-quantile aggregate × 1-row merged-sketch row",
     },
+    "q_heavy_hitters": {
+        "NLJ": "1-row corpus-total aggregate broadcast for the exact N/k threshold",
+    },
+    "q_benford": {
+        "NLJ": "1-row total-count aggregate broadcast onto the 9-digit frame",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
