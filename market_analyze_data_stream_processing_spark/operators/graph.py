@@ -1,0 +1,67 @@
+"""Fixed-iteration PageRank over an edge DataFrame — the influence /
+centrality analytics tier on graphs derived from relational data
+(who-buys-from-whom, doc-link, dup-candidate graphs).
+
+Scale shape per iteration: one equi-join of edges to the current rank
+vector on src (edges can be pre-partitioned/bucketed on src once and
+reused every iteration), one hash aggregate on dst (map-side combined),
+and one left join back to the node set — all key-partitioned shuffles,
+no driver round-trip, no collect. The node count rides along as a
+1-row broadcast contract scalar. A fixed iteration count keeps the
+lineage bounded (for convergence-driven runs, add the eager-checkpoint-
+every-k-rounds pattern connected_components already uses;
+operators/dedup.py).
+
+Dangling nodes (outdegree 0) simply contribute nothing — the common
+simplified variant; ranks then sum to < 1 but the ORDERING, which is
+what centrality consumers use, is unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Ranks after ``iterations`` synchronous PageRank steps from the
+    uniform 1/N start: r(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u).
+
+    Returns (node, rank). Float discipline: 1/outdeg is precomputed
+    once (so every engine multiplies by the identical double), and the
+    teleport constant is (1-d) evaluated in Python — mirror it into any
+    oracle verbatim rather than re-deriving it in SQL.
+    """
+    teleport = 1.0 - damping
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    base = nodes.crossJoin(F.broadcast(n_row))  # (node, n): contract scalar
+    deg = e.groupBy("src").agg((F.lit(1.0) / F.count(F.lit(1))).alias("inv"))
+    weighted = e.join(deg, "src")  # reused every iteration
+    ranks = base.select("node", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("inv")).alias("contrib"))
+        )
+        ranks = base.join(contribs, base["node"] == contribs["dst"], "left").select(
+            base["node"],
+            base["n"],
+            (
+                F.lit(teleport) / F.col("n")
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", "rank")

@@ -1858,3 +1858,80 @@ def q_fuzzy_match(spark, sf_dir):
         .select("name_a", "name_b", dist.cast("long").alias("dist"))
         .orderBy("name_a", "name_b")
     )
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PageRank SQL mirroring operators/graph.pagerank exactly
+    (same teleport literal, same precomputed 1/outdeg multiply)."""
+    tele = repr(1.0 - damping)
+    d = repr(damping)
+    cte = [
+        """
+    WITH edges AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges
+        )
+    ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, 1.0 / count(*) AS inv FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        cte.append(f"""
+    , c{i} AS (
+        SELECT e.dst, sum(r.rank * d.inv) AS contrib
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    ), r{i} AS (
+        SELECT nd.node,
+               {tele} / (SELECT n FROM nn)
+                   + {d} * coalesce(c.contrib, 0.0) AS rank
+        FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.dst
+    )""")
+    cte.append(f"""
+    SELECT node, round(rank, 8) AS rank
+    FROM r{iterations}
+    WHERE node LIKE 's%'
+    ORDER BY node
+    """)
+    return "".join(cte)
+
+
+@register(
+    "q_pagerank",
+    _pagerank_oracle(iterations=3, damping=0.85),
+    doc="Supplier centrality: 3-iteration PageRank (d=0.85) on the "
+    "customer->supplier edge graph derived from orders x lineitem "
+    "(distinct pairs, namespaced node ids). Each iteration is one "
+    "edges-to-ranks equi-join on src + one hash aggregate on dst + "
+    "one left join to the node set — key-partitioned shuffles only; "
+    "edges join-weights are built ONCE and reused, the node count is "
+    "a 1-row broadcast contract scalar, and nothing collects to the "
+    "driver. Dangling customers contribute nothing (simplified "
+    "variant; ordering unaffected). Convergence-driven runs add the "
+    "CC-style eager checkpoint every k rounds. operators/graph.py.",
+)
+def q_pagerank(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    out = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        out.where(F.col("node").startswith("s"))
+        .select("node", F.round("rank", 8).alias("rank"))
+        .orderBy("node")
+    )

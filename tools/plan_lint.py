@@ -100,6 +100,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_benford": {
         "NLJ": "1-row total-count aggregate broadcast onto the 9-digit frame",
     },
+    "q_pagerank": {
+        "NLJ": "1-row node-count aggregate broadcast (teleport denominator)",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
