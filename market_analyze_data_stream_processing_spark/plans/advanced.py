@@ -1935,3 +1935,84 @@ def q_pagerank(spark, sf_dir):
         .select("node", F.round("rank", 8).alias("rank"))
         .orderBy("node")
     )
+
+
+@register(
+    "q_customer_deciles",
+    """
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spend
+        FROM orders GROUP BY o_custkey
+    ), bounds AS (
+        SELECT quantile_cont(spend, 0.1) AS q1, quantile_cont(spend, 0.2) AS q2,
+               quantile_cont(spend, 0.3) AS q3, quantile_cont(spend, 0.4) AS q4,
+               quantile_cont(spend, 0.5) AS q5, quantile_cont(spend, 0.6) AS q6,
+               quantile_cont(spend, 0.7) AS q7, quantile_cont(spend, 0.8) AS q8,
+               quantile_cont(spend, 0.9) AS q9
+        FROM spend
+    ), assigned AS (
+        SELECT custkey, spend,
+               1 + CAST(spend > q1 AS INT) + CAST(spend > q2 AS INT)
+                 + CAST(spend > q3 AS INT) + CAST(spend > q4 AS INT)
+                 + CAST(spend > q5 AS INT) + CAST(spend > q6 AS INT)
+                 + CAST(spend > q7 AS INT) + CAST(spend > q8 AS INT)
+                 + CAST(spend > q9 AS INT) AS decile
+        FROM spend, bounds
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(spend), 2) AS total_spend,
+           round(sum(spend) / count(*), 2) AS avg_spend,
+           floor(sum(spend) / (SELECT sum(spend) FROM spend)
+                 * 1000000 + 0.5) / 1000000 AS revenue_share
+    FROM assigned GROUP BY decile ORDER BY decile
+    """,
+    doc="Customer-value decile table (the lift/Pareto report): decile "
+    "assignment WITHOUT a global ntile window — decile boundaries come "
+    "from one exact-percentile aggregate (a 1-row broadcast), and each "
+    "customer is assigned by boundary comparisons, fully parallel. At "
+    "100 TB the identical plan swaps percentile() for approx_percentile "
+    "(sketch boundaries) — no total sort ever happens. Spend sums are "
+    "DECIMAL-exact so boundary comparisons are engine-stable; only the "
+    "per-decile double rollups round.",
+)
+def q_customer_deciles(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    spend = t.orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    bounds = spend.agg(
+        *[
+            F.expr(f"percentile(spend, {q / 10})").alias(f"q{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for q in range(1, 10):
+        decile = decile + (F.col("spend") > F.col(f"q{q}")).cast("int")
+    assigned = spend.crossJoin(F.broadcast(bounds)).select(
+        "custkey", "spend", decile.cast("long").alias("decile")
+    )
+    total = spend.agg(F.sum("spend").alias("grand"))
+    return (
+        assigned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(F.sum("spend") / F.count(F.lit(1)), 2).alias("avg_spend"),
+            F.sum("spend").alias("__sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "total_spend",
+            "avg_spend",
+            stable_round(F.col("__sum") / F.col("grand"), 6).alias("revenue_share"),
+        )
+        .orderBy("decile")
+    )

@@ -1982,3 +1982,57 @@ def q_keltner(spark, sf_dir):
         stable_round(F.col("kc_upper"), 4).alias("kc_upper"),
         stable_round(F.col("kc_lower"), 4).alias("kc_lower"),
     )
+
+
+@register(
+    "q_capped_growth",
+    _DAILYBARS_CTE
+    + """
+    , r AS (
+        SELECT ticker, day,
+               least(greatest(close / lag(close) OVER w - 1.0, -0.05), 0.05)
+                   AS rc
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), lr AS (
+        SELECT ticker, day,
+               coalesce(CAST(ln(1.0 + rc) AS DECIMAL(28,12)),
+                        CAST(0 AS DECIMAL(28,12))) AS lr
+        FROM r
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           round(exp(CAST(sum(lr) OVER run AS DOUBLE)), 6) AS growth
+    FROM lr
+    WINDOW run AS (PARTITION BY ticker ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY ticker, day
+    """,
+    doc="Winsorized growth-of-$1 index per ticker: daily close returns "
+    "clamped to +/-5% (so the compounding does NOT telescope to a "
+    "price ratio — the cap is the point: robust compounding that a "
+    "single bad print can't dominate), then cumulative product via "
+    "exp(running sum of log1p terms). The log terms are quantized to "
+    "DECIMAL(28,12) BEFORE the running sum, making the accumulation "
+    "exact and order-independent (a plain double running sum is "
+    "engine-implementation-dependent — segment-tree vs sequential); "
+    "the one exp at the end rounds at 6. One (ticker, day) window "
+    "pass.",
+)
+def q_capped_growth(spark, sf_dir):
+    base = Window.partitionBy("ticker").orderBy("day")
+    d = _daily_bars(spark, sf_dir)
+    rc = F.least(
+        F.greatest(F.col("close") / F.lag("close").over(base) - 1.0, F.lit(-0.05)),
+        F.lit(0.05),
+    )
+    lr = F.coalesce(
+        F.log(F.lit(1.0) + rc).cast("decimal(28,12)"),
+        F.lit(0).cast("decimal(28,12)"),
+    )
+    staged = d.withColumn("__lr", lr)
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    return staged.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.exp(F.sum("__lr").over(run).cast("double")), 6).alias("growth"),
+    ).orderBy("ticker", "day")
