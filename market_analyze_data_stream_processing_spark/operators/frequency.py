@@ -31,6 +31,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_update(counters: dict[str, int], values, k: int) -> dict[str, int]:
+    """Sequential Misra-Gries update: fold ``values`` into ``counters``
+    (≤ k entries, mutated in place and returned). Shared by the batch
+    per-partition pass and the streaming stateful twin."""
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
 def misra_gries_partials(items: DataFrame, col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries: ≤ k (item, lower-bound)
     rows per partition. Arrow-batched (mapInPandas) — the counter dict
@@ -39,19 +59,7 @@ def misra_gries_partials(items: DataFrame, col: str, k: int) -> DataFrame:
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for pdf in batches:
-            for v in pdf[col]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            mg_update(counters, pdf[col], k)
         yield pd.DataFrame(
             {"item": list(counters.keys()), "lb": list(counters.values())}
         )

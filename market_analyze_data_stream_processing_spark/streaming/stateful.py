@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -638,6 +639,91 @@ def vwap_per_key_stateful(
         _vwap_fn,
         outputStructType=VWAP_OUTPUT_SCHEMA,
         stateStructType=VWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("last_seq", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("item", StringType()),
+        StructField("lb", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _make_mg_fn(k: int):
+    from ..operators.frequency import mg_update
+
+    def _mg_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        """Streaming Misra-Gries per key: state is the ≤ k counter
+        summary plus (last_seq, n_seen) — O(k) however long the stream
+        runs. Each trigger folds the new rows in seq order (same replay
+        discipline as the other kernels: at-or-before last_seq dropped,
+        in-batch duplicate seqs collapsed) and emits the CURRENT
+        summary — a superset of every item whose running frequency
+        exceeds n_seen/(k+1), the anytime heavy-hitter watchlist."""
+        if state.exists:
+            last_seq, n_seen, items, counts = state.get
+            counters = dict(zip(items, (int(c) for c in counts)))
+        else:
+            last_seq, n_seen, counters = -1, 0, {}
+        parts = [p for p in pdfs if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values("seq", kind="mergesort")
+        pdf = pdf[pdf["seq"] > last_seq]
+        pdf = pdf.drop_duplicates(subset=["seq"], keep="first")
+        if pdf.empty:
+            return
+        mg_update(counters, pdf["item"], k)
+        n_seen += len(pdf)
+        state.update(
+            (
+                int(pdf["seq"].iloc[-1]),
+                int(n_seen),
+                list(counters.keys()),
+                [int(c) for c in counters.values()],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "item": list(counters.keys()),
+                "lb": [int(c) for c in counters.values()],
+                "n_seen": int(n_seen),
+            }
+        )
+
+    return _mg_fn
+
+
+def heavy_hitters_stateful(
+    stream: DataFrame, k: int, key_col: str = "key"
+) -> DataFrame:
+    """Streaming twin of ``operators.frequency.heavy_hitters``' first
+    pass: an anytime Misra-Gries watchlist per key. Input columns
+    (key, seq, item); emits the ≤ k-row current summary per trigger.
+    Batch parity: folding the same rows in seq order through
+    ``mg_update`` yields the identical summary (the state IS the
+    sequential fold), pinned by tests/test_frequency.py."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _make_mg_fn(k),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

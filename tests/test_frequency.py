@@ -62,3 +62,59 @@ def test_threshold_is_strict(spark):
     data = [(f"i{j}",) for j in range(10) for _ in range(10)]
     df = spark.createDataFrame(data, "item string")
     assert heavy_hitters(df, "item", k=10).count() == 0
+
+
+def test_streaming_mg_matches_sequential_fold(spark, tmp_path):
+    """Streaming Misra-Gries state must equal the sequential mg_update
+    fold over the concatenated seq-ordered stream, across micro-batch
+    boundaries, with replayed and duplicate seqs dropped."""
+    import json
+    import os
+    import time
+
+    from market_analyze_data_stream_processing_spark.operators.frequency import (
+        mg_update,
+    )
+    from market_analyze_data_stream_processing_spark.streaming.stateful import (
+        heavy_hitters_stateful,
+    )
+
+    stream_items = ["a", "b", "a", "c", "a", "d", "b", "a", "e", "b"]
+    d = tmp_path / "in_mg"
+    d.mkdir()
+    batches = [stream_items[:4], stream_items[4:7], stream_items[7:]]
+    seq = 0
+    for i, batch in enumerate(batches):
+        lines = []
+        for item in batch:
+            seq += 1
+            lines.append(json.dumps({"key": "K", "seq": seq, "item": item}))
+        if i == 1:  # replay of seq 2 + in-batch duplicate seq
+            lines.append(json.dumps({"key": "K", "seq": 2, "item": "zz"}))
+            lines.append(json.dumps({"key": "K", "seq": seq, "item": "zz"}))
+        (d / f"b{i}.json").write_text("\n".join(lines))
+    now = time.time()
+    for i in range(len(batches)):
+        os.utime(d / f"b{i}.json", (now + i, now + i))
+    stream = (
+        spark.readStream.schema("key string, seq long, item string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        heavy_hitters_stateful(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("mg_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_mg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM mg_state WHERE n_seen = 10"
+    ).collect()  # final trigger's summary
+    got = {r["item"]: r["lb"] for r in rows}
+    expected = mg_update({}, stream_items, 3)
+    assert got == expected
+    assert not any(r["item"] == "zz" for r in rows)
