@@ -2016,3 +2016,73 @@ def q_customer_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q_market_basket",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+        SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS support
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+    ), pc AS (
+        SELECT pk, count(*) AS n FROM items GROUP BY pk
+    ), tot AS (
+        SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders FROM items
+    )
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           floor(CAST(support AS DOUBLE) / pa.n * 1000000 + 0.5) / 1000000
+               AS confidence,
+           floor(CAST(support AS DOUBLE) * (SELECT n_orders FROM tot)
+                 / (pa.n * pb.n) * 1000000 + 0.5) / 1000000 AS lift
+    FROM pairs
+    JOIN pc pa ON part_a = pa.pk
+    JOIN pc pb ON part_b = pb.pk
+    WHERE support >= 3
+    ORDER BY support DESC, part_a, part_b
+    """,
+    doc="Market-basket association mining: co-ordered part pairs with "
+    "support >= 3, plus confidence(a->b) and lift. The pair fan-out is "
+    "a self-join on the ORDER key — quadratic only within a basket, "
+    "and basket size is bounded (7 lineitems in TPC-H, a per-basket "
+    "cap at 100 TB, same guard as dedup's max_bucket) — so growth is "
+    "linear in orders. Item/pair/total counts are three hash "
+    "aggregates; the ratios are exact-integer divisions (engine-"
+    "stable), part marginals join back on the part key.",
+)
+def q_market_basket(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    items = t.lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    pc = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    tot = items.agg(
+        F.countDistinct("ok").cast("double").alias("n_orders")
+    )
+    s = F.col("support").cast("double")
+    return (
+        pairs.where(F.col("support") >= 3)
+        .join(pc.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a")), "part_a")
+        .join(pc.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b")), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            stable_round(s / F.col("n_a"), 6).alias("confidence"),
+            stable_round(
+                s * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )

@@ -1706,7 +1706,7 @@ def _daily_vol_bars(spark, sf_dir):
                ln(high / low) AS lhl, ln(close / open) AS lco,
                ln(high / close) AS lhc, ln(high / open) AS lho,
                ln(low / close) AS llc, ln(low / open) AS llo
-        FROM dailyohlc
+        FROM dailyohlc WHERE low > 0
     )
     SELECT ticker, CAST(count(*) AS BIGINT) AS n_days,
            round(sqrt(avg(lhl * lhl) / 2.772588722239781), 6) AS park_vol,
@@ -1721,14 +1721,19 @@ def _daily_vol_bars(spark, sf_dir):
     "drift term, clamped at 0), Rogers-Satchell (drift-independent). "
     "Two hash aggregates total (tick->daily resample, daily->ticker "
     "estimate) with map-side partials and a one-row-per-key output — "
-    "no window pass, no per-key serialization; the per-bar terms are "
+    "no window pass, no per-key serialization; zero-low bars are "
+    "excluded (degenerate under ANSI; n_days counts kept bars); the "
+    "per-bar terms are "
     "fixed-order double expressions, so only the final mean is a float "
     "accumulation (round 6, the registry's float discipline).",
 )
 def q_volatility_estimators(spark, sf_dir):
     from ..operators.volatility import ohlc_volatility
 
-    out = ohlc_volatility(_daily_ohlc(spark, sf_dir))
+    # low > 0 excludes degenerate zero-price bars: every OHLC value on a
+    # true bar is >= low, so one predicate makes all six log-ratios
+    # finite (and total under ANSI division).
+    out = ohlc_volatility(_daily_ohlc(spark, sf_dir).where(F.col("low") > 0))
     return out.select(
         "ticker",
         "n_days",
@@ -1744,9 +1749,10 @@ def q_volatility_estimators(spark, sf_dir):
     + """
     , r AS (
         SELECT ticker, day,
-               ln(close / lag(close) OVER (PARTITION BY ticker ORDER BY day))
-                   AS r
+               CASE WHEN close > 0 AND lag(close) OVER w > 0
+                    THEN ln(close / lag(close) OVER w) END AS r
         FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), lagged AS (
         SELECT ticker, r,
                lag(r, 1) OVER w AS r1,
@@ -1990,8 +1996,9 @@ def q_keltner(spark, sf_dir):
     + """
     , r AS (
         SELECT ticker, day,
-               least(greatest(close / lag(close) OVER w - 1.0, -0.05), 0.05)
-                   AS rc
+               CASE WHEN lag(close) OVER w > 0
+                    THEN least(greatest(close / lag(close) OVER w - 1.0,
+                                        -0.05), 0.05) END AS rc
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), lr AS (
@@ -2021,9 +2028,10 @@ def q_keltner(spark, sf_dir):
 def q_capped_growth(spark, sf_dir):
     base = Window.partitionBy("ticker").orderBy("day")
     d = _daily_bars(spark, sf_dir)
-    rc = F.least(
-        F.greatest(F.col("close") / F.lag("close").over(base) - 1.0, F.lit(-0.05)),
-        F.lit(0.05),
+    prev = F.lag("close").over(base)
+    rc = F.when(
+        prev > 0,
+        F.least(F.greatest(F.col("close") / prev - 1.0, F.lit(-0.05)), F.lit(0.05)),
     )
     lr = F.coalesce(
         F.log(F.lit(1.0) + rc).cast("decimal(28,12)"),
@@ -2036,3 +2044,61 @@ def q_capped_growth(spark, sf_dir):
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(F.exp(F.sum("__lr").over(run).cast("double")), 6).alias("growth"),
     ).orderBy("ticker", "day")
+
+
+@register(
+    "q_twap",
+    _BARS_CTE
+    + """
+    , t AS (
+        SELECT ticker, CAST(ts AS DATE) AS day, price,
+               lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
+        FROM bars
+        WINDOW w AS (PARTITION BY ticker, CAST(ts AS DATE) ORDER BY ts, seq)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN sum(dt) > 0
+                THEN floor(CAST(sum(CAST(price * dt AS DECIMAL(28,4))) AS DOUBLE)
+                           / sum(dt) * 10000 + 0.5) / 10000 END AS twap,
+           CAST(count(dt) AS BIGINT) AS n_intervals
+    FROM t WHERE dt IS NOT NULL
+    GROUP BY ticker, day ORDER BY ticker, day
+    """,
+    doc="Time-weighted average price per (ticker, session-day): each "
+    "tick's price weighted by the microseconds until the NEXT tick "
+    "(the last tick of a day carries no interval and drops out) — the "
+    "execution-quality benchmark that, unlike VWAP, is immune to "
+    "volume bursts. dt is an integer difference of within-day "
+    "timestamps (timezone-free by construction); price*dt casts to "
+    "DECIMAL so the weighted sum is exact and order-free; one window "
+    "pass on (ticker, day) then one hash aggregate.",
+)
+def q_twap(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    w = Window.partitionBy("ticker", F.col("ts").cast("date")).orderBy("ts", "seq")
+    dt = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    staged = bars.withColumns(
+        {"day": F.col("ts").cast("date"), "dt": dt}
+    ).where(F.col("dt").isNotNull())
+    return (
+        staged.groupBy("ticker", "day")
+        .agg(
+            stable_round(
+                F.when(
+                    F.sum("dt") > 0,
+                    F.sum((F.col("price") * F.col("dt")).cast("decimal(28,4)"))
+                    .cast("double")
+                    / F.sum("dt"),
+                ),
+                4,
+            ).alias("twap"),
+            F.count("dt").alias("n_intervals"),
+        )
+        .select(
+            "ticker",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "twap",
+            "n_intervals",
+        )
+        .orderBy("ticker", "day")
+    )
