@@ -19,42 +19,56 @@ from . import media  # noqa: E402,F401
 # registry entries per round (each recorded round sampled exactly 50 in
 # registration order). Rotate queries with the stalest (or missing)
 # driver evidence to the front so every query accumulates a fresh
-# driver row within a few rounds. Round-8 front (from
-# tools/rotate_front.py, which now counts only hash-green rows as
-# evidence):
-#   1-9:   the round-8 additions (bloom decontamination, BM25,
-#          containment dedup, six indicators) — registered this round,
-#          NO driver row yet;
-#   10-19: the round-7 additions (indicators, resample/gapfill, the
-#          mergeable sketch lifecycle) — registered mid-round-7 behind
-#          that round's front, so they have NO driver row yet;
-#   20-41: the 22 queries whose newest driver row is r05 — after this
-#          round, no query's evidence is older than r06;
-#   42-50: r06-evidence queries (name order) to fill the front.
+# driver row within a few rounds. Round-8 close front (from
+# tools/rotate_front.py; only hash-green rows count as evidence):
+#   1-35:  every query with NO driver row yet — the 19 late round-7
+#          registrations (indicators, sketch lifecycle, BM25/bloom/
+#          containment) plus the 16 round-8 additions (risk tier,
+#          heavy hitters, entropy, rolling distinct, MAD, Benford,
+#          fuzzy linkage, PageRank, deciles, capped growth, TWAP,
+#          market basket);
+#   36-50: the 15 stalest r05-evidence queries (name order). The
+#          remaining 7 r05 + r06 tail rotates into the next round's
+#          front automatically.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all expose
 # the same full set.
 _SWEEP_FRONT = [
-    # newest driver evidence: none (registered in round 8)
+    # newest driver evidence: none
+    "q_aroon",
+    "q_atr",
+    "q_autocorr",
+    "q_benford",
+    "q_beta_daily",
     "q_bloom_decontaminate",
     "q_bm25",
-    "q_ngram_containment",
-    "q_obv",
-    "q_atr",
-    "q_vwap",
-    "q_donchian",
-    "q_aroon",
-    "q_cci",
-    # newest driver evidence: none (registered mid-round-7)
-    "q_beta_daily",
     "q_bollinger",
+    "q_capped_growth",
+    "q_cci",
+    "q_char_entropy",
+    "q_customer_deciles",
+    "q_donchian",
     "q_drawdown",
+    "q_fuzzy_match",
     "q_gapfill_daily",
+    "q_heavy_hitters",
+    "q_ichimoku",
+    "q_keltner",
     "q_kll_quantile_merge",
     "q_macd",
+    "q_mad_outliers",
+    "q_market_basket",
+    "q_ngram_containment",
+    "q_obv",
+    "q_pagerank",
     "q_resample_weekly",
+    "q_rolling_distinct",
     "q_rsi",
     "q_sketch_reaggregation",
     "q_stochastic",
+    "q_twap",
+    "q_volatility_estimators",
+    "q_vwap",
+    "q_williams_mfi",
     # newest driver evidence: r05
     "q_json_extract",
     "q_keep_last_dedup",
@@ -71,23 +85,6 @@ _SWEEP_FRONT = [
     "q_scalar_string_date",
     "q_series_correlation",
     "q_sessionize",
-    "q_shingle_count",
-    "q_stats_agg",
-    "q_token_stats",
-    "q_topn_per_feed",
-    "q_tumbling_hourly",
-    "q_validity_intervals",
-    "q_winsorized_stats",
-    # newest driver evidence: r06
-    "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
 ]
 
 
