@@ -2086,3 +2086,53 @@ def q_market_basket(spark, sf_dir):
         )
         .orderBy(F.desc("support"), "part_a", "part_b")
     )
+
+
+@register(
+    "q_triangles",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+        SELECT a.pk AS pa, b.pk AS pb
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk HAVING count(*) >= 2
+    ), t AS (
+        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        FROM e e1
+        JOIN e e2 ON e1.pb = e2.pa
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), corners AS (
+        SELECT a AS node FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+    FROM corners GROUP BY node ORDER BY node
+    """,
+    doc="Per-part triangle participation in the co-order graph (parts "
+    "co-ordered >= 2 times): the community-density signal on top of "
+    "q_market_basket's pairs. Edges canonicalize to a < b, each "
+    "triangle forms once by closing the (a,b)+(b,c) wedge with (a,c) "
+    "— two equi-joins on node ids, never non-edge enumeration; the "
+    "degree-ordered orientation (O(E^1.5) wedge bound) is the stated "
+    "skew upgrade at 100 TB. operators/graph.py.",
+)
+def q_triangles(spark, sf_dir):
+    from ..operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir)
+    items = t.lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select("ok", F.col("pk").alias("pa"))
+    b = items.select("ok", F.col("pk").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count(edges).orderBy("node")

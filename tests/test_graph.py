@@ -42,3 +42,19 @@ def test_out_fanout_splits_by_degree(spark):
     assert abs(out["B"] - (t + 0.85 * (third / 2))) < 1e-12
     assert abs(out["B"] - out["C"]) < 1e-15
     assert abs(out["A"] - (t + 0.85 * (third + third))) < 1e-12
+
+
+def test_triangle_count_k4_and_square(spark):
+    from market_analyze_data_stream_processing_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4: C(3,2)=3 triangles per node, 4 triangles total; edges given in
+    # mixed orientation + a duplicate + a self-loop, all canonicalized.
+    k4 = [("A", "B"), ("C", "A"), ("A", "D"), ("B", "C"), ("D", "B"),
+          ("C", "D"), ("B", "A"), ("D", "D")]
+    out = {r["node"]: r["n_tri"] for r in triangle_count(_edges(spark, k4)).collect()}
+    assert out == {"A": 3, "B": 3, "C": 3, "D": 3}
+    # 4-cycle without diagonals: no triangles at all
+    sq = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "A")]
+    assert triangle_count(_edges(spark, sq)).count() == 0

@@ -44,6 +44,11 @@ HEADLINE = [
     "q_resample_weekly",   # one min_by/max_by OHLC aggregate
     "q_gapfill_daily",     # per-key calendar + ffill window
     "q_macd",              # composed halo-block EWM convolutions
+    "q_heavy_hitters",     # MG partials + broadcast recount, bounded shuffle
+    "q_pagerank",          # 3 unrolled join+agg iterations, no collect
+    "q_rolling_distinct",  # explode-onto-window-ends, linear growth
+    "q_market_basket",     # basket-bounded pair fan-out
+    "q_volatility_estimators",  # two hash aggregates, no window
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

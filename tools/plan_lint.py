@@ -106,6 +106,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_customer_deciles": {
         "NLJ": "1-row decile-boundary and grand-total aggregates broadcast (no global ntile window)",
     },
+    "q_market_basket": {
+        "NLJ": "1-row order-count aggregate broadcast (lift denominator)",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
