@@ -2102,3 +2102,213 @@ def q_twap(spark, sf_dir):
         )
         .orderBy("ticker", "day")
     )
+
+
+@register(
+    "q_pivot_points",
+    _DAILYBARS_CTE
+    + """
+    , p AS (
+        SELECT ticker, day,
+               lag(high)  OVER w AS ph,
+               lag(low)   OVER w AS pl,
+               lag(close) OVER w AS pc
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           floor((ph + pl + pc) / 3.0 * 10000 + 0.5) / 10000 AS pivot,
+           floor((2.0 * ((ph + pl + pc) / 3.0) - pl) * 10000 + 0.5) / 10000
+               AS r1,
+           floor((2.0 * ((ph + pl + pc) / 3.0) - ph) * 10000 + 0.5) / 10000
+               AS s1,
+           floor(((ph + pl + pc) / 3.0 + (ph - pl)) * 10000 + 0.5) / 10000
+               AS r2,
+           floor(((ph + pl + pc) / 3.0 - (ph - pl)) * 10000 + 0.5) / 10000
+               AS s2
+    FROM p ORDER BY ticker, day
+    """,
+    doc="Classic floor-trader pivot levels for each session from the "
+    "PREVIOUS day's H/L/C: P=(H+L+C)/3, R1=2P-L, S1=2P-H, R2=P+(H-L), "
+    "S2=P-(H-L). Pure lag arithmetic on data values — no accumulation "
+    "anywhere, one (ticker, day) window pass; null on each ticker's "
+    "first session.",
+)
+def q_pivot_points(spark, sf_dir):
+    base = Window.partitionBy("ticker").orderBy("day")
+    d = _daily_bars(spark, sf_dir)
+    ph = F.lag("high").over(base)
+    pl = F.lag("low").over(base)
+    pc = F.lag("close").over(base)
+    piv = (ph + pl + pc) / 3.0
+    return d.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(piv, 4).alias("pivot"),
+        stable_round(2.0 * piv - pl, 4).alias("r1"),
+        stable_round(2.0 * piv - ph, 4).alias("s1"),
+        stable_round(piv + (ph - pl), 4).alias("r2"),
+        stable_round(piv - (ph - pl), 4).alias("s2"),
+    ).orderBy("ticker", "day")
+
+
+@register(
+    "q_sharpe",
+    _DAILYBARS_CTE
+    + """
+    , r AS (
+        SELECT ticker,
+               CASE WHEN close > 0 AND lag(close) OVER w > 0
+                    THEN ln(close / lag(close) OVER w) END AS r
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    )
+    SELECT ticker, CAST(count(r) AS BIGINT) AS n_returns,
+           round(avg(r), 6) AS mean_r,
+           round(stddev_samp(r), 6) AS std_r,
+           round(avg(r) / stddev_samp(r) * 15.874507866387544, 6)
+               AS sharpe_ann
+    FROM r GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Per-ticker annualized Sharpe ratio (rf=0) over daily log "
+    "returns: mean/stddev * sqrt(252), zero-close returns nulled for "
+    "ANSI totality. One window pass for returns + one hash aggregate; "
+    "float moments round at 6 (registry float discipline).",
+)
+def q_sharpe(spark, sf_dir):
+    base = Window.partitionBy("ticker").orderBy("day")
+    d = _daily_bars(spark, sf_dir)
+    prev = F.lag("close").over(base)
+    r = F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev))
+    staged = d.withColumn("__r", r)
+    return (
+        staged.groupBy("ticker")
+        .agg(
+            F.count("__r").alias("n_returns"),
+            F.round(F.avg("__r"), 6).alias("mean_r"),
+            F.round(F.stddev_samp("__r"), 6).alias("std_r"),
+            F.round(
+                F.avg("__r") / F.stddev_samp("__r") * F.lit(15.874507866387544), 6
+            ).alias("sharpe_ann"),
+        )
+        .orderBy("ticker")
+    )
+
+
+@register(
+    "q_amihud",
+    _VBARS_CTE
+    + """
+    , daily AS (
+        SELECT ticker, CAST(ts AS DATE) AS day,
+               arg_max(price, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(seq AS VARCHAR), 20, '0'))
+                   AS close,
+               CAST(sum(CAST(price * vol AS DECIMAL(28,6))) AS DOUBLE)
+                   AS dollar_vol
+        FROM vbars GROUP BY 1, 2
+    ), r AS (
+        SELECT ticker, day, dollar_vol,
+               CASE WHEN lag(close) OVER w > 0
+                    THEN abs(close / lag(close) OVER w - 1.0) END AS abs_r
+        FROM daily
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    )
+    SELECT ticker, CAST(count(abs_r) AS BIGINT) AS n_days,
+           round(avg(abs_r / dollar_vol * 1000000.0), 8) AS amihud_x1e6
+    FROM r WHERE dollar_vol > 0
+    GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Amihud illiquidity per ticker: mean(|daily return| / dollar "
+    "volume) x 1e6 — price impact per traded dollar, the standard "
+    "liquidity screen. Dollar volume is the decimal-exact Σ(price*vol) "
+    "per session (the q_vwap numerator), so each day's ratio is a "
+    "fixed-order double both engines share; only the final mean is a "
+    "float accumulation (round 8). Two hash aggregates + one window "
+    "pass.",
+)
+def q_amihud(spark, sf_dir):
+    v = _vbars(spark, sf_dir)
+    order = F.struct(F.col("ts"), F.col("seq"))
+    daily = v.groupBy("ticker", F.col("ts").cast("date").alias("day")).agg(
+        F.max_by(F.col("price"), order).alias("close"),
+        F.sum((F.col("price") * F.col("vol")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("dollar_vol"),
+    )
+    base = Window.partitionBy("ticker").orderBy("day")
+    prev = F.lag("close").over(base)
+    abs_r = F.when(prev > 0, F.abs(F.col("close") / prev - 1.0))
+    staged = daily.withColumn("__abs_r", abs_r).where(F.col("dollar_vol") > 0)
+    return (
+        staged.groupBy("ticker")
+        .agg(
+            F.count("__abs_r").alias("n_days"),
+            F.round(
+                F.avg(F.col("__abs_r") / F.col("dollar_vol") * F.lit(1000000.0)), 8
+            ).alias("amihud_x1e6"),
+        )
+        .orderBy("ticker")
+    )
+
+
+@register(
+    "q_lead_lag",
+    _DAILYBARS_CTE
+    + """
+    , r AS (
+        SELECT ticker, day,
+               CASE WHEN close > 0 AND lag(close) OVER w > 0
+                    THEN ln(close / lag(close) OVER w) END AS r
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), rr AS (
+        SELECT ticker, day, r, lag(r) OVER (PARTITION BY ticker ORDER BY day)
+                   AS r_prev
+        FROM r
+    )
+    SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
+           round(corr(a.r, b.r), 6) AS contemp,
+           round(corr(a.r, b.r_prev), 6) AS b_leads_a,
+           round(corr(b.r, a.r_prev), 6) AS a_leads_b
+    FROM rr a JOIN rr b ON a.day = b.day AND a.ticker < b.ticker
+    GROUP BY a.ticker, b.ticker
+    ORDER BY ticker_a, ticker_b
+    """,
+    doc="Lead-lag structure between every ticker pair: contemporaneous "
+    "correlation of daily log returns plus both one-day cross-"
+    "correlations (corr(a_t, b_{t-1}) = b leads a, and vice versa) — "
+    "the price-discovery diagnostic. One window pass builds (r, "
+    "r_prev) per ticker; the pair fan-out joins on the day grid "
+    "(bounded by universe size squared per day, like "
+    "q_series_correlation); three corr aggregates share one grouping.",
+)
+def q_lead_lag(spark, sf_dir):
+    base = Window.partitionBy("ticker").orderBy("day")
+    d = _daily_bars(spark, sf_dir)
+    prev = F.lag("close").over(base)
+    r = F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev))
+    rr = d.withColumn("__r", r).withColumn("__r_prev", F.lag("__r").over(base))
+    a = rr.select(
+        F.col("ticker").alias("ticker_a"),
+        "day",
+        F.col("__r").alias("ra"),
+        F.col("__r_prev").alias("ra_prev"),
+    )
+    b = rr.select(
+        F.col("ticker").alias("ticker_b"),
+        "day",
+        F.col("__r").alias("rb"),
+        F.col("__r_prev").alias("rb_prev"),
+    )
+    return (
+        a.join(b, "day")
+        .where(F.col("ticker_a") < F.col("ticker_b"))
+        .groupBy("ticker_a", "ticker_b")
+        .agg(
+            F.round(F.corr("ra", "rb"), 6).alias("contemp"),
+            F.round(F.corr("ra", "rb_prev"), 6).alias("b_leads_a"),
+            F.round(F.corr("rb", "ra_prev"), 6).alias("a_leads_b"),
+        )
+        .orderBy("ticker_a", "ticker_b")
+    )
