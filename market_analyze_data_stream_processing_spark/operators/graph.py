@@ -39,16 +39,28 @@ def pagerank(
     oracle verbatim rather than re-deriving it in SQL.
     """
     teleport = 1.0 - damping
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # The edge list, node set, and join-weights are loop-invariant but
+    # appear in every iteration's lineage — without a pin, each of the
+    # k iterations re-executes edge derivation (often a join+distinct
+    # over fact tables) from scratch, k+1 times by the last. Lazy
+    # localCheckpoints materialize each ONCE, into whichever iteration's
+    # job runs first (no standalone job), exactly the CC discipline
+    # (operators/dedup.py); callers release pins post-collect as usual.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    base = nodes.crossJoin(F.broadcast(n_row))  # (node, n): contract scalar
+    base = nodes.crossJoin(F.broadcast(n_row)).localCheckpoint(
+        eager=False
+    )  # (node, n): contract scalar
     deg = e.groupBy("src").agg((F.lit(1.0) / F.count(F.lit(1))).alias("inv"))
-    weighted = e.join(deg, "src")  # reused every iteration
+    weighted = e.join(deg, "src").localCheckpoint(eager=False)  # reused per iter
     ranks = base.select("node", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
     for _ in range(iterations):
         contribs = (
