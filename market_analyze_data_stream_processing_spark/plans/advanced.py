@@ -2136,3 +2136,81 @@ def q_triangles(spark, sf_dir):
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
     return triangle_count(edges).orderBy("node")
+
+
+@register(
+    "q_last_touch",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CASE WHEN event_type <> 'purchase' THEN event_id END
+                   AS touch_id,
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+                   AS touch_type,
+               CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                   AS touch_us
+        FROM events
+    ), attributed AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               last_value(touch_id IGNORE NULLS) OVER w AS touch_id,
+               last_value(touch_type IGNORE NULLS) OVER w AS touch_type,
+               last_value(touch_us IGNORE NULLS) OVER w AS touch_us
+        FROM ordered
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(round(value, 2) AS DOUBLE) AS amount,
+           touch_id, touch_type,
+           CASE WHEN touch_us IS NOT NULL
+                THEN epoch_us(ts) - touch_us END AS latency_us
+    FROM attributed
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+    doc="Last-touch attribution: each purchase joined to the user's "
+    "most recent PRIOR non-purchase event and the latency to it — the "
+    "marketing-attribution primitive. No as-of join needed: one "
+    "(user, ts, seq) window with last_value(IGNORE NULLS) over "
+    "ROWS ... 1 PRECEDING carries the latest touch forward in the "
+    "same pass that reads the purchases (the q_asof_join union+window "
+    "lowering specialized to same-table attribution). Latency is an "
+    "exact integer microsecond difference.",
+)
+def q_last_touch(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type") != "purchase"
+    staged = e.withColumns(
+        {
+            "__tid": F.when(is_touch, F.col("event_id")),
+            "__ttype": F.when(is_touch, F.col("event_type")),
+            "__tus": F.when(is_touch, F.unix_micros("ts")),
+        }
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    att = staged.withColumns(
+        {
+            "touch_id": F.last("__tid", ignorenulls=True).over(w),
+            "touch_type": F.last("__ttype", ignorenulls=True).over(w),
+            "__touch_us": F.last("__tus", ignorenulls=True).over(w),
+        }
+    )
+    return (
+        att.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("amount"),
+            "touch_id",
+            "touch_type",
+            F.when(
+                F.col("__touch_us").isNotNull(),
+                F.unix_micros("ts") - F.col("__touch_us"),
+            ).alias("latency_us"),
+        )
+        .orderBy("user_id", "event_id")
+    )

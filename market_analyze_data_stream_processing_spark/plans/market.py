@@ -2312,3 +2312,104 @@ def q_lead_lag(spark, sf_dir):
         )
         .orderBy("ticker_a", "ticker_b")
     )
+
+
+@register(
+    "q_volume_imbalance",
+    _VBARS_CTE
+    + """
+    , d AS (
+        SELECT ticker, CAST(ts AS DATE) AS day, vol,
+               price - lag(price) OVER (PARTITION BY ticker ORDER BY ts, seq)
+                   AS delta
+        FROM vbars
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN delta > 0 THEN vol ELSE 0 END) AS BIGINT)
+               AS up_vol,
+           CAST(sum(CASE WHEN delta < 0 THEN vol ELSE 0 END) AS BIGINT)
+               AS down_vol,
+           CASE WHEN sum(CASE WHEN delta > 0 THEN vol ELSE 0 END)
+                     + sum(CASE WHEN delta < 0 THEN vol ELSE 0 END) > 0
+                THEN floor(CAST(sum(CASE WHEN delta > 0 THEN vol ELSE 0 END)
+                                - sum(CASE WHEN delta < 0 THEN vol ELSE 0 END)
+                           AS DOUBLE)
+                           / (sum(CASE WHEN delta > 0 THEN vol ELSE 0 END)
+                              + sum(CASE WHEN delta < 0 THEN vol ELSE 0 END))
+                           * 1000000 + 0.5) / 1000000 END AS imbalance
+    FROM d GROUP BY ticker, day ORDER BY ticker, day
+    """,
+    doc="Signed volume imbalance per (ticker, session): up-tick vs "
+    "down-tick volume (tick rule on the price delta; the ticker-level "
+    "lag crosses session boundaries by design — the first tick of a "
+    "day signs against the prior close) and their normalized "
+    "imbalance — the order-flow pressure gauge. Sums are exact LONG "
+    "arithmetic; the one ratio divides exact integers (engine-stable), "
+    "zero-activity days null-gate. One window pass + one hash "
+    "aggregate.",
+)
+def q_volume_imbalance(spark, sf_dir):
+    v = _vbars(spark, sf_dir)
+    base = Window.partitionBy("ticker").orderBy("ts", "seq")
+    delta = F.col("price") - F.lag("price").over(base)
+    staged = v.withColumns(
+        {
+            "day": F.col("ts").cast("date"),
+            "__up": F.when(delta > 0, F.col("vol")).otherwise(F.lit(0)),
+            "__dn": F.when(delta < 0, F.col("vol")).otherwise(F.lit(0)),
+        }
+    )
+    up, dn = F.sum("__up"), F.sum("__dn")
+    return (
+        staged.groupBy("ticker", "day")
+        .agg(
+            up.cast("long").alias("up_vol"),
+            dn.cast("long").alias("down_vol"),
+            stable_round(
+                F.when(up + dn > 0, (up - dn).cast("double") / (up + dn)), 6
+            ).alias("imbalance"),
+        )
+        .select(
+            "ticker",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "up_vol",
+            "down_vol",
+            "imbalance",
+        )
+        .orderBy("ticker", "day")
+    )
+
+
+@register(
+    "q_intraday_profile",
+    _VBARS_CTE
+    + """
+    SELECT ticker, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(vol) AS BIGINT) AS volume,
+           floor(CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_price
+    FROM vbars GROUP BY ticker, EXTRACT(hour FROM ts)
+    ORDER BY ticker, hour
+    """,
+    doc="Intraday seasonality profile: tick count, volume, and average "
+    "price by hour-of-day per ticker — the U-shaped-activity "
+    "diagnostic behind execution scheduling. One map-side-combined "
+    "hash aggregate over the scan (24 x |tickers| output rows); price "
+    "sums are DECIMAL-exact so the mean divides exact operands.",
+)
+def q_intraday_profile(spark, sf_dir):
+    v = _vbars(spark, sf_dir)
+    return (
+        v.groupBy("ticker", F.hour("ts").cast("long").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("vol").cast("long").alias("volume"),
+            stable_round(
+                F.sum(F.col("price").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+        )
+        .orderBy("ticker", "hour")
+    )
