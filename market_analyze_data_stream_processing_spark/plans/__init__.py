@@ -21,19 +21,15 @@ from . import media  # noqa: E402,F401
 # driver evidence to the front so every query accumulates a fresh
 # driver row within a few rounds. Round-8 close front (from
 # tools/rotate_front.py; only hash-green rows count as evidence):
-#   1-35:  every query with NO driver row yet — the 19 late round-7
-#          registrations (indicators, sketch lifecycle, BM25/bloom/
-#          containment) plus the 16 round-8 additions (risk tier,
-#          heavy hitters, entropy, rolling distinct, MAD, Benford,
-#          fuzzy linkage, PageRank, deciles, capped growth, TWAP,
-#          market basket);
-#   36-50: the 15 stalest r05-evidence queries (name order). The
-#          remaining 7 r05 + r06 tail rotates into the next round's
-#          front automatically.
-# Semantics are unaffected — `queries()`/`oracle_sql()`/bench all expose
-# the same full set.
+# the 43 queries with NO driver row yet (19 late round-7 registrations
+# + the 24 round-8 additions) lead, then the stalest r05-evidence
+# queries fill to 50. The warning list printed by rotate_front (never-
+# sampled names that do not fit) is empty when this front is current.
+# Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
+# expose the same full set.
 _SWEEP_FRONT = [
     # newest driver evidence: none
+    "q_amihud",
     "q_aroon",
     "q_atr",
     "q_autocorr",
@@ -52,21 +48,28 @@ _SWEEP_FRONT = [
     "q_gapfill_daily",
     "q_heavy_hitters",
     "q_ichimoku",
+    "q_intraday_profile",
     "q_keltner",
     "q_kll_quantile_merge",
+    "q_last_touch",
+    "q_lead_lag",
     "q_macd",
     "q_mad_outliers",
     "q_market_basket",
     "q_ngram_containment",
     "q_obv",
     "q_pagerank",
+    "q_pivot_points",
     "q_resample_weekly",
     "q_rolling_distinct",
     "q_rsi",
+    "q_sharpe",
     "q_sketch_reaggregation",
     "q_stochastic",
+    "q_triangles",
     "q_twap",
     "q_volatility_estimators",
+    "q_volume_imbalance",
     "q_vwap",
     "q_williams_mfi",
     # newest driver evidence: r05
@@ -77,14 +80,6 @@ _SWEEP_FRONT = [
     "q_latest_per_key",
     "q_minhash_signature",
     "q_momentum_multilag",
-    "q_percentiles",
-    "q_pivot_counts",
-    "q_quality_score",
-    "q_quantize_embeddings",
-    "q_range_join",
-    "q_scalar_string_date",
-    "q_series_correlation",
-    "q_sessionize",
 ]
 
 
