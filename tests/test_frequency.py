@@ -118,3 +118,39 @@ def test_streaming_mg_matches_sequential_fold(spark, tmp_path):
     expected = mg_update({}, stream_items, 3)
     assert got == expected
     assert not any(r["item"] == "zz" for r in rows)
+
+
+# --- pure-Python Misra-Gries invariants (no Spark session needed) -----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_streams = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=400
+)
+_ks = st.integers(min_value=1, max_value=8)
+
+
+@given(_streams, _ks)
+@settings(max_examples=200, deadline=None)
+def test_mg_update_invariants(stream, k):
+    """Classic MG guarantees: ≤ k counters; every lower bound
+    undershoots the true count by at most N/(k+1); every item with
+    true count > N/(k+1) is retained."""
+    from collections import Counter
+
+    from market_analyze_data_stream_processing_spark.operators.frequency import (
+        mg_update,
+    )
+
+    summary = mg_update({}, stream, k)
+    true = Counter(stream)
+    n = len(stream)
+    slack = n / (k + 1)
+    assert len(summary) <= k
+    for item, lb in summary.items():
+        assert 0 < lb <= true[item]
+        assert true[item] - lb <= slack
+    for item, c in true.items():
+        if c > slack:
+            assert item in summary
