@@ -91,10 +91,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     caps wedge counts at O(E^1.5) total — same plan, different
     orientation key. Returns (node, n_tri) for nodes in ≥1 triangle."""
     a, b = F.col(src), F.col(dst)
+    # The canonical edge set feeds all three triangle corners — without
+    # a pin, edge derivation (often a join+aggregate over fact tables)
+    # executes once per corner. Lazy localCheckpoint: materialized once
+    # by the first job that needs it (see pagerank above).
     e = (
         edges.where(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     bc = e.select(F.col("a").alias("t_b2"), F.col("b").alias("t_c"))
