@@ -101,3 +101,80 @@ def return_autocorr(
         F.count("__r").alias("n_returns"),
         *[F.corr(F.col("__r"), F.col(f"__r_{k}")).alias(f"acf_{k}") for k in lags],
     )
+
+
+ANNUALIZE_DAILY = 15.874507866387544  # sqrt(252), shared literal
+
+
+def sharpe_ratio(
+    daily: DataFrame,
+    key: str = "ticker",
+    day: str = "day",
+    close: str = "close",
+    ann: float = ANNUALIZE_DAILY,
+) -> DataFrame:
+    """Per-key annualized Sharpe (rf = 0) over daily log returns:
+    (n_returns, mean_r, std_r, sharpe_ann), unrounded. Zero closes
+    null the return (ANSI totality). One window pass + one aggregate."""
+    base = Window.partitionBy(key).orderBy(day)
+    prev = F.lag(close).over(base)
+    r = F.when((F.col(close) > 0) & (prev > 0), F.log(F.col(close) / prev))
+    return (
+        daily.withColumn("__r", r)
+        .groupBy(key)
+        .agg(
+            F.count("__r").alias("n_returns"),
+            F.avg("__r").alias("mean_r"),
+            F.stddev_samp("__r").alias("std_r"),
+            (F.avg("__r") / F.stddev_samp("__r") * F.lit(ann)).alias("sharpe_ann"),
+        )
+    )
+
+
+def amihud_illiquidity(
+    daily: DataFrame,
+    key: str = "ticker",
+    day: str = "day",
+    close: str = "close",
+    dollar_vol: str = "dollar_vol",
+) -> DataFrame:
+    """Per-key Amihud illiquidity over (close, dollar_vol) daily bars:
+    mean(|return| / dollar volume) x 1e6, unrounded, zero-dollar-volume
+    days excluded and zero-close returns nulled."""
+    base = Window.partitionBy(key).orderBy(day)
+    prev = F.lag(close).over(base)
+    abs_r = F.when(prev > 0, F.abs(F.col(close) / prev - 1.0))
+    return (
+        daily.withColumn("__abs_r", abs_r)
+        .where(F.col(dollar_vol) > 0)
+        .groupBy(key)
+        .agg(
+            F.count("__abs_r").alias("n_days"),
+            F.avg(F.col("__abs_r") / F.col(dollar_vol) * F.lit(1000000.0)).alias(
+                "amihud_x1e6"
+            ),
+        )
+    )
+
+
+def max_drawdown(
+    bars: DataFrame,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "price",
+    seq: str = "seq",
+) -> DataFrame:
+    """Per-key maximum drawdown over tick bars: min of price/peak - 1
+    (running-peak window; zero peaks null-gate), unrounded."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, seq)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max(price).over(w)
+    dd = F.when(peak != 0.0, F.col(price) / peak - 1.0)
+    return (
+        bars.withColumn("__dd", dd)
+        .groupBy(key)
+        .agg(F.min("__dd").alias("max_drawdown"))
+    )

@@ -2176,23 +2176,16 @@ def q_pivot_points(spark, sf_dir):
     "float moments round at 6 (registry float discipline).",
 )
 def q_sharpe(spark, sf_dir):
-    base = Window.partitionBy("ticker").orderBy("day")
-    d = _daily_bars(spark, sf_dir)
-    prev = F.lag("close").over(base)
-    r = F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev))
-    staged = d.withColumn("__r", r)
-    return (
-        staged.groupBy("ticker")
-        .agg(
-            F.count("__r").alias("n_returns"),
-            F.round(F.avg("__r"), 6).alias("mean_r"),
-            F.round(F.stddev_samp("__r"), 6).alias("std_r"),
-            F.round(
-                F.avg("__r") / F.stddev_samp("__r") * F.lit(15.874507866387544), 6
-            ).alias("sharpe_ann"),
-        )
-        .orderBy("ticker")
-    )
+    from ..operators.volatility import sharpe_ratio
+
+    out = sharpe_ratio(_daily_bars(spark, sf_dir))
+    return out.select(
+        "ticker",
+        "n_returns",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("std_r", 6).alias("std_r"),
+        F.round("sharpe_ann", 6).alias("sharpe_ann"),
+    ).orderBy("ticker")
 
 
 @register(
@@ -2228,27 +2221,25 @@ def q_sharpe(spark, sf_dir):
     "pass.",
 )
 def q_amihud(spark, sf_dir):
+    from ..operators.volatility import amihud_illiquidity
+
+    out = amihud_illiquidity(_daily_dollar_bars(spark, sf_dir))
+    return out.select(
+        "ticker",
+        "n_days",
+        F.round("amihud_x1e6", 8).alias("amihud_x1e6"),
+    ).orderBy("ticker")
+
+
+def _daily_dollar_bars(spark, sf_dir):
+    """Daily (close, decimal-exact dollar volume) bars from _vbars."""
     v = _vbars(spark, sf_dir)
     order = F.struct(F.col("ts"), F.col("seq"))
-    daily = v.groupBy("ticker", F.col("ts").cast("date").alias("day")).agg(
+    return v.groupBy("ticker", F.col("ts").cast("date").alias("day")).agg(
         F.max_by(F.col("price"), order).alias("close"),
         F.sum((F.col("price") * F.col("vol")).cast("decimal(28,6)"))
         .cast("double")
         .alias("dollar_vol"),
-    )
-    base = Window.partitionBy("ticker").orderBy("day")
-    prev = F.lag("close").over(base)
-    abs_r = F.when(prev > 0, F.abs(F.col("close") / prev - 1.0))
-    staged = daily.withColumn("__abs_r", abs_r).where(F.col("dollar_vol") > 0)
-    return (
-        staged.groupBy("ticker")
-        .agg(
-            F.count("__abs_r").alias("n_days"),
-            F.round(
-                F.avg(F.col("__abs_r") / F.col("dollar_vol") * F.lit(1000000.0)), 8
-            ).alias("amihud_x1e6"),
-        )
-        .orderBy("ticker")
     )
 
 
@@ -2412,4 +2403,125 @@ def q_intraday_profile(spark, sf_dir):
             ).alias("avg_price"),
         )
         .orderBy("ticker", "hour")
+    )
+
+
+@register(
+    "q_risk_report",
+    _DAILYOHLC_CTE
+    + """
+    , terms AS (
+        SELECT ticker,
+               ln(high / low) AS lhl, ln(close / open) AS lco,
+               ln(high / close) AS lhc, ln(high / open) AS lho,
+               ln(low / close) AS llc, ln(low / open) AS llo
+        FROM dailyohlc WHERE low > 0
+    ), vol AS (
+        SELECT ticker, CAST(count(*) AS BIGINT) AS n_days,
+               round(sqrt(avg(lhl * lhl) / 2.772588722239781), 6) AS park_vol,
+               round(sqrt(greatest(avg(0.5 * lhl * lhl
+                          - 0.3862943611198906 * lco * lco), 0.0)), 6) AS gk_vol,
+               round(sqrt(greatest(avg(lhc * lho + llc * llo), 0.0)), 6) AS rs_vol
+        FROM terms GROUP BY ticker
+    ), r AS (
+        SELECT ticker, day,
+               CASE WHEN close > 0 AND lag(close) OVER w > 0
+                    THEN ln(close / lag(close) OVER w) END AS r
+        FROM dailyohlc
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), sharpe AS (
+        SELECT ticker,
+               round(avg(r) / stddev_samp(r) * 15.874507866387544, 6)
+                   AS sharpe_ann
+        FROM r GROUP BY ticker
+    ), acf AS (
+        SELECT ticker, round(corr(r, r1), 6) AS acf_1
+        FROM (SELECT ticker, r,
+                     lag(r) OVER (PARTITION BY ticker ORDER BY day) AS r1
+              FROM r)
+        GROUP BY ticker
+    ), dvol AS (
+        SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+                   AS close,
+               CAST(sum(CAST(value * ((user_id % 997) + 1) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS dollar_vol
+        FROM events GROUP BY 1, 2
+    ), ar AS (
+        SELECT ticker, day, dollar_vol,
+               CASE WHEN lag(close) OVER w > 0
+                    THEN abs(close / lag(close) OVER w - 1.0) END AS abs_r
+        FROM dvol
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), ami AS (
+        SELECT ticker, round(avg(abs_r / dollar_vol * 1000000.0), 8)
+                   AS amihud_x1e6
+        FROM ar WHERE dollar_vol > 0 GROUP BY ticker
+    ), dd AS (
+        SELECT ticker,
+               floor(min(ddown) * 1000000 + 0.5) / 1000000 AS max_drawdown
+        FROM (
+            SELECT event_type AS ticker,
+                   CASE WHEN max(value) OVER peak = 0.0 THEN NULL
+                        ELSE value / max(value) OVER peak - 1.0 END AS ddown
+            FROM events
+            WINDOW peak AS (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ) GROUP BY ticker
+    )
+    SELECT vol.ticker, vol.n_days, vol.park_vol, vol.gk_vol, vol.rs_vol,
+           sharpe.sharpe_ann, acf.acf_1, ami.amihud_x1e6, dd.max_drawdown
+    FROM vol
+    JOIN sharpe USING (ticker)
+    JOIN acf USING (ticker)
+    JOIN ami USING (ticker)
+    JOIN dd USING (ticker)
+    ORDER BY vol.ticker
+    """,
+    doc="Composed per-ticker risk report — the dashboard row a risk "
+    "desk reads: range-based volatilities, annualized Sharpe, lag-1 "
+    "return autocorrelation, Amihud illiquidity, and maximum drawdown, "
+    "all from the same operator library the standalone queries use "
+    "(operators/volatility.py) and stitched with five broadcast-sized "
+    "per-ticker joins. Demonstrates operator composition: each leg "
+    "keeps its own exactness discipline (decimal dollar volume, "
+    "null-gated zero closes, clamped estimator means) and the report "
+    "inherits them unchanged.",
+)
+def q_risk_report(spark, sf_dir):
+    from ..operators.volatility import (
+        amihud_illiquidity,
+        max_drawdown,
+        ohlc_volatility,
+        return_autocorr,
+        sharpe_ratio,
+    )
+
+    daily = _daily_ohlc(spark, sf_dir)
+    vol = ohlc_volatility(daily.where(F.col("low") > 0)).select(
+        "ticker",
+        "n_days",
+        F.round("park_vol", 6).alias("park_vol"),
+        F.round("gk_vol", 6).alias("gk_vol"),
+        F.round("rs_vol", 6).alias("rs_vol"),
+    )
+    sh = sharpe_ratio(daily).select(
+        "ticker", F.round("sharpe_ann", 6).alias("sharpe_ann")
+    )
+    ac = return_autocorr(daily, lags=(1,)).select(
+        "ticker", F.round("acf_1", 6).alias("acf_1")
+    )
+    ami = amihud_illiquidity(_daily_dollar_bars(spark, sf_dir)).select(
+        "ticker", F.round("amihud_x1e6", 8).alias("amihud_x1e6")
+    )
+    dd = max_drawdown(_bars(spark, sf_dir)).select(
+        "ticker", stable_round(F.col("max_drawdown"), 6).alias("max_drawdown")
+    )
+    return (
+        vol.join(sh, "ticker")
+        .join(ac, "ticker")
+        .join(ami, "ticker")
+        .join(dd, "ticker")
+        .orderBy("ticker")
     )
