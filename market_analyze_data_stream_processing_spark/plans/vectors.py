@@ -530,3 +530,44 @@ def q_quantize_embeddings(spark, sf_dir):
         nnz.alias("n_nonzero"),
         F.round(rmse, 9).alias("rmse"),
     )
+
+
+@register(
+    "q_embedding_covariance",
+    """
+    WITH x AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, range(1, 65) AS r(i)
+    ), g AS (
+        SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    ), s AS (
+        SELECT i, CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS s
+        FROM x GROUP BY i
+    ), nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+    )
+    SELECT g.i, g.j, CAST((SELECT n FROM nn) AS BIGINT) AS n,
+           round((g.g - si.s * sj.s / (SELECT n FROM nn))
+                 / ((SELECT n FROM nn) - 1.0), 6) AS cov
+    FROM g JOIN s si ON g.i = si.i JOIN s sj ON g.j = sj.i
+    ORDER BY g.i, g.j
+    """,
+    doc="Sample covariance matrix of the embedding columns (upper "
+    "triangle, 1-based dims) — the PCA/whitening/Mahalanobis building "
+    "block. The cross-moment matrix accumulates as per-partition numpy "
+    "X^T X partials (one d*d float64 per task, <= d(d+1)/2 rows "
+    "emitted each) — NOT the d-squared-per-vector explode join the "
+    "oracle uses, which would be a 4096x row blowup at 100 TB; column "
+    "sums are one DECIMAL-exact posexplode aggregate and n is a 1-row "
+    "broadcast. operators/linalg.py.",
+)
+def q_embedding_covariance(spark, sf_dir):
+    from ..operators.linalg import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = covariance_matrix(emb, "embedding", dim=64)
+    return out.select(
+        "i", "j", "n", F.round("cov", 6).alias("cov")
+    ).orderBy("i", "j")

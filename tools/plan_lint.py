@@ -109,6 +109,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_market_basket": {
         "NLJ": "1-row order-count aggregate broadcast (lift denominator)",
     },
+    "q_embedding_covariance": {
+        "NLJ": "1-row vector-count aggregate broadcast (covariance denominator)",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
