@@ -19,14 +19,13 @@ from . import media  # noqa: E402,F401
 # registry entries per round (each recorded round sampled exactly 50 in
 # registration order). Rotate queries with the stalest (or missing)
 # driver evidence to the front so every query accumulates a fresh
-# driver row within a few rounds. Round-8 close front (from
+# driver row within a few rounds. Round-8 final front (from
 # tools/rotate_front.py; only hash-green rows count as evidence):
-# the 43 queries with NO driver row yet (19 late round-7 registrations
-# + the 24 round-8 additions) lead, then the stalest r05-evidence
-# queries fill to 50. The warning list printed by rotate_front (never-
-# sampled names that do not fit) is empty when this front is current.
-# Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
-# expose the same full set.
+# the 45 queries with NO driver row yet (19 late round-7 registrations
+# + the 26 round-8 additions) lead, then the 5 stalest r05-evidence
+# queries fill to 50; the remaining r05/r06 tail rotates into round 9
+# automatically. Semantics are unaffected — `queries()`/`oracle_sql()`/
+# bench all expose the same full set.
 _SWEEP_FRONT = [
     # newest driver evidence: none
     "q_amihud",
@@ -44,6 +43,7 @@ _SWEEP_FRONT = [
     "q_customer_deciles",
     "q_donchian",
     "q_drawdown",
+    "q_embedding_covariance",
     "q_fuzzy_match",
     "q_gapfill_daily",
     "q_heavy_hitters",
@@ -61,6 +61,7 @@ _SWEEP_FRONT = [
     "q_pagerank",
     "q_pivot_points",
     "q_resample_weekly",
+    "q_risk_report",
     "q_rolling_distinct",
     "q_rsi",
     "q_sharpe",
@@ -78,8 +79,6 @@ _SWEEP_FRONT = [
     "q_lag_variation",
     "q_lang_id",
     "q_latest_per_key",
-    "q_minhash_signature",
-    "q_momentum_multilag",
 ]
 
 
