@@ -84,3 +84,59 @@ def gap_fill_daily(
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    period: int = 7,
+    key: str = "ticker",
+    day: str = "day",
+    value: str = "close",
+) -> DataFrame:
+    """Classical additive seasonal decomposition (STL-lite) of a daily
+    series: value = trend + seasonal + resid, the moving-average method
+    statsmodels' seasonal_decompose uses (extends the reference's MA
+    dashboard from smoothing to structure: trend strips the cycle,
+    seasonal isolates the day-of-week effect, resid is what a monitor
+    should actually alert on).
+
+    - trend: CENTERED period-row moving average (null until the frame
+      is full on both sides). The frame sum accumulates in DECIMAL, so
+      it is exact — order-insensitive, hence bit-portable — and only
+      the final /period division is float.
+    - seasonal: mean of (value - trend) per (key, phase), where phase
+      is epoch-day mod period — a calendar-convention-free weekday
+      index both engines derive identically.
+    - resid: value - trend - seasonal.
+
+    Scale shape: one shuffle+sort on the key for the centered frame
+    (O(period) per row), one hash aggregate's worth of shuffle on
+    (key, phase) for the seasonal means. Output is one row per input
+    row — no collect, no self-join. Returns unrounded trend/seasonal/
+    resid; callers round the float means per the registry discipline.
+    """
+    frame = (
+        Window.partitionBy(key)
+        .orderBy(day)
+        .rowsBetween(-(period // 2), period // 2)
+    )
+    cnt = F.count(value).over(frame)
+    s = F.sum(F.col(value).cast("decimal(18,4)")).over(frame)
+    trend = F.when(cnt == period, s.cast("double") / float(period))
+    phase = F.datediff(F.col(day), F.lit("1970-01-01")) % period
+    t = daily.select(
+        key,
+        day,
+        value,
+        phase.alias("phase"),
+        trend.alias("trend"),
+    )
+    season_w = Window.partitionBy(key, "phase")
+    return t.select(
+        key,
+        day,
+        "phase",
+        value,
+        "trend",
+        F.avg(F.col(value) - F.col("trend")).over(season_w).alias("seasonal"),
+    )

@@ -178,3 +178,61 @@ def max_drawdown(
         .groupBy(key)
         .agg(F.min("__dd").alias("max_drawdown"))
     )
+
+
+def historical_var_cvar(
+    daily: DataFrame,
+    alpha: float = 0.05,
+    key: str = "ticker",
+    day: str = "day",
+    close: str = "close",
+) -> DataFrame:
+    """Per-key historical Value-at-Risk and Conditional VaR (expected
+    shortfall) over daily simple returns — the loss-tail statistics a
+    risk desk quotes next to Sharpe/drawdown (extends the reference's
+    per-ticker variation analytics to the distribution's tail).
+
+    Order-statistic semantics, not interpolated percentile: with
+    n returns, the tail is the k = ceil(alpha * n) smallest, VaR is the
+    k-th smallest return (an actual data value — no float blending of
+    neighbors, hence bit-portable across engines), and CVaR is the mean
+    of those k (the only float accumulation; callers round it). Ties on
+    the return value break by day, so the tail set is deterministic.
+
+    Scale shape: the return lag and the (return, day) ranking share one
+    hash partitioning on the key — one shuffle, two in-partition sorts,
+    one final hash aggregate. No per-key collect, no global sort: a
+    billion-day key costs one partition-local sort, and the output is
+    one row per key.
+    """
+    base = Window.partitionBy(key).orderBy(day)
+    prev = F.lag(close).over(base)
+    r = F.when(prev > 0, F.col(close) / prev - 1.0)
+    rets = (
+        daily.withColumn("__r", r)
+        .where(F.col("__r").isNotNull())
+        .select(key, day, "__r")
+    )
+    rank_w = Window.partitionBy(key).orderBy("__r", day)
+    part_w = Window.partitionBy(key)
+    ranked = rets.select(
+        key,
+        "__r",
+        F.row_number().over(rank_w).alias("__rk"),
+        F.count(F.lit(1)).over(part_w).alias("__n"),
+    )
+    k = F.ceil(F.col("__n") * F.lit(alpha))
+    return (
+        ranked.withColumn("__k", k)
+        .groupBy(key)
+        .agg(
+            F.max("__n").alias("n_returns"),
+            F.max("__k").alias("tail_k"),
+            F.max(F.when(F.col("__rk") == F.col("__k"), F.col("__r"))).alias(
+                "var_loss"
+            ),
+            F.avg(F.when(F.col("__rk") <= F.col("__k"), F.col("__r"))).alias(
+                "cvar_loss"
+            ),
+        )
+    )

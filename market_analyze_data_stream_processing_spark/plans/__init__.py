@@ -21,8 +21,8 @@ from . import media  # noqa: E402,F401
 # driver evidence to the front so every query accumulates a fresh
 # driver row within a few rounds. Round-8 final front (from
 # tools/rotate_front.py; only hash-green rows count as evidence):
-# the 45 queries with NO driver row yet (19 late round-7 registrations
-# + the 26 round-8 additions) lead, then the 5 stalest r05-evidence
+# the 47 queries with NO driver row yet (19 late round-7 registrations
+# + the 28 round-8 additions) lead, then the 3 stalest r05-evidence
 # queries fill to 50; the remaining r05/r06 tail rotates into round 9
 # automatically. Semantics are unaffected — `queries()`/`oracle_sql()`/
 # bench all expose the same full set.
@@ -64,11 +64,13 @@ _SWEEP_FRONT = [
     "q_risk_report",
     "q_rolling_distinct",
     "q_rsi",
+    "q_seasonal_decompose",
     "q_sharpe",
     "q_sketch_reaggregation",
     "q_stochastic",
     "q_triangles",
     "q_twap",
+    "q_var_cvar",
     "q_volatility_estimators",
     "q_volume_imbalance",
     "q_vwap",
@@ -77,8 +79,6 @@ _SWEEP_FRONT = [
     "q_json_extract",
     "q_keep_last_dedup",
     "q_lag_variation",
-    "q_lang_id",
-    "q_latest_per_key",
 ]
 
 

@@ -2525,3 +2525,108 @@ def q_risk_report(spark, sf_dir):
         .join(dd, "ticker")
         .orderBy("ticker")
     )
+
+
+@register(
+    "q_var_cvar",
+    _DAILYBARS_CTE
+    + """
+    , r AS (
+        SELECT ticker, day,
+               CASE WHEN lag(close) OVER w > 0
+                    THEN close / lag(close) OVER w - 1.0 END AS r
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), ranked AS (
+        SELECT ticker, r,
+               row_number() OVER (PARTITION BY ticker ORDER BY r, day)
+                   AS rk,
+               count(*) OVER (PARTITION BY ticker) AS n
+        FROM r WHERE r IS NOT NULL
+    )
+    SELECT ticker,
+           CAST(max(n) AS BIGINT) AS n_returns,
+           CAST(max(CAST(ceiling(n * 0.05) AS BIGINT)) AS BIGINT) AS tail_k,
+           max(CASE WHEN rk = CAST(ceiling(n * 0.05) AS BIGINT)
+                    THEN r END) AS var_loss,
+           round(avg(CASE WHEN rk <= CAST(ceiling(n * 0.05) AS BIGINT)
+                          THEN r END), 6) AS cvar_loss
+    FROM ranked GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Historical 5% Value-at-Risk and Conditional VaR (expected "
+    "shortfall) per ticker over daily simple returns. Order-statistic "
+    "semantics, not interpolated percentile: the tail is the "
+    "k = ceil(0.05 n) smallest returns, VaR is the k-th smallest — an "
+    "actual data value, so no float blending and no engine-specific "
+    "percentile interpolation — and CVaR is the mean of those k (the "
+    "only float accumulation; round 6). Ties on the return value break "
+    "by day, so the tail set is deterministic on both engines. The "
+    "return lag and the (r, day) ranking share one hash partitioning "
+    "on ticker: one shuffle, two in-partition sorts, one aggregate.",
+)
+def q_var_cvar(spark, sf_dir):
+    from ..operators.volatility import historical_var_cvar
+
+    out = historical_var_cvar(_daily_bars(spark, sf_dir), alpha=0.05)
+    return out.select(
+        "ticker",
+        "n_returns",
+        "tail_k",
+        "var_loss",
+        F.round("cvar_loss", 6).alias("cvar_loss"),
+    ).orderBy("ticker")
+
+
+@register(
+    "q_seasonal_decompose",
+    _DAILYBARS_CTE
+    + """
+    , t AS (
+        SELECT ticker, day, close,
+               CAST((day - DATE '1970-01-01') % 7 AS INT) AS phase,
+               CASE WHEN count(close) OVER c = 7
+                    THEN CAST(sum(CAST(close AS DECIMAL(18,4))) OVER c
+                              AS DOUBLE) / 7.0 END AS trend
+        FROM dailybars
+        WINDOW c AS (PARTITION BY ticker ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), s AS (
+        SELECT ticker, day, phase, close, trend,
+               round(avg(close - trend)
+                         OVER (PARTITION BY ticker, phase), 6) AS seasonal
+        FROM t
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day, phase, close,
+           floor(trend * 10000 + 0.5) / 10000 AS trend,
+           seasonal,
+           round(close - trend - seasonal, 6) AS resid
+    FROM s ORDER BY ticker, day
+    """,
+    doc="Classical additive seasonal decomposition (STL-lite) of each "
+    "ticker's daily closes: close = trend + seasonal + resid. Trend is "
+    "a CENTERED 7-day moving average whose frame sum accumulates in "
+    "DECIMAL (exact, order-insensitive, bit-portable; only the /7 "
+    "division is float); seasonal is the mean of (close - trend) per "
+    "(ticker, epoch-day mod 7) — a calendar-convention-free weekday "
+    "phase both engines derive identically (Spark dayofweek is "
+    "1=Sunday, DuckDB 0=Sunday; epoch-mod sidesteps both); resid "
+    "subtracts the ROUNDED seasonal so both engines difference the "
+    "same post-round value. One shuffle+sort on ticker for the frame, "
+    "one (ticker, phase) shuffle for the seasonal means; one row out "
+    "per row in.",
+)
+def q_seasonal_decompose(spark, sf_dir):
+    from ..operators.timeseries import seasonal_decompose
+
+    out = seasonal_decompose(_daily_bars(spark, sf_dir), period=7)
+    return out.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "phase",
+        "close",
+        stable_round(F.col("trend"), 4).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("close") - F.col("trend") - F.round("seasonal", 6), 6
+        ).alias("resid"),
+    ).orderBy("ticker", "day")

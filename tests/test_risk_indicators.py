@@ -155,3 +155,49 @@ def test_return_autocorr_alternating_is_minus_one(spark):
     assert r["n_returns"] == 5
     assert abs(r["acf_1"] - (-1.0)) < 1e-9
     assert abs(r["acf_2"] - 1.0) < 1e-9
+
+
+def test_var_cvar_order_statistics(spark):
+    from market_analyze_data_stream_processing_spark.operators.volatility import (
+        historical_var_cvar,
+    )
+
+    # Closes chosen so daily simple returns are exactly
+    # [-0.5, +1.0, -0.2, +0.25, -0.1] (n=5).
+    closes = [100.0, 50.0, 100.0, 80.0, 100.0, 90.0]
+    d = _daily(spark, [(c, c, c) for c in closes])
+    row = historical_var_cvar(d, alpha=0.05).collect()[0]
+    # k = ceil(0.05 * 5) = 1: VaR is the single worst return, CVaR its mean.
+    assert row["n_returns"] == 5
+    assert row["tail_k"] == 1
+    assert row["var_loss"] == -0.5
+    assert row["cvar_loss"] == -0.5
+
+    # alpha=0.4 -> k = ceil(2.0) = 2: tail = {-0.5, -0.2}, VaR = 2nd worst.
+    row = historical_var_cvar(d, alpha=0.4).collect()[0]
+    assert row["tail_k"] == 2
+    r2 = 80.0 / 100.0 - 1.0  # the IEEE value, not the decimal -0.2
+    assert row["var_loss"] == r2
+    assert math.isclose(row["cvar_loss"], (-0.5 + r2) / 2)
+
+
+def test_var_cvar_zero_close_gate_and_ties(spark):
+    from market_analyze_data_stream_processing_spark.operators.volatility import (
+        historical_var_cvar,
+    )
+
+    # A zero PREVIOUS close nulls the next return (prev > 0 gate; no
+    # division by zero under ANSI mode), but a zero CURRENT close is a
+    # defined -100% simple return — the worst loss, not a gap.
+    d = _daily(spark, [(10, 10, 10), (0, 0, 0), (10, 10, 10), (5, 5, 5)])
+    row = historical_var_cvar(d, alpha=0.5).collect()[0]
+    assert row["n_returns"] == 2  # 10 -> 0 (-1.0) and 10 -> 5 (-0.5)
+    assert row["var_loss"] == -1.0
+
+    # Tied returns: day breaks the tie, the tail set stays size k.
+    d2 = _daily(spark, [(8, 8, 8), (4, 4, 4), (8, 8, 8), (4, 4, 4)])
+    row2 = historical_var_cvar(d2, alpha=0.5).collect()[0]
+    # returns = [-0.5, +1.0, -0.5]; k = ceil(1.5) = 2 -> tail {-0.5, -0.5}
+    assert row2["tail_k"] == 2
+    assert row2["var_loss"] == -0.5
+    assert row2["cvar_loss"] == -0.5

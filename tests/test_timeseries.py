@@ -87,3 +87,57 @@ def test_gap_fill_daily_observed_null_is_not_marked_filled(spark):
         "2024-01-01": (3.0, False),
         "2024-01-02": (3.0, False),
     }
+
+
+def test_seasonal_decompose_trend_seasonal_resid(spark):
+    from market_analyze_data_stream_processing_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    # A pure 3-phase sawtooth: period-3 decomposition recovers a flat
+    # trend equal to the cycle mean and seasonal = value - mean exactly.
+    vals = [1.0, 2.0, 6.0] * 4  # 12 days
+    rows = [
+        ("A", f"2024-01-{i + 1:02d}", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, day string, close double"
+    ).withColumn("day", F.to_date("day"))
+    out = {r["day"].day: r for r in seasonal_decompose(df, period=3).collect()}
+
+    # Edges: first and last day lack a full centered frame.
+    assert out[1]["trend"] is None and out[12]["trend"] is None
+    # Interior: every centered 3-frame covers one full cycle => mean 3.
+    for d in range(2, 12):
+        assert out[d]["trend"] == 3.0
+    # Phase is epoch-day mod period — constant per sawtooth position.
+    assert len({out[d]["phase"] for d in (1, 4, 7, 10)}) == 1
+    # Seasonal means: value - trend is constant per phase.
+    by_phase = {out[d]["phase"]: out[d]["seasonal"] for d in range(2, 12)}
+    assert sorted(by_phase.values()) == [-2.0, -1.0, 3.0]
+    # Decomposition identity on interior rows: close = trend + seasonal.
+    for d in range(2, 12):
+        r = out[d]
+        assert r["close"] - r["trend"] - r["seasonal"] == 0.0
+
+
+def test_seasonal_decompose_trend_is_decimal_exact(spark):
+    from market_analyze_data_stream_processing_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    # 0.1 + 0.2 + 0.3 = 0.6000000000000001 in left-to-right IEEE; the
+    # decimal frame sum is exactly 0.6, so the trend is the (single,
+    # order-independent) IEEE value double(0.6)/3.0 — not the float
+    # accumulation's.
+    rows = [
+        ("A", "2024-01-01", 0.1),
+        ("A", "2024-01-02", 0.2),
+        ("A", "2024-01-03", 0.3),
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, day string, close double"
+    ).withColumn("day", F.to_date("day"))
+    out = {r["day"].day: r for r in seasonal_decompose(df, period=3).collect()}
+    assert out[2]["trend"] == 0.6 / 3.0
+    assert out[2]["trend"] != (0.1 + 0.2 + 0.3) / 3.0  # the float-sum artifact
