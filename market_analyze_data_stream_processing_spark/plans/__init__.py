@@ -21,9 +21,9 @@ from . import media  # noqa: E402,F401
 # driver evidence to the front so every query accumulates a fresh
 # driver row within a few rounds. Round-8 final front (from
 # tools/rotate_front.py; only hash-green rows count as evidence):
-# the 47 queries with NO driver row yet (19 late round-7 registrations
-# + the 28 round-8 additions) lead, then the 3 stalest r05-evidence
-# queries fill to 50; the remaining r05/r06 tail rotates into round 9
+# the 49 queries with NO driver row yet (19 late round-7 registrations
+# + the 30 round-8 additions) lead, then the stalest r05-evidence
+# query fills to 50; the remaining r05/r06 tail rotates into round 9
 # automatically. Semantics are unaffected — `queries()`/`oracle_sql()`/
 # bench all expose the same full set.
 _SWEEP_FRONT = [
@@ -60,6 +60,8 @@ _SWEEP_FRONT = [
     "q_obv",
     "q_pagerank",
     "q_pivot_points",
+    "q_pq_ann",
+    "q_pq_codes",
     "q_resample_weekly",
     "q_risk_report",
     "q_rolling_distinct",
@@ -77,8 +79,6 @@ _SWEEP_FRONT = [
     "q_williams_mfi",
     # newest driver evidence: r05
     "q_json_extract",
-    "q_keep_last_dedup",
-    "q_lag_variation",
 ]
 
 

@@ -571,3 +571,187 @@ def q_embedding_covariance(spark, sf_dir):
     return out.select(
         "i", "j", "n", F.round("cov", 6).alias("cov")
     ).orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the compressed-domain leg of the ANN triad
+# (sign-LSH probes, IVF cell pruning, PQ code compression).
+# ---------------------------------------------------------------------------
+
+# Deterministic PQ derivation shared by both PQ oracles: seed draw by
+# (md5(id), id), one Lloyd refinement with round-6 centroids, re-encode.
+# Every inner product is DuckDB's list_inner_product — the same
+# sequential fold Spark's aggregate(zip_with(...)) computes — and every
+# argmin orders by (distance, code), matching array_min's struct order.
+_PQ_CTE = """
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), ms AS (
+        SELECT unnest(range(4)) AS m
+    ), seeds AS (
+        SELECT seed_rank, v FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                       AS seed_rank,
+                   v
+            FROM e
+        ) WHERE seed_rank < 8
+    ), sub AS (
+        SELECT vec_id, m, v[m*16+1 : m*16+16] AS x FROM e, ms
+    ), ssub AS (
+        SELECT seed_rank, m, v[m*16+1 : m*16+16] AS c FROM seeds, ms
+    ), a0 AS (
+        SELECT vec_id, m, seed_rank AS code FROM (
+            SELECT sub.vec_id, sub.m, ssub.seed_rank,
+                   row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+                       list_inner_product(sub.x, sub.x)
+                       - 2*list_inner_product(sub.x, ssub.c)
+                       + list_inner_product(ssub.c, ssub.c),
+                       ssub.seed_rank) AS rn
+            FROM sub JOIN ssub USING (m)
+        ) WHERE rn = 1
+    ), xd AS (
+        SELECT vec_id, m, unnest(x) AS xv, generate_subscripts(x, 1) AS dim
+        FROM sub
+    ), cent AS (
+        SELECT a0.m, a0.code, xd.dim, round(avg(xd.xv), 6) AS cv
+        FROM a0 JOIN xd ON a0.vec_id = xd.vec_id AND a0.m = xd.m
+        GROUP BY 1, 2, 3
+    ), clist AS (
+        SELECT m, code, list(cv ORDER BY dim) AS c FROM cent GROUP BY m, code
+    ), enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT sub.vec_id, sub.m, clist.code,
+                   row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+                       list_inner_product(sub.x, sub.x)
+                       - 2*list_inner_product(sub.x, clist.c)
+                       + list_inner_product(clist.c, clist.c),
+                       clist.code) AS rn
+            FROM sub JOIN clist USING (m)
+        ) WHERE rn = 1
+    )
+"""
+
+#: (sf_dir, embeddings mtime) → trained PQ codebook. Same contract as
+#: the IVF index cache: keyed by source mtime so an in-session corpus
+#: rewrite trains fresh, with superseded-mtime entries for the same
+#: path evicted on insert.
+_PQ_BOOK_CACHE: dict[tuple[str, float], dict] = {}
+
+
+def _pq_book(spark, sf_dir):
+    import os
+
+    from ..operators.pq import pq_codebook
+
+    mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (sf_dir, mtime)
+    if key not in _PQ_BOOK_CACHE:
+        for stale in [k for k in _PQ_BOOK_CACHE if k[0] == sf_dir and k[1] != mtime]:
+            del _PQ_BOOK_CACHE[stale]
+        _PQ_BOOK_CACHE[key] = pq_codebook(
+            load_table(spark, sf_dir, "embeddings"), m=4, k=8, sub_dim=16
+        )
+    return _PQ_BOOK_CACHE[key]
+
+
+def _pq_empty(spark, cols):
+    """Zero-row frame with the PQ output schema — the empty-corpus
+    degenerate (same contract as _probe_plan's vacuous path)."""
+    schema = ", ".join(cols)
+    return spark.createDataFrame([], schema)
+
+
+@register(
+    "q_pq_codes",
+    _PQ_CTE
+    + """
+    SELECT e.vec_id, e.label,
+           CAST(max(CASE WHEN enc.m = 0 THEN enc.code END) AS BIGINT) AS c0,
+           CAST(max(CASE WHEN enc.m = 1 THEN enc.code END) AS BIGINT) AS c1,
+           CAST(max(CASE WHEN enc.m = 2 THEN enc.code END) AS BIGINT) AS c2,
+           CAST(max(CASE WHEN enc.m = 3 THEN enc.code END) AS BIGINT) AS c3
+    FROM e JOIN enc USING (vec_id)
+    GROUP BY e.vec_id, e.label
+    ORDER BY e.vec_id
+    """,
+    doc="Product-quantization encoder: every vector compressed to 4 "
+    "subspace codes (4 bytes vs 64 floats — the memory-bound ANN "
+    "regime's storage format). Codebook = deterministic seed draw "
+    "(smallest (md5(id), id) — both engines derive it identically) + "
+    "ONE Lloyd refinement with per-dim means ROUNDED at 6 so the "
+    "refined codebook is bit-shared; assignment/encode argmins order "
+    "by (distance, code) where distance is the ||x||^2 - 2x.c + "
+    "||c||^2 identity over sequential-fold inner products (the "
+    "q_knn_exact discipline). Spark side: codebook collect is bounded "
+    "(m*k*sub_dim rows — the k-means/IVF centroid contract), encoding "
+    "is a pure map-side column expression against the literal "
+    "codebook: no join, no corpus shuffle. The one corpus-wide shuffle "
+    "is the refinement's (m, code, dim) aggregate.",
+)
+def q_pq_codes(spark, sf_dir):
+    from ..operators.pq import pq_encode
+
+    book = _pq_book(spark, sf_dir)
+    if not book:
+        return _pq_empty(
+            spark, ["vec_id long", "label int", "c0 long", "c1 long",
+                    "c2 long", "c3 long"]
+        )
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        pq_encode(e, book, m=4, sub_dim=16)
+        .select("vec_id", "label", "c0", "c1", "c2", "c3")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q_pq_ann",
+    _PQ_CTE
+    + """
+    , q AS (
+        SELECT v FROM e WHERE vec_id = 0
+    ), qsub AS (
+        SELECT m, q.v[m*16+1 : m*16+16] AS qs FROM q, ms
+    ), lut AS (
+        SELECT clist.m, clist.code,
+               round(list_inner_product(qsub.qs, qsub.qs)
+                     - 2*list_inner_product(qsub.qs, clist.c)
+                     + list_inner_product(clist.c, clist.c), 6) AS d
+        FROM clist JOIN qsub USING (m)
+    ), adc AS (
+        SELECT enc.vec_id,
+               CAST(sum(CAST(lut.d AS DECIMAL(28,12))) AS DOUBLE) AS adc_dist
+        FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.code
+        WHERE enc.vec_id <> 0
+        GROUP BY enc.vec_id
+    )
+    SELECT adc.vec_id, e.label, adc.adc_dist
+    FROM adc JOIN e ON adc.vec_id = e.vec_id
+    ORDER BY adc.adc_dist, adc.vec_id
+    LIMIT 10
+    """,
+    doc="PQ asymmetric-distance (ADC) top-10 vs the vec_id=0 probe: the "
+    "query's distance to each (subspace, code) centroid is a 32-entry "
+    "lookup table (rounded 6, then DECIMAL-quantized so the 4-term "
+    "per-vector sum is exact and order-free); a vector's approximate "
+    "distance is the sum of its code's entries. Spark scores with a "
+    "literal lookup map over the codes frame — map-only, no join, no "
+    "raw-vector access (THE point of PQ: at 100 TB serving scans the "
+    "4-byte codes table, never the float corpus) — then TakeOrdered "
+    "merges per-partition top-10 heads.",
+)
+def q_pq_ann(spark, sf_dir):
+    from ..operators.pq import pq_adc_lut, pq_adc_topk, pq_encode
+
+    book = _pq_book(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    if not book or qv is None:
+        return _pq_empty(spark, ["vec_id long", "label int", "adc_dist double"])
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    codes = pq_encode(e, book, m=4, sub_dim=16)
+    lut = pq_adc_lut(qv, book, m=4, sub_dim=16)
+    return pq_adc_topk(codes, lut, k_top=10, m=4).select(
+        "vec_id", "label", "adc_dist"
+    )
