@@ -21,11 +21,12 @@ from . import media  # noqa: E402,F401
 # driver evidence to the front so every query accumulates a fresh
 # driver row within a few rounds. Round-8 final front (from
 # tools/rotate_front.py; only hash-green rows count as evidence):
-# the 49 queries with NO driver row yet (19 late round-7 registrations
-# + the 30 round-8 additions) lead, then the stalest r05-evidence
-# query fills to 50; the remaining r05/r06 tail rotates into round 9
-# automatically. Semantics are unaffected — `queries()`/`oracle_sql()`/
-# bench all expose the same full set.
+# the 50 driver-sampled slots are all queries with NO driver row yet
+# (late round-7 registrations + the 33 round-8 additions); two
+# never-sampled names (q_vwap, q_williams_mfi) did not fit and lead
+# the round-9 rotation together with the r05/r06-stale tail.
+# Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
+# expose the same full set.
 _SWEEP_FRONT = [
     # newest driver evidence: none
     "q_amihud",
@@ -44,6 +45,8 @@ _SWEEP_FRONT = [
     "q_donchian",
     "q_drawdown",
     "q_embedding_covariance",
+    "q_event_study",
+    "q_forecast_eval",
     "q_fuzzy_match",
     "q_gapfill_daily",
     "q_heavy_hitters",
@@ -66,6 +69,7 @@ _SWEEP_FRONT = [
     "q_risk_report",
     "q_rolling_distinct",
     "q_rsi",
+    "q_scd2_history",
     "q_seasonal_decompose",
     "q_sharpe",
     "q_sketch_reaggregation",
@@ -75,10 +79,6 @@ _SWEEP_FRONT = [
     "q_var_cvar",
     "q_volatility_estimators",
     "q_volume_imbalance",
-    "q_vwap",
-    "q_williams_mfi",
-    # newest driver evidence: r05
-    "q_json_extract",
 ]
 
 

@@ -2214,3 +2214,78 @@ def q_last_touch(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q_scd2_history",
+    """
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+        SELECT user_id, ts, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM s
+    ), runs AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version,
+               min(event_type) AS state,
+               min(ts) AS valid_from,
+               count(*) AS n_events
+        FROM r GROUP BY user_id, version
+    )
+    SELECT user_id, version, state, n_events,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(lead(valid_from) OVER h) AS valid_to_us,
+           CAST(lead(valid_from) OVER h IS NULL AS INT) AS is_current
+    FROM runs
+    WINDOW h AS (PARTITION BY user_id ORDER BY version)
+    ORDER BY user_id, version
+    """,
+    doc="SCD Type-2 history build — the audit-trail dual of the "
+    "engine's keep-last upserts (S4/S6/X7 keep only the latest state; "
+    "a warehouse dimension keeps every state WITH its validity "
+    "interval). Tracks each user's event_type as the slowly changing "
+    "attribute: consecutive equal states collapse into one version row "
+    "(change flag = lag IS DISTINCT FROM current, version = running "
+    "sum of flags — the sessionize lowering applied to value changes "
+    "instead of time gaps), valid_from = the run's first timestamp, "
+    "valid_to = the NEXT version's valid_from (null = current row, "
+    "half-open intervals that tile the timeline exactly). Validity "
+    "bounds exported as epoch microseconds (BIGINT — engine-neutral). "
+    "One shuffle on user_id serves both window passes and the "
+    "per-version rollup; at 100 TB this is the standard one-pass "
+    "dimension-history rebuild, no self-join.",
+)
+def q_scd2_history(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("event_type").over(w)
+    # ~eqNullSafe == IS DISTINCT FROM: a null state is a real (distinct)
+    # state, and the first row (prev null) always opens version 1.
+    chg = F.when(~prev.eqNullSafe(F.col("event_type")), 1).otherwise(0)
+    runs = (
+        e.withColumn("__chg", chg)
+        .withColumn("version", F.sum("__chg").over(run))
+        .groupBy("user_id", "version")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min("ts").alias("__valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    h = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("__valid_from").over(h)
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        "n_events",
+        F.unix_micros("__valid_from").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().cast("int").alias("is_current"),
+    ).orderBy("user_id", "version")

@@ -2630,3 +2630,116 @@ def q_seasonal_decompose(spark, sf_dir):
             F.col("close") - F.col("trend") - F.round("seasonal", 6), 6
         ).alias("resid"),
     ).orderBy("ticker", "day")
+
+
+@register(
+    "q_event_study",
+    _DAILYBARS_CTE
+    + """
+    , r AS (
+        SELECT ticker, day,
+               CASE WHEN lag(close) OVER w > 0
+                    THEN close / lag(close) OVER w - 1.0 END AS r
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), f AS (
+        SELECT ticker, day, r,
+               lead(r, 1) OVER w AS f1,
+               lead(r, 2) OVER w AS f2,
+               lead(r, 3) OVER w AS f3
+        FROM r
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    )
+    SELECT ticker, CAST(count(*) AS BIGINT) AS n_signals,
+           round(avg(f1), 6) AS car_1,
+           round(avg(f2), 6) AS car_2,
+           round(avg(f3), 6) AS car_3
+    FROM f WHERE r < -0.02
+    GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Event study / signal backtest: condition on crash days "
+    "(daily return < -2%) and measure the mean forward return 1, 2, "
+    "and 3 sessions ahead — the standard 'does the signal predict "
+    "anything' panel (mean-reversion if positive, momentum if "
+    "negative). Forward returns are leads of the SAME return column, "
+    "so the whole study is one (ticker, day) window pass + one hash "
+    "aggregate: backtesting a signal over a 100 TB tick history never "
+    "self-joins, never collects — the event alignment IS the lead "
+    "window. Per-horizon means are float (round 6); forward returns "
+    "past the series end are null and drop from the mean (avg skips "
+    "nulls on both engines).",
+)
+def q_event_study(spark, sf_dir):
+    base = Window.partitionBy("ticker").orderBy("day")
+    d = _daily_bars(spark, sf_dir)
+    prev = F.lag("close").over(base)
+    r = F.when(prev > 0, F.col("close") / prev - 1.0)
+    staged = d.withColumn("__r", r).select(
+        "ticker",
+        "day",
+        "__r",
+        F.lead("__r", 1).over(base).alias("__f1"),
+        F.lead("__r", 2).over(base).alias("__f2"),
+        F.lead("__r", 3).over(base).alias("__f3"),
+    )
+    return (
+        staged.where(F.col("__r") < -0.02)
+        .groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_signals"),
+            F.round(F.avg("__f1"), 6).alias("car_1"),
+            F.round(F.avg("__f2"), 6).alias("car_2"),
+            F.round(F.avg("__f3"), 6).alias("car_3"),
+        )
+        .orderBy("ticker")
+    )
+
+
+@register(
+    "q_forecast_eval",
+    _DAILYBARS_CTE
+    + """
+    , f AS (
+        SELECT ticker, day, close,
+               lag(close, 7) OVER (PARTITION BY ticker ORDER BY day) AS fc
+        FROM dailybars
+    )
+    SELECT ticker, CAST(count(fc) AS BIGINT) AS n_evals,
+           round(avg(abs(close - fc)), 6) AS mae,
+           round(sqrt(avg((close - fc) * (close - fc))), 6) AS rmse,
+           round(avg(CASE WHEN close > 0
+                          THEN abs(close - fc) / close END), 6) AS mape
+    FROM f WHERE fc IS NOT NULL
+    GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Forecast backtest of the seasonal-naive baseline (predict "
+    "close[t] = close[t-7 sessions] — the model every fancier "
+    "forecaster must beat): per-ticker MAE, RMSE, and MAPE. Each error "
+    "term is fixed-order double arithmetic on two data values; only "
+    "the final means are float accumulations (round 6; zero closes "
+    "null their MAPE term for ANSI totality). One lag window + one "
+    "hash aggregate — evaluating a forecast over the full history "
+    "costs one shuffle, which is what makes backtest-every-night "
+    "viable at 100 TB.",
+)
+def q_forecast_eval(spark, sf_dir):
+    base = Window.partitionBy("ticker").orderBy("day")
+    d = _daily_bars(spark, sf_dir)
+    fc = F.lag("close", 7).over(base)
+    err = F.col("close") - F.col("__fc")
+    staged = d.withColumn("__fc", fc).where(F.col("__fc").isNotNull())
+    return (
+        staged.groupBy("ticker")
+        .agg(
+            F.count("__fc").alias("n_evals"),
+            F.round(F.avg(F.abs(err)), 6).alias("mae"),
+            F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+            F.round(
+                F.avg(
+                    F.when(F.col("close") > 0, F.abs(err) / F.col("close"))
+                ),
+                6,
+            ).alias("mape"),
+        )
+        .orderBy("ticker")
+    )
