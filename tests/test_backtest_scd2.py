@@ -100,3 +100,92 @@ def test_forecast_eval_seasonal_naive_errors(spark, tmp_path):
     assert row["mae"] == 3.0
     assert row["rmse"] == round((2.0**2 + 4.0**2) ** 0.5 / 2**0.5, 6)
     assert row["mape"] == round((2.0 / 12.0 + 4.0 / 16.0) / 2.0, 6)
+
+
+def test_scd2_stateful_matches_batch_closed_versions(spark, tmp_path):
+    """The streaming SCD2 twin emits exactly the batch derivation's
+    CLOSED versions (is_current=0), incrementally across triggers —
+    including a version that spans the trigger boundary."""
+    import json
+
+    from market_analyze_data_stream_processing_spark.streaming.stateful import (
+        scd2_stateful,
+    )
+
+    rows = [
+        # user 1: A A | A B A   (run of A spans the batch boundary)
+        (1, "2024-01-01 10:00:00", 1, "A", 1),
+        (2, "2024-01-01 11:00:00", 1, "A", 1),
+        (3, "2024-01-01 12:00:00", 1, "A", 1),
+        (4, "2024-01-01 13:00:00", 1, "B", 1),
+        (5, "2024-01-01 14:00:00", 1, "A", 1),
+        # user 2: single state, never closes -> no streamed rows
+        (6, "2024-01-01 10:30:00", 2, "C", 1),
+        (7, "2024-01-01 11:30:00", 2, "C", 1),
+    ]
+    _events(spark, rows).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    batch = QUERIES["q_scd2_history"].fn(spark, str(tmp_path)).collect()
+    expected = {
+        (r["user_id"], r["version"], r["state"], r["n_events"],
+         r["valid_from_us"], r["valid_to_us"])
+        for r in batch
+        if r["is_current"] == 0
+    }
+
+    d = tmp_path / "in"
+    d.mkdir()
+    base_us = {  # epoch micros of the handcrafted timestamps
+        r["event_id"]: r["ts_us"]
+        for r in _events(spark, rows)
+        .select("event_id", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    }
+    in_schema = (
+        "user_id long, ts_us long, event_id long, event_type string"
+    )
+
+    out_dir = str(tmp_path / "out")
+
+    def run_batch(name: str, part) -> list:
+        """Append one file, then drain the stream with a fresh
+        availableNow query over the SHARED checkpoint — deterministic
+        trigger order, and each restart recovers the open-version state
+        from the state store (a parquet sink, unlike memory, supports
+        checkpoint recovery)."""
+        (d / f"{name}.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "user_id": uid,
+                        "ts_us": base_us[eid],
+                        "event_id": eid,
+                        "event_type": et,
+                    }
+                )
+                for eid, _, uid, et, _ in part
+            )
+        )
+        stream = spark.readStream.schema(in_schema).json(str(d))
+        q = (
+            scd2_stateful(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).collect()
+
+    emitted = run_batch("b0", rows[:3] + rows[5:6])
+    assert emitted == []  # no version closed inside batch 0
+    emitted = run_batch("b1", rows[3:5] + rows[6:])
+    got = {
+        (r["user_id"], r["version"], r["state"], r["n_events"],
+         r["valid_from_us"], r["valid_to_us"])
+        for r in emitted
+    }
+    assert got == expected
