@@ -22,9 +22,9 @@ from . import media  # noqa: E402,F401
 # driver row within a few rounds. Round-8 final front (from
 # tools/rotate_front.py; only hash-green rows count as evidence):
 # the 50 driver-sampled slots are all queries with NO driver row yet
-# (late round-7 registrations + the 33 round-8 additions); two
-# never-sampled names (q_vwap, q_williams_mfi) did not fit and lead
-# the round-9 rotation together with the r05/r06-stale tail.
+# (late round-7 registrations + the round-8 additions); three
+# never-sampled names (q_volume_imbalance, q_vwap, q_williams_mfi)
+# did not fit and lead the round-9 rotation with the r05/r06 tail.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
 # expose the same full set.
 _SWEEP_FRONT = [
@@ -70,6 +70,7 @@ _SWEEP_FRONT = [
     "q_rolling_distinct",
     "q_rsi",
     "q_scd2_history",
+    "q_seasonal_anomalies",
     "q_seasonal_decompose",
     "q_sharpe",
     "q_sketch_reaggregation",
@@ -78,7 +79,6 @@ _SWEEP_FRONT = [
     "q_twap",
     "q_var_cvar",
     "q_volatility_estimators",
-    "q_volume_imbalance",
 ]
 
 

@@ -2743,3 +2743,102 @@ def q_forecast_eval(spark, sf_dir):
         )
         .orderBy("ticker")
     )
+
+
+@register(
+    "q_seasonal_anomalies",
+    _DAILYBARS_CTE
+    + """
+    , t AS (
+        SELECT ticker, day, close,
+               CAST((day - DATE '1970-01-01') % 7 AS INT) AS phase,
+               CASE WHEN count(close) OVER c = 7
+                    THEN CAST(sum(CAST(close AS DECIMAL(18,4))) OVER c
+                              AS DOUBLE) / 7.0 END AS trend
+        FROM dailybars
+        WINDOW c AS (PARTITION BY ticker ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), s AS (
+        SELECT ticker, day, close, trend,
+               round(avg(close - trend)
+                         OVER (PARTITION BY ticker, phase), 6) AS seasonal
+        FROM t
+    ), r AS (
+        SELECT ticker, day, close,
+               round(close - trend - seasonal, 6) AS resid
+        FROM s WHERE trend IS NOT NULL
+    ), med AS (
+        SELECT ticker, quantile_cont(resid, 0.5) AS med FROM r
+        GROUP BY ticker
+    ), dev AS (
+        SELECT r.ticker, r.day, r.close, r.resid, med.med,
+               abs(r.resid - med.med) AS adev
+        FROM r JOIN med USING (ticker)
+    ), mad AS (
+        SELECT ticker, quantile_cont(adev, 0.5) AS mad FROM dev
+        GROUP BY ticker
+    )
+    SELECT d.ticker, strftime(d.day, '%Y-%m-%d') AS day, d.close, d.resid,
+           round(CASE WHEN m.mad > 0
+                      THEN (d.resid - d.med) / (1.4826 * m.mad) END, 4)
+               AS robust_z,
+           CAST(CASE WHEN m.mad > 0
+                     AND abs((d.resid - d.med) / (1.4826 * m.mad)) > 3.0
+                     THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM dev d JOIN mad m USING (ticker)
+    ORDER BY d.ticker, d.day
+    """,
+    doc="Composed anomaly monitor — what a price-alerting pipeline "
+    "should actually page on: seasonal decomposition strips the trend "
+    "(DECIMAL-exact centered MA) and the weekday effect, then the "
+    "DESEASONALIZED residuals are screened with the robust median/MAD "
+    "z-score (|z| > 3, normal-consistent 1.4826 scaling). Composition "
+    "of two existing tiers (operators/timeseries.seasonal_decompose + "
+    "the q_mad_outliers percentile pattern): raw-price screens flag "
+    "every Monday open; residual screens flag only genuine breaks. "
+    "Residuals round at 6 BEFORE the percentile passes, so med/MAD "
+    "interpolate identical doubles on both engines; flat-residual "
+    "tickers (MAD = 0) null their z for ANSI totality. Exact "
+    "percentiles concentrate per-key; the 100 TB swap is "
+    "approx_percentile / the KLL sketch lifecycle (q_mad_outliers's "
+    "stated trade).",
+)
+def q_seasonal_anomalies(spark, sf_dir):
+    from ..operators.timeseries import seasonal_decompose
+
+    dec = seasonal_decompose(_daily_bars(spark, sf_dir), period=7)
+    r = dec.where(F.col("trend").isNotNull()).select(
+        "ticker",
+        "day",
+        "close",
+        F.round(
+            F.col("close") - F.col("trend") - F.round("seasonal", 6), 6
+        ).alias("resid"),
+    )
+    med = r.groupBy("ticker").agg(
+        F.expr("percentile(resid, 0.5)").alias("med")
+    )
+    dev = r.join(F.broadcast(med), "ticker").withColumn(
+        "adev", F.abs(F.col("resid") - F.col("med"))
+    )
+    mad = dev.groupBy("ticker").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        (F.col("resid") - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
+    )
+    return (
+        dev.join(F.broadcast(mad), "ticker")
+        .select(
+            "ticker",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "close",
+            "resid",
+            F.round(z, 4).alias("robust_z"),
+            F.when(F.abs(z) > 3.0, 1).otherwise(0).cast("int").alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("ticker", "day")
+    )

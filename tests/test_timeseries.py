@@ -141,3 +141,53 @@ def test_seasonal_decompose_trend_is_decimal_exact(spark):
     out = {r["day"].day: r for r in seasonal_decompose(df, period=3).collect()}
     assert out[2]["trend"] == 0.6 / 3.0
     assert out[2]["trend"] != (0.1 + 0.2 + 0.3) / 3.0  # the float-sum artifact
+
+
+def test_seasonal_anomalies_flags_the_spike(spark, tmp_path):
+    """A weekly-periodic series with small deterministic noise and ONE
+    injected spike: the deseasonalized robust-z screen flags the spike
+    day with the panel's largest |z| (a raw screen would flag every
+    high-phase day), and any collateral flags stay inside the spike's
+    own 7-day trend window (the centered MA smears the spike across
+    exactly that window — inherent to MA decomposition).
+
+    Also pins the degenerate contract: with NO noise the residual MAD
+    is 0 and every z is null (nothing can be 'anomalous' relative to a
+    zero-spread baseline)."""
+    from market_analyze_data_stream_processing_spark.plans import QUERIES
+
+    def write(vals):
+        rows = [
+            (i, f"2024-01-{i + 1:02d} 10:00:00", 1, "tickS", float(v), "{}")
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    # deterministic pseudo-noise in [-0.5, 0.5] keeps MAD > 0
+    vals = [
+        100.0 + 5.0 * (i % 7) + ((i * 37) % 11 - 5) / 10.0 for i in range(28)
+    ]
+    vals[17] += 40.0  # the anomaly (day 18)
+    write(vals)
+    out = QUERIES["q_seasonal_anomalies"].fn(spark, str(tmp_path)).collect()
+    by_day = {r["day"]: r for r in out}
+    flagged = {r["day"] for r in out if r["is_anomaly"] == 1}
+    assert "2024-01-18" in flagged
+    # Collateral flags can appear only where the spike itself leaks:
+    # its 7-day centered-MA trend window, and the other occurrences of
+    # its weekday phase (the mean seasonal estimate spreads the spike
+    # as +spike/n_weeks across them — textbook MA-decomposition bias).
+    window = {f"2024-01-{d:02d}" for d in range(15, 22)}
+    same_phase = {f"2024-01-{d:02d}" for d in (4, 11, 18, 25)}
+    assert flagged <= window | same_phase
+    top = max(out, key=lambda r: abs(r["robust_z"]))
+    assert top["day"] == "2024-01-18" and abs(top["robust_z"]) > 3.0
+
+    write([100.0 + 5.0 * (i % 7) for i in range(28)])  # noiseless
+    out2 = QUERIES["q_seasonal_anomalies"].fn(spark, str(tmp_path)).collect()
+    assert all(r["robust_z"] is None and r["is_anomaly"] == 0 for r in out2)
