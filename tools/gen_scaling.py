@@ -49,6 +49,11 @@ HEADLINE = [
     "q_rolling_distinct",  # explode-onto-window-ends, linear growth
     "q_market_basket",     # basket-bounded pair fan-out
     "q_volatility_estimators",  # two hash aggregates, no window
+    "q_var_cvar",          # shared-partitioning rank + aggregate
+    "q_seasonal_anomalies",  # decompose + med/MAD percentile passes
+    "q_pq_codes",          # bounded codebook collect + map-only encode
+    "q_scd2_history",      # one-shuffle change-flag version build
+    "q_embedding_covariance",  # numpy Gram partials, d^2-bounded rows
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
