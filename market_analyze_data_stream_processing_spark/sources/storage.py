@@ -91,3 +91,64 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str,
+    max_files: int = 4,
+    target_bytes: int = 128 << 20,
+) -> list[tuple[str, int, int]]:
+    """Small-file compaction, partition directory by partition directory
+    — the maintenance job that keeps a streaming-ingested table scannable
+    (every micro-batch appends a file per task; after a week a 100 TB
+    table is millions of KB-files and the scan is metadata-bound).
+
+    Only directories with MORE than ``max_files`` data files are
+    rewritten, each to ceil(bytes / target_bytes) files — so a nightly
+    run costs the fragmented fraction of the table, not a full rewrite,
+    and already-compact partitions keep their files byte-identical
+    (their scan caches / object etags stay valid). Returns
+    (partition_value, files_before, files_after) per rewritten
+    partition.
+
+    The swap is write-to-temp + directory rename — atomic on a local /
+    HDFS-like filesystem. On an object store, pair it with a manifest
+    commit (table-format territory) instead of relying on rename.
+    """
+    results: list[tuple[str, int, int]] = []
+    if not os.path.isdir(path):
+        return results
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        pdir = os.path.join(path, entry)
+        data_files = [
+            f
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        if len(data_files) <= max_files:
+            continue
+        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in data_files)
+        n_out = max(1, -(-total // target_bytes))  # ceil-div
+        tmp = pdir + "._compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(pdir).coalesce(int(n_out)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        old = pdir + "._old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old, ignore_errors=True)
+        n_after = len(
+            [
+                f
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+        )
+        results.append((entry.split("=", 1)[1], len(data_files), n_after))
+    return results

@@ -166,3 +166,44 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compact_partitions_rewrites_only_fragmented_dirs(spark, tmp_path):
+    """Compaction touches ONLY over-fragmented partition directories
+    (compliant ones keep their files byte-identical — etag/cache
+    stability), reduces file counts to the byte-target, and preserves
+    table content exactly."""
+    import os
+
+    from market_analyze_data_stream_processing_spark.sources.storage import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    frag = spark.range(0, 2000).withColumn("part", F.lit("hot"))
+    frag.repartition(12).write.partitionBy("part").parquet(path)
+    ok = spark.range(2000, 2100).withColumn("part", F.lit("cold"))
+    ok.coalesce(2).write.mode("append").partitionBy("part").parquet(path)
+
+    cold_dir = os.path.join(path, "part=cold")
+    cold_before = sorted(os.listdir(cold_dir))
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+
+    results = compact_partitions(spark, path, "part", max_files=4)
+    assert [r[0] for r in results] == ["hot"]  # cold untouched
+    (_, n_before, n_after) = results[0]
+    assert n_before == 12 and 1 <= n_after <= 4
+    hot_files = [
+        f for f in os.listdir(os.path.join(path, "part=hot"))
+        if f.endswith(".parquet")
+    ]
+    assert len(hot_files) == n_after
+    # compliant partition: files byte-identical (names unchanged)
+    assert sorted(os.listdir(cold_dir)) == cold_before
+    # content exact
+    after = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert after == before and len(after) == 2100
+    # idempotent: a second run finds nothing fragmented
+    assert compact_partitions(spark, path, "part", max_files=4) == []
+    # missing path: no-op
+    assert compact_partitions(spark, str(tmp_path / "nope"), "part") == []
