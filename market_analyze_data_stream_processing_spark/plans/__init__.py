@@ -22,9 +22,10 @@ from . import media  # noqa: E402,F401
 # driver row within a few rounds. Round-8 final front (from
 # tools/rotate_front.py; only hash-green rows count as evidence):
 # the 50 driver-sampled slots are all queries with NO driver row yet
-# (late round-7 registrations + the round-8 additions); three
-# never-sampled names (q_volume_imbalance, q_vwap, q_williams_mfi)
-# did not fit and lead the round-9 rotation with the r05/r06 tail.
+# (late round-7 registrations + the round-8 additions); four
+# never-sampled names (q_volatility_estimators, q_volume_imbalance,
+# q_vwap, q_williams_mfi) did not fit and lead the round-9 rotation
+# with the r05/r06 tail.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
 # expose the same full set.
 _SWEEP_FRONT = [
@@ -63,6 +64,7 @@ _SWEEP_FRONT = [
     "q_obv",
     "q_pagerank",
     "q_pivot_points",
+    "q_portfolio_return",
     "q_pq_ann",
     "q_pq_codes",
     "q_resample_weekly",
@@ -78,7 +80,6 @@ _SWEEP_FRONT = [
     "q_triangles",
     "q_twap",
     "q_var_cvar",
-    "q_volatility_estimators",
 ]
 
 

@@ -2842,3 +2842,103 @@ def q_seasonal_anomalies(spark, sf_dir):
         )
         .orderBy("ticker", "day")
     )
+
+
+@register(
+    "q_portfolio_return",
+    _VBARS_CTE
+    + """
+    , daily AS (
+        SELECT ticker, CAST(ts AS DATE) AS day,
+               arg_max(price, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(seq AS VARCHAR), 20, '0'))
+                   AS close
+        FROM vbars GROUP BY 1, 2
+    ), r AS (
+        SELECT ticker, day,
+               CASE WHEN lag(close) OVER w > 0
+                    THEN close / lag(close) OVER w - 1.0 END AS r
+        FROM daily
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), w AS (
+        SELECT ticker,
+               CAST(sum(CAST(price * vol AS DECIMAL(28,6))) AS DOUBLE) AS dv
+        FROM vbars GROUP BY ticker
+    ), t AS (
+        SELECT CAST(sum(CAST(price * vol AS DECIMAL(28,6))) AS DOUBLE) AS t
+        FROM vbars
+    ), port AS (
+        SELECT r.day, CAST(count(*) AS BIGINT) AS n_components,
+               CAST(sum(CAST(w.dv / t.t * r.r AS DECIMAL(28,12)))
+                    AS DOUBLE) AS port_r
+        FROM r JOIN w USING (ticker) CROSS JOIN t
+        WHERE r.r IS NOT NULL
+        GROUP BY r.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_components, port_r,
+           round(exp(CAST(sum(coalesce(
+                     CAST(CASE WHEN port_r > -1.0
+                               THEN ln(1.0 + port_r) END
+                          AS DECIMAL(28,12)),
+                     CAST(0 AS DECIMAL(28,12)))) OVER run AS DOUBLE)), 6)
+               AS growth
+    FROM port
+    WINDOW run AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ORDER BY day
+    """,
+    doc="Portfolio-level daily return and growth-of-$1 index: each "
+    "ticker weighted by its share of total traded dollar volume (the "
+    "liquidity-weighted index construction). Weights are ratios of two "
+    "DECIMAL-exact dollar-volume sums (division in double — fixed "
+    "order), each day's portfolio return is the sum of w*r terms "
+    "QUANTIZED to DECIMAL(28,12) (order-free — a plain float sum over "
+    "components is engine-order-dependent), and the growth index "
+    "compounds via the q_capped_growth log1p running-sum pattern. The "
+    "1-row corpus-total aggregate broadcasts (scalar-subquery form, "
+    "the PLANLINT-allowlisted pattern); tickers missing a return that "
+    "day contribute zero (fixed weights, no renormalization — the "
+    "documented index convention). The final per-day frame is tiny "
+    "(one row per session), so the presentation running sum is a "
+    "single-partition window over days, not rows.",
+)
+def q_portfolio_return(spark, sf_dir):
+    v = _vbars(spark, sf_dir)
+    pv = (F.col("price") * F.col("vol")).cast("decimal(28,6)")
+    w = v.groupBy("ticker").agg(F.sum(pv).cast("double").alias("dv"))
+    t = v.agg(F.sum(pv).cast("double").alias("t"))
+    d = _daily_dollar_bars(spark, sf_dir).select("ticker", "day", "close")
+    base = Window.partitionBy("ticker").orderBy("day")
+    prev = F.lag("close").over(base)
+    r = (
+        d.withColumn("r", F.when(prev > 0, F.col("close") / prev - 1.0))
+        .where(F.col("r").isNotNull())
+        .select("ticker", "day", "r")
+    )
+    term = (F.col("dv") / F.col("t") * F.col("r")).cast("decimal(28,12)")
+    port = (
+        r.join(F.broadcast(w), "ticker")
+        .crossJoin(F.broadcast(t))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum(term).cast("double").alias("port_r"),
+        )
+    )
+    lr = F.coalesce(
+        F.when(F.col("port_r") > -1.0, F.log(F.lit(1.0) + F.col("port_r")))
+        .cast("decimal(28,12)"),
+        F.lit(0).cast("decimal(28,12)"),
+    )
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        port.withColumn("__lr", lr)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_components",
+            "port_r",
+            F.round(F.exp(F.sum("__lr").over(run).cast("double")), 6).alias(
+                "growth"
+            ),
+        )
+        .orderBy("day")
+    )

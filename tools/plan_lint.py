@@ -112,6 +112,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_embedding_covariance": {
         "NLJ": "1-row vector-count aggregate broadcast (covariance denominator)",
     },
+    "q_portfolio_return": {
+        "NLJ": "1-row total-dollar-volume aggregate broadcast (weight denominator)",
+        "GLOBAL_WIN": "growth compounding runs on the PER-DAY frame (one row "
+        "per session — bounded by the calendar, not the data; the corpus-"
+        "sized work is already reduced by then)",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
