@@ -653,3 +653,174 @@ def macd_blocked(
         ),
         key=key, ts=ts, seq=seq, cols=(price,),
     )
+
+
+def with_roc_cmo(
+    bars: DataFrame,
+    n_roc: int = 12,
+    n_cmo: int = 14,
+    key: str = "ticker",
+    ts: str = "ts",
+    price: str = "price",
+    seq: str = "seq",
+) -> DataFrame:
+    """Rate of change (ROC) and Chande momentum oscillator (CMO).
+
+    ROC(n) = 100·(price/price[-n] − 1): a pure lag expression, no
+    aggregation at all. CMO(n) = 100·(Su − Sd)/(Su + Sd) over n-period
+    gain/loss sums — the RSI machinery (exact decimal running-sum
+    differences) with a symmetric-normalized output in [-100, 100].
+    Both ride ONE (key, ts, seq) shuffle+sort. ROC is null until n
+    prior rows exist (or a zero base price); CMO is null until n deltas
+    exist and 0 when the window is flat (Su = Sd = 0)."""
+    base = Window.partitionBy(key).orderBy(ts, seq)
+    prior = F.lag(price, n_roc).over(base)
+    roc = F.when(
+        prior.isNotNull() & (prior != 0.0),
+        (F.col(price) / prior - 1.0) * 100.0,
+    )
+    delta = F.col(price) - F.lag(price).over(base)
+    g = F.when(delta > 0, delta).otherwise(F.lit(0.0))
+    l = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
+    with_d = bars.withColumns(
+        {"__g": g, "__l": l, "__has": delta.isNotNull().cast("long")}
+    )
+    sg = _running(base, F.col("__g"), "decimal(18,4)")
+    sl = _running(base, F.col("__l"), "decimal(18,4)")
+    sh = F.sum("__has").over(base.rowsBetween(Window.unboundedPreceding, 0))
+    zero = F.lit(0).cast("decimal(28,4)")
+    g_n = _frame_diff(base, sg, n_cmo, zero).cast("double")
+    l_n = _frame_diff(base, sl, n_cmo, zero).cast("double")
+    h_n = sh - F.coalesce(F.lag(sh, n_cmo).over(base), F.lit(0))
+    cmo = F.when(h_n >= n_cmo,
+        F.when((g_n == 0.0) & (l_n == 0.0), F.lit(0.0)).otherwise(
+            (g_n - l_n) / (g_n + l_n) * 100.0
+        ),
+    )
+    return (
+        with_d.withColumn("roc", roc)
+        .withColumn("cmo", cmo)
+        .drop("__g", "__l", "__has")
+    )
+
+
+def with_cmf_adl(
+    daily_vol: DataFrame,
+    n: int = 20,
+    key: str = "ticker",
+    day: str = "day",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    vol: str = "vol",
+) -> DataFrame:
+    """Accumulation/distribution line (ADL) and Chaikin money flow (CMF)
+    over daily H/L/C/volume bars.
+
+    Money-flow multiplier MFM = ((C−L) − (H−C))/(H−L) (0 on a flat
+    H = L bar) is one fixed-order double expression; money-flow volume
+    MFM·vol is cast to DECIMAL(28,8) so the ADL running sum and the
+    CMF frame sums are exact and order-insensitive (the q_atr cast
+    discipline). CMF(n) = Σn MFV / Σn vol with the volume sum in pure
+    LONG arithmetic; null until n bars exist. One (key, day)
+    shuffle+sort serves the running sums and every frame difference."""
+    base = Window.partitionBy(key).orderBy(day)
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    hl = F.col(high) - F.col(low)
+    mfm = F.when(hl == 0.0, F.lit(0.0)).otherwise(
+        ((F.col(close) - F.col(low)) - (F.col(high) - F.col(close))) / hl
+    )
+    d = daily_vol.withColumn("__mfv", (mfm * F.col(vol)).cast("decimal(28,8)"))
+    s_mfv = F.sum("__mfv").over(run)
+    s_vol = F.sum(F.col(vol).cast("long")).over(run)
+    c_run = F.count(vol).over(run)
+    zero = F.lit(0).cast("decimal(38,8)")
+    mfv_n = (s_mfv - F.coalesce(F.lag(s_mfv, n).over(base), zero)).cast("double")
+    vol_n = s_vol - F.coalesce(F.lag(s_vol, n).over(base), F.lit(0))
+    c_n = c_run - F.coalesce(F.lag(c_run, n).over(base), F.lit(0))
+    return (
+        d.withColumn("adl", s_mfv.cast("double"))
+        .withColumn("cmf", F.when(c_n >= n, mfv_n / vol_n))
+        .drop("__mfv")
+    )
+
+
+def with_ulcer(
+    daily: DataFrame,
+    n: int = 14,
+    key: str = "ticker",
+    day: str = "day",
+    close: str = "close",
+) -> DataFrame:
+    """Ulcer index(n): sqrt(mean of squared percent drawdowns from the
+    n-period rolling high). The rolling high is a direct n-row frame max
+    (the Donchian lowering — no running-sum shortcut exists for max);
+    drawdown dd = 100·(close/maxn − 1) ≤ 0 is a fixed-order double, and
+    dd² is cast to DECIMAL(28,8) so the n-period mean rides the exact
+    running-sum difference. Null until n bars exist. One (key, day)
+    shuffle+sort serves the frame max, the running sum, and the lags."""
+    base = Window.partitionBy(key).orderBy(day)
+    frame = base.rowsBetween(-(n - 1), 0)
+    maxn = F.max(close).over(frame)
+    dd = (F.col(close) / maxn - 1.0) * 100.0
+    d = daily.withColumn("__dd2", (dd * dd).cast("decimal(28,8)"))
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    s = F.sum("__dd2").over(run)
+    c_run = F.count("__dd2").over(run)
+    zero = F.lit(0).cast("decimal(38,8)")
+    s_n = (s - F.coalesce(F.lag(s, n).over(base), zero)).cast("double")
+    c_n = c_run - F.coalesce(F.lag(c_run, n).over(base), F.lit(0))
+    ulcer = F.when(c_n >= n, F.sqrt(s_n / c_n))
+    return d.withColumn("ulcer", ulcer).drop("__dd2")
+
+
+def with_vortex(
+    daily: DataFrame,
+    n: int = 14,
+    key: str = "ticker",
+    day: str = "day",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Vortex indicator: VI+(n) = Σn|H − prev L| / Σn TR and
+    VI−(n) = Σn|L − prev H| / Σn TR.
+
+    Each key's first bar (no previous bar) contributes nothing — all
+    three terms are null there and a __has counter gates emission until
+    n full terms exist, so the ratio never mixes a partial window.
+    VM± and TR are fixed-order double expressions cast to
+    DECIMAL(18,6) for exact running-sum-difference frame sums. One
+    (key, day) shuffle+sort serves every lag and running sum."""
+    base = Window.partitionBy(key).orderBy(day)
+    prev_h = F.lag(high).over(base)
+    prev_l = F.lag(low).over(base)
+    prev_c = F.lag(close).over(base)
+    hl = F.col(high) - F.col(low)
+    tr = F.greatest(hl, F.abs(F.col(high) - prev_c), F.abs(F.col(low) - prev_c))
+    d = daily.withColumns(
+        {
+            "__vmp": F.abs(F.col(high) - prev_l).cast("decimal(18,6)"),
+            "__vmm": F.abs(F.col(low) - prev_h).cast("decimal(18,6)"),
+            "__tr": tr.cast("decimal(18,6)"),
+            "__has": prev_c.isNotNull().cast("long"),
+        }
+    )
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast("decimal(28,6)")
+
+    def frame_sum(c):
+        s = F.sum(c).over(run)
+        return (s - F.coalesce(F.lag(s, n).over(base), zero)).cast("double")
+
+    vmp_n = frame_sum(F.col("__vmp"))
+    vmm_n = frame_sum(F.col("__vmm"))
+    tr_n = frame_sum(F.col("__tr"))
+    sh = F.sum("__has").over(run)
+    h_n = sh - F.coalesce(F.lag(sh, n).over(base), F.lit(0))
+    gate = (h_n >= n) & (tr_n != 0.0)
+    return (
+        d.withColumn("vi_plus", F.when(gate, vmp_n / tr_n))
+        .withColumn("vi_minus", F.when(gate, vmm_n / tr_n))
+        .drop("__vmp", "__vmm", "__tr", "__has")
+    )

@@ -2942,3 +2942,219 @@ def q_portfolio_return(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_roc_cmo",
+    _BARS_CTE
+    + """
+    , d AS (
+        SELECT ticker, ts, seq, price,
+               lag(price, 12) OVER base AS prior,
+               price - lag(price) OVER base AS delta
+        FROM bars
+        WINDOW base AS (PARTITION BY ticker ORDER BY ts, seq)
+    ), g AS (
+        SELECT ticker, ts, seq, price, prior,
+               CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gv,
+               CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS lv,
+               CASE WHEN delta IS NOT NULL THEN 1 ELSE 0 END AS has
+        FROM d
+    ), runs AS (
+        SELECT ticker, ts, seq, price, prior,
+               sum(CAST(gv AS DECIMAL(18,4))) OVER run AS sg,
+               sum(CAST(lv AS DECIMAL(18,4))) OVER run AS sl,
+               sum(has) OVER run AS sh
+        FROM g
+        WINDOW run AS (PARTITION BY ticker ORDER BY ts, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, seq,
+           CASE WHEN prior IS NOT NULL AND prior <> 0
+                THEN floor((price / prior - 1.0) * 100.0 * 10000 + 0.5) / 10000
+           END AS roc,
+           CASE WHEN sh - coalesce(lag(sh, 14) OVER base, 0) >= 14 THEN
+             CASE WHEN CAST(sg - coalesce(lag(sg, 14) OVER base, 0) AS DOUBLE) = 0.0
+                   AND CAST(sl - coalesce(lag(sl, 14) OVER base, 0) AS DOUBLE) = 0.0
+                  THEN 0.0
+                  ELSE floor(
+                    (CAST(sg - coalesce(lag(sg, 14) OVER base, 0) AS DOUBLE)
+                     - CAST(sl - coalesce(lag(sl, 14) OVER base, 0) AS DOUBLE))
+                    / (CAST(sg - coalesce(lag(sg, 14) OVER base, 0) AS DOUBLE)
+                       + CAST(sl - coalesce(lag(sl, 14) OVER base, 0) AS DOUBLE))
+                    * 100.0 * 10000 + 0.5) / 10000
+             END
+           END AS cmo
+    FROM runs
+    WINDOW base AS (PARTITION BY ticker ORDER BY ts, seq)
+    """,
+    doc="ROC(12) + Chande momentum oscillator CMO(14) per tick bar. ROC "
+    "is a pure lag expression (no aggregation); CMO reuses the RSI "
+    "gain/loss machinery — exact decimal running-sum differences, one "
+    "(ticker, ts, seq) shuffle+sort for every lag and running sum — "
+    "with the symmetric (Su−Sd)/(Su+Sd) output in [-100, 100]. Null "
+    "until the lookbacks fill; a flat 14-row window emits 0.",
+)
+def q_roc_cmo(spark, sf_dir):
+    from ..operators.indicators import with_roc_cmo
+
+    out = with_roc_cmo(_bars(spark, sf_dir), n_roc=12, n_cmo=14)
+    return out.select(
+        "ticker",
+        "seq",
+        stable_round(F.col("roc"), 4).alias("roc"),
+        stable_round(F.col("cmo"), 4).alias("cmo"),
+    )
+
+
+@register(
+    "q_cmf_adl",
+    _DAILYVOL_CTE
+    + """
+    , m AS (
+        SELECT ticker, day, vol,
+               CAST(CASE WHEN high - low = 0 THEN 0.0
+                         ELSE ((close - low) - (high - close)) / (high - low)
+                    END * vol AS DECIMAL(28,8)) AS mfv
+        FROM dailyvol
+    ), runs AS (
+        SELECT ticker, day,
+               sum(mfv) OVER run AS s_mfv,
+               sum(CAST(vol AS BIGINT)) OVER run AS s_vol,
+               count(vol) OVER run AS c
+        FROM m
+        WINDOW run AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           floor(CAST(s_mfv AS DOUBLE) * 1000000 + 0.5) / 1000000 AS adl,
+           CASE WHEN c - coalesce(lag(c, 20) OVER base, 0) >= 20
+                THEN floor(CAST(s_mfv - coalesce(lag(s_mfv, 20) OVER base, 0) AS DOUBLE)
+                           / (s_vol - coalesce(lag(s_vol, 20) OVER base, 0))
+                           * 1000000 + 0.5) / 1000000 END AS cmf
+    FROM runs
+    WINDOW base AS (PARTITION BY ticker ORDER BY day)
+    """,
+    doc="Accumulation/distribution line + Chaikin money flow CMF(20) "
+    "over daily H/L/C/volume bars (one hash aggregate builds the bars; "
+    "one (ticker, day) window pass does the rest). The money-flow "
+    "multiplier is a fixed-order double expression; MFM·vol is cast to "
+    "DECIMAL(28,8) so the ADL cumulative sum and the CMF frame sums are "
+    "exact and order-insensitive (the q_atr cast discipline); the "
+    "volume frame sum stays in LONG. CMF null until 20 bars exist.",
+)
+def q_cmf_adl(spark, sf_dir):
+    from ..operators.indicators import with_cmf_adl
+
+    out = with_cmf_adl(_daily_vol_bars(spark, sf_dir), n=20)
+    return out.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("adl"), 6).alias("adl"),
+        stable_round(F.col("cmf"), 6).alias("cmf"),
+    )
+
+
+@register(
+    "q_ulcer",
+    _DAILYBARS_CTE
+    + """
+    , dd AS (
+        SELECT ticker, day,
+               CAST((close / max(close) OVER frame - 1.0) * 100.0
+                    * ((close / max(close) OVER frame - 1.0) * 100.0)
+                    AS DECIMAL(28,8)) AS dd2
+        FROM dailybars
+        WINDOW frame AS (PARTITION BY ticker ORDER BY day
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), runs AS (
+        SELECT ticker, day,
+               sum(dd2) OVER run AS s,
+               count(dd2) OVER run AS c
+        FROM dd
+        WINDOW run AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN c - coalesce(lag(c, 14) OVER base, 0) >= 14
+                THEN floor(sqrt(CAST(s - coalesce(lag(s, 14) OVER base, 0) AS DOUBLE)
+                                / (c - coalesce(lag(c, 14) OVER base, 0)))
+                           * 1000000 + 0.5) / 1000000 END AS ulcer
+    FROM runs
+    WINDOW base AS (PARTITION BY ticker ORDER BY day)
+    """,
+    doc="Ulcer index(14) over daily close: sqrt of the 14-day mean "
+    "squared percent drawdown from the 14-day rolling high. The rolling "
+    "high is a direct frame max (the Donchian lowering); dd² rides the "
+    "exact DECIMAL running-sum difference. Null until 14 bars exist. "
+    "One (ticker, day) shuffle+sort serves frame max, running sum, and "
+    "lags.",
+)
+def q_ulcer(spark, sf_dir):
+    from ..operators.indicators import with_ulcer
+
+    out = with_ulcer(_daily_bars(spark, sf_dir), n=14)
+    return out.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("ulcer"), 6).alias("ulcer"),
+    )
+
+
+@register(
+    "q_vortex",
+    _DAILYBARS_CTE
+    + """
+    , t AS (
+        SELECT ticker, day,
+               CAST(abs(high - lag(low)  OVER base) AS DECIMAL(18,6)) AS vmp,
+               CAST(abs(low  - lag(high) OVER base) AS DECIMAL(18,6)) AS vmm,
+               CAST(greatest(high - low,
+                             abs(high - lag(close) OVER base),
+                             abs(low  - lag(close) OVER base))
+                    AS DECIMAL(18,6)) AS tr,
+               CASE WHEN lag(close) OVER base IS NOT NULL THEN 1 ELSE 0 END AS has
+        FROM dailybars
+        WINDOW base AS (PARTITION BY ticker ORDER BY day)
+    ), runs AS (
+        SELECT ticker, day,
+               sum(vmp) OVER run AS s_vmp,
+               sum(vmm) OVER run AS s_vmm,
+               sum(tr)  OVER run AS s_tr,
+               sum(has) OVER run AS sh
+        FROM t
+        WINDOW run AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), fin AS (
+        SELECT ticker, day,
+               CAST(s_vmp - coalesce(lag(s_vmp, 14) OVER base, 0) AS DOUBLE) AS vmp_n,
+               CAST(s_vmm - coalesce(lag(s_vmm, 14) OVER base, 0) AS DOUBLE) AS vmm_n,
+               CAST(s_tr  - coalesce(lag(s_tr, 14)  OVER base, 0) AS DOUBLE) AS tr_n,
+               sh - coalesce(lag(sh, 14) OVER base, 0) AS h_n
+        FROM runs
+        WINDOW base AS (PARTITION BY ticker ORDER BY day)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN h_n >= 14 AND tr_n <> 0.0
+                THEN floor(vmp_n / tr_n * 1000000 + 0.5) / 1000000 END AS vi_plus,
+           CASE WHEN h_n >= 14 AND tr_n <> 0.0
+                THEN floor(vmm_n / tr_n * 1000000 + 0.5) / 1000000 END AS vi_minus
+    FROM fin
+    """,
+    doc="Vortex indicator VI±(14) over daily H/L/C bars: Σ|H−prev L| "
+    "and Σ|L−prev H| each normalized by Σ true range. Each key's first "
+    "bar contributes nothing (all three terms null) and a __has counter "
+    "gates emission until 14 full terms exist, so no partial windows "
+    "leak. VM±/TR are cast to DECIMAL(18,6) for exact running-sum "
+    "differences; one (ticker, day) shuffle+sort serves everything.",
+)
+def q_vortex(spark, sf_dir):
+    from ..operators.indicators import with_vortex
+
+    out = with_vortex(_daily_bars(spark, sf_dir), n=14)
+    return out.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("vi_plus"), 6).alias("vi_plus"),
+        stable_round(F.col("vi_minus"), 6).alias("vi_minus"),
+    )

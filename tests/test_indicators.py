@@ -300,3 +300,92 @@ def test_cci_flat_window_is_null(spark):
     ).withColumn("day", F.to_date("day"))
     out = with_cci(df, n=3).collect()
     assert all(r["cci"] is None for r in out)  # MAD = 0 -> undefined
+
+
+def _daily(spark, rows, with_vol=False):
+    schema = "ticker string, day string, high double, low double, close double"
+    if with_vol:
+        schema += ", vol long"
+    return spark.createDataFrame(rows, schema).withColumn(
+        "day", F.to_date("day")
+    )
+
+
+def test_roc_cmo_conventions(spark):
+    from market_analyze_data_stream_processing_spark.operators.indicators import with_roc_cmo
+
+    # n_roc=2, n_cmo=3; deltas +3, -1, +2 -> Su=5, Sd=1 -> CMO = 100*(4/6)
+    out = {
+        r["seq"]: r
+        for r in with_roc_cmo(
+            _bars(spark, [1.0, 4.0, 3.0, 5.0]), n_roc=2, n_cmo=3
+        ).collect()
+    }
+    assert out[1]["roc"] is None  # only 1 prior row
+    assert abs(out[2]["roc"] - (3.0 / 1.0 - 1.0) * 100.0) < 1e-9
+    assert out[2]["cmo"] is None  # only 2 deltas
+    assert abs(out[3]["cmo"] - 100.0 * 4.0 / 6.0) < 1e-9
+    # flat window -> 0 (not null, not NaN)
+    flat = {
+        r["seq"]: r["cmo"]
+        for r in with_roc_cmo(
+            _bars(spark, [2.0, 2.0, 2.0, 2.0]), n_roc=2, n_cmo=3
+        ).collect()
+    }
+    assert flat[3] == 0.0
+
+
+def test_cmf_adl_flat_bar_and_frame(spark):
+    from market_analyze_data_stream_processing_spark.operators.indicators import with_cmf_adl
+
+    rows = [
+        ("A", "2024-01-01", 10.0, 8.0, 9.5, 100),   # mfm = (1.5-0.5)/2 = 0.5
+        ("A", "2024-01-02", 7.0, 7.0, 7.0, 50),     # flat H=L -> mfm 0
+        ("A", "2024-01-03", 12.0, 8.0, 8.0, 200),   # mfm = (0-4)/4 = -1
+    ]
+    out = {
+        r["day"].isoformat(): r
+        for r in with_cmf_adl(_daily(spark, rows, with_vol=True), n=2).collect()
+    }
+    assert abs(out["2024-01-01"]["adl"] - 50.0) < 1e-9
+    assert abs(out["2024-01-02"]["adl"] - 50.0) < 1e-9  # flat bar adds 0
+    assert abs(out["2024-01-03"]["adl"] - (50.0 - 200.0)) < 1e-9
+    assert out["2024-01-01"]["cmf"] is None  # window not full
+    # days 2-3: mfv 0 + (-200) over vol 50 + 200
+    assert abs(out["2024-01-03"]["cmf"] - (-200.0 / 250.0)) < 1e-9
+
+
+def test_ulcer_zero_at_new_highs_and_value(spark):
+    from market_analyze_data_stream_processing_spark.operators.indicators import with_ulcer
+
+    rows = [
+        ("A", "2024-01-01", 0.0, 0.0, 100.0),
+        ("A", "2024-01-02", 0.0, 0.0, 110.0),
+        ("A", "2024-01-03", 0.0, 0.0, 99.0),  # dd = 100*(99/110-1) = -10
+    ]
+    out = {
+        r["day"].isoformat(): r["ulcer"]
+        for r in with_ulcer(_daily(spark, rows), n=2).collect()
+    }
+    assert out["2024-01-01"] is None  # window not full
+    assert out["2024-01-02"] == 0.0  # monotone rise: no drawdown
+    # days 2-3: dd 0 and -10 -> sqrt((0+100)/2)
+    assert abs(out["2024-01-03"] - math.sqrt(50.0)) < 1e-6
+
+
+def test_vortex_gating_and_ratio(spark):
+    from market_analyze_data_stream_processing_spark.operators.indicators import with_vortex
+
+    rows = [
+        ("A", "2024-01-01", 10.0, 8.0, 9.0),
+        ("A", "2024-01-02", 11.0, 9.0, 10.0),  # vmp=|11-8|=3, vmm=|9-10|=1, tr=2
+        ("A", "2024-01-03", 12.0, 10.0, 11.0),  # vmp=|12-9|=3, vmm=|10-11|=1, tr=2
+    ]
+    out = {
+        r["day"].isoformat(): r
+        for r in with_vortex(_daily(spark, rows), n=2).collect()
+    }
+    assert out["2024-01-01"]["vi_plus"] is None  # no prev bar
+    assert out["2024-01-02"]["vi_plus"] is None  # only 1 full term
+    assert abs(out["2024-01-03"]["vi_plus"] - 6.0 / 4.0) < 1e-9
+    assert abs(out["2024-01-03"]["vi_minus"] - 2.0 / 4.0) < 1e-9
