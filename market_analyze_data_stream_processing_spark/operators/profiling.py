@@ -1,0 +1,198 @@
+"""Dataset profiling and distribution-drift operators — the monitoring
+layer a 100 TB training-data pipeline runs before/after every ingest:
+per-column profiles, PSI (population stability index), two-sample KS
+statistic, and chi-squared mix drift between two time slices.
+
+Scale design: every operator is a constant number of hash aggregates /
+window passes over the raw table — output cardinality is O(columns) or
+O(groups), never O(rows). Drift comparisons NEVER self-join the raw
+rows: both periods are tagged in one scan and reduced together, so one
+pass computes both marginals. Float discipline: per-bucket terms are
+fixed-order double expressions quantized to DECIMAL before any
+cross-row sum, so group-aggregate accumulation order (nondeterministic
+in a distributed engine) can't flip an oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, cols: list[str], round_digits: int = 6) -> DataFrame:
+    """One row per profiled numeric column: row count, null fraction,
+    distinct count, min, max, mean.
+
+    ONE full-scan aggregate computes every statistic for every column
+    (no per-column scans); the single result row is exploded to
+    O(columns) rows JVM-side with ``stack``. Means accumulate in
+    DECIMAL so they're exact before the final double division."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__cnt_{c}"),
+            F.countDistinct(col).alias(f"__dst_{c}"),
+            F.min(col).alias(f"__min_{c}"),
+            F.max(col).alias(f"__max_{c}"),
+            F.sum(col.cast("decimal(28,6)")).alias(f"__sum_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            f"'{c}'",
+            f"__cnt_{c}",
+            f"__dst_{c}",
+            f"__min_{c}",
+            f"__max_{c}",
+            f"CAST(__sum_{c} AS DOUBLE)",
+        ]
+    stacked = one.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {', '.join(stack_args)}) "
+        "AS (col_name, n_filled, n_distinct, min_v, max_v, sum_v)",
+    )
+    p = float(10**round_digits)
+    rnd = lambda x: F.floor(x * p + F.lit(0.5)) / F.lit(p)
+    return stacked.select(
+        "col_name",
+        F.col("__n").alias("n_rows"),
+        rnd((F.col("__n") - F.col("n_filled")) / F.col("__n")).alias("null_frac"),
+        "n_distinct",
+        rnd(F.col("min_v")).alias("min_v"),
+        rnd(F.col("max_v")).alias("max_v"),
+        rnd(F.col("sum_v") / F.col("n_filled")).alias("mean_v"),
+    )
+
+
+def psi_drift(
+    tagged: DataFrame,
+    value: str = "value",
+    group: str = "grp",
+    period: str = "period",  # 0 = reference, 1 = current
+    bucket_width: float = 20.0,
+    n_buckets: int = 10,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Population stability index per group between two tagged periods.
+
+    Values land in fixed-width buckets (floor(v / width), clamped to
+    [0, n_buckets]) — fixed breakpoints, so bucketing is embarrassingly
+    parallel and identical across engines (no quantile estimation
+    step). Counts are Laplace-smoothed by ``smooth`` so empty buckets
+    never produce log(0). Each bucket's (p−q)·ln(p/q) term is quantized
+    to DECIMAL(28,12) before the per-group sum — order-insensitive.
+    Two hash aggregates total; output is O(groups)."""
+    b = F.least(
+        F.floor(F.col(value) / F.lit(bucket_width)).cast("int"), F.lit(n_buckets)
+    )
+    b = F.greatest(b, F.lit(0))
+    hist = (
+        tagged.withColumn("__b", b)
+        .groupBy(group, "__b")
+        .agg(
+            F.sum(F.when(F.col(period) == 0, 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col(period) == 1, 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    # Smoothed shares over the OBSERVED bucket slots of each group (a
+    # slot no period ever hit carries no evidence either way, so the
+    # metric is defined over observed slots; the smoothing mass in the
+    # denominator scales by that same observed-slot count on both
+    # sides, and the oracle mirrors the identical convention).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group)
+    nslots = F.count(F.lit(1)).over(w)
+    t_ref = F.sum("c_ref").over(w) + F.lit(smooth) * nslots
+    t_cur = F.sum("c_cur").over(w) + F.lit(smooth) * nslots
+    p_ref = (F.col("c_ref") + F.lit(smooth)) / t_ref
+    p_cur = (F.col("c_cur") + F.lit(smooth)) / t_cur
+    term = ((p_cur - p_ref) * F.log(p_cur / p_ref)).cast("decimal(28,12)")
+    return (
+        hist.withColumn("__t", term)
+        .groupBy(group)
+        .agg(
+            F.sum("c_ref").alias("n_ref"),
+            F.sum("c_cur").alias("n_cur"),
+            F.sum("__t").cast("double").alias("psi"),
+        )
+    )
+
+
+def ks_statistic(
+    tagged: DataFrame,
+    value: str = "value",
+    group: str = "grp",
+    period: str = "period",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group:
+    D = max over the merged sample of |F_ref(v) − F_cur(v)|.
+
+    One hash aggregate collapses ties to (group, value) count pairs;
+    one (group)-partitioned window ordered by value forms both
+    empirical CDFs cumulatively (counts stay in LONG — exact); the
+    ratio/abs/max are order-insensitive. No sort of raw rows: the
+    window sorts the DISTINCT values only. Output is O(groups)."""
+    from pyspark.sql import Window
+
+    per_v = tagged.groupBy(group, value).agg(
+        F.sum(F.when(F.col(period) == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col(period) == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    w = Window.partitionBy(group).orderBy(value)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(group)
+    cum_ref = F.sum("c_ref").over(run)
+    cum_cur = F.sum("c_cur").over(run)
+    n_ref = F.sum("c_ref").over(tot)
+    n_cur = F.sum("c_cur").over(tot)
+    d = F.abs(cum_ref / n_ref - cum_cur / n_cur)
+    return (
+        per_v.select(group, n_ref.alias("n_ref"), n_cur.alias("n_cur"), d.alias("__d"))
+        .groupBy(group)
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.max("__d").alias("ks_d"),
+        )
+    )
+
+
+def chi2_mix(
+    tagged: DataFrame,
+    group: str = "grp",
+    period: str = "period",
+) -> DataFrame:
+    """Chi-squared contribution per category for a 2×K contingency
+    table (period × group): for each cell, (observed − expected)²/
+    expected with expected = row_total·col_total/grand_total.
+
+    Counts are exact LONGs from one hash aggregate; the K column
+    totals are a tiny second aggregate broadcast back (O(K) rows).
+    Each category's two cell terms are one fixed-order double
+    expression — no cross-row float sum at all. Emits per-category
+    contributions; the caller sums the DECIMAL-quantized terms if a
+    single test statistic is wanted."""
+    cells = tagged.groupBy(group).agg(
+        F.sum(F.when(F.col(period) == 0, 1).otherwise(0)).alias("o_ref"),
+        F.sum(F.when(F.col(period) == 1, 1).otherwise(0)).alias("o_cur"),
+    )
+    totals = cells.agg(
+        F.sum("o_ref").alias("t_ref"), F.sum("o_cur").alias("t_cur")
+    )
+    j = cells.crossJoin(F.broadcast(totals))
+    grand = F.col("t_ref") + F.col("t_cur")
+    row_tot = F.col("o_ref") + F.col("o_cur")
+    e_ref = row_tot * F.col("t_ref") / grand
+    e_cur = row_tot * F.col("t_cur") / grand
+    contrib = (F.col("o_ref") - e_ref) * (F.col("o_ref") - e_ref) / e_ref + (
+        F.col("o_cur") - e_cur
+    ) * (F.col("o_cur") - e_cur) / e_cur
+    return j.select(
+        group,
+        "o_ref",
+        "o_cur",
+        contrib.alias("chi2_contrib"),
+    )

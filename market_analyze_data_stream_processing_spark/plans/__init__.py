@@ -14,6 +14,7 @@ from . import text  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import media  # noqa: E402,F401
+from . import profiling  # noqa: E402,F401
 
 # The external driver's correctness sweep checks only the FIRST 50
 # registry entries per round (each recorded round sampled exactly 50 in
