@@ -1515,3 +1515,138 @@ def q_char_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_bigram_logprob",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, unnest("""
+    + _SHINGLES2_SQL
+    + r""") AS bigram
+        FROM w WHERE len(toks) >= 2
+    ), ctx AS (
+        SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg
+    ), c2 AS (
+        SELECT bigram, count(*) AS cnt2 FROM ctx GROUP BY bigram
+    ), c1 AS (
+        SELECT w1, count(*) AS cnt1 FROM ctx GROUP BY w1
+    ), vocab AS (
+        SELECT count(DISTINCT split_part(bigram, ' ', 2)) AS v FROM ctx
+    ), terms AS (
+        SELECT doc_id,
+               CAST(ln((cnt2 + 0.5::DOUBLE)
+                       / (cnt1 + 0.5::DOUBLE * v)) AS DECIMAL(18,8)) AS t
+        FROM ctx JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           floor(CAST(sum(t) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+               AS avg_logprob
+    FROM terms GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Self-trained BIGRAM LM scoring (the perplexity curation filter "
+    "one order up from q_unigram_logprob): corpus conditional counts "
+    "c(w1 w2)/c(w1·) with add-0.5 smoothing over the second-token "
+    "vocabulary, then per-doc mean log-probability. Per-term logs are "
+    "cast to DECIMAL(18,8) before the per-doc sum (the q_bm25 "
+    "discipline) so distributed accumulation order can't flip the "
+    "hash. Counts shuffle with map-side combine; the bigram and "
+    "context tables are Zipf-small relative to the corpus, so at scale "
+    "scoring degrades to two broadcast joins over one corpus pass.",
+)
+def q_bigram_logprob(spark, sf_dir):
+    import market_analyze_data_stream_processing_spark.functions.text as T
+    from ..functions.scalars import stable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    ).where(F.size("toks") >= 2)
+    ctx = toks.select(
+        "doc_id",
+        F.explode(T.shingles_from_tokens(F.col("toks"), n=2)).alias("bigram"),
+    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    c2 = ctx.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = ctx.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    vocab = ctx.select(
+        F.countDistinct(F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))).alias("v")
+    )
+    term = F.log(
+        (F.col("cnt2") + F.lit(0.5)) / (F.col("cnt1") + F.lit(0.5) * F.col("v"))
+    ).cast("decimal(18,8)")
+    return (
+        ctx.join(c2, "bigram")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("__t", term)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            stable_round(
+                F.sum("__t").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_readability",
+    r"""
+    WITH m AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+               len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             floor((206.835
+                    - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                    - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)))
+                   * 10000 + 0.5) / 10000
+           END AS fre
+    FROM m ORDER BY doc_id
+    """,
+    doc="Flesch reading ease per document with the classic vowel-group "
+    "syllable heuristic (a maximal [aeiouy]+ run ≈ one syllable; "
+    "letters-only word tokens; sentence count floors at 1 because the "
+    "synthetic corpus carries no terminal punctuation — real corpora "
+    "exercise the [.!?]+ splitter, same expression). Three "
+    "regexp_extract_all counts per row, all codegen'd — a 100 TB "
+    "readability pass is map-only with zero shuffles.",
+)
+def q_readability(spark, sf_dir):
+    from ..functions.scalars import stable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0)))
+    n_syl = F.size(
+        F.regexp_extract_all("text", F.lit("[aeiouyAEIOUY]+"), F.lit(0))
+    )
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0)))
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syl.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+    )
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words").cast("double"))
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        F.when(F.col("n_words") > 0, stable_round(fre, 4)).alias("fre"),
+    ).orderBy("doc_id")
