@@ -115,3 +115,76 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .union(tri.select(F.col("t_c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def node_overlap(
+    memberships: DataFrame,
+    node: str = "node",
+    item: str = "item",
+    max_item_df: int = 50,
+    top_k: int = 25,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Top-k node pairs by Jaccard similarity of their item sets
+    (e.g. suppliers by shared parts, users by shared purchases).
+
+    The inverted-index lowering (the dedup-family discipline, not an
+    all-pairs cross join): distinct (node, item) edges -> drop items
+    touching more than ``max_item_df`` nodes (a hot item contributes
+    O(df²) pairs but almost no signal — exactly the stopword-shingle
+    argument of operators.dedup) -> per-item ordered pairs -> count
+    common items per pair -> Jaccard against the UNPRUNED set sizes.
+    Pair growth is Σ df², bounded by max_item_df·|edges| — linear in
+    postings. Output is the global top_k by (jaccard, a, b): a
+    deterministic total order, taken with one TakeOrderedAndProject
+    (no full sort materialization)."""
+    m = memberships.select(
+        F.col(node).alias("a"), F.col(item).alias("i")
+    ).distinct()
+    sizes = m.groupBy("a").agg(F.count(F.lit(1)).alias("n_items"))
+    df_ok = (
+        m.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_item_df)
+        .select("i")
+    )
+    pruned = m.join(df_ok, "i")
+    left = pruned.select(F.col("i"), F.col("a"))
+    right = pruned.select(F.col("i"), F.col("a").alias("b"))
+    pairs = (
+        left.join(right, "i")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("a"), F.col("n_items").alias("na"))
+    sb = sizes.select(F.col("a").alias("b"), F.col("n_items").alias("nb"))
+    scored = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            "na",
+            "nb",
+            _maybe_round(
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                round_digits,
+            ).alias("jaccard"),
+        )
+    )
+    # Jaccard is rounded BEFORE the ordering (when round_digits is set)
+    # so top-k boundary ties at equal similarity break identically by
+    # (a, b) on any engine. orderBy+limit lowers to
+    # TakeOrderedAndProject: per-partition top-k heaps, one k-row merge
+    # on the driver — never a global sort.
+    return scored.orderBy(F.desc("jaccard"), "a", "b").limit(top_k)
+
+
+def _maybe_round(col: Column, digits: int | None) -> Column:
+    if digits is None:
+        return col
+    p = float(10**digits)
+    return F.floor(col * p + F.lit(0.5)) / F.lit(p)

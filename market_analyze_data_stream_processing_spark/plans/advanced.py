@@ -2289,3 +2289,214 @@ def q_scd2_history(spark, sf_dir):
         F.unix_micros(nxt).alias("valid_to_us"),
         nxt.isNull().cast("int").alias("is_current"),
     ).orderBy("user_id", "version")
+
+
+@register(
+    "q_gini_pareto",
+    """
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey,
+               coalesce(sum(CAST(o.o_totalprice AS DECIMAL(28,2))), 0)
+                   AS spend
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT segment, spend,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY spend, c_custkey) AS i,
+               count(*) OVER (PARTITION BY segment) AS n
+        FROM spend
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           floor((2.0 * CAST(sum(i * spend) AS DOUBLE)
+                  / (max(n) * CAST(sum(spend) AS DOUBLE))
+                  - (max(n) + 1.0) / max(n)) * 1000000 + 0.5) / 1000000
+               AS gini,
+           floor(CAST(sum(CASE WHEN i > max_n - CAST(floor(max_n / 5.0) AS BIGINT)
+                               THEN spend ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(spend) AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS top20_share
+    FROM (SELECT *, max(n) OVER (PARTITION BY segment) AS max_n FROM ranked)
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="Revenue-inequality profile per market segment: exact Gini "
+    "coefficient by the rank formula 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over "
+    "customers sorted ascending by spend (custkey tiebreak — fully "
+    "deterministic), plus the Pareto top-20%% revenue share. Spend "
+    "accumulates in DECIMAL(28,2) and i·xᵢ in DECIMAL, so both sums "
+    "are exact and order-insensitive; the only float math is the final "
+    "per-segment scalar expression. One shuffle to aggregate spend, "
+    "one segment-partitioned sort — segments parallelize; no driver "
+    "iteration.",
+)
+def q_gini_pareto(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(
+            orders, orders.o_custkey == cust.c_custkey, "left"
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), "c_custkey"
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)")),
+                F.lit(0).cast("decimal(38,2)"),
+            ).alias("spend")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("spend", "c_custkey")
+    seg = Window.partitionBy("segment")
+    ranked = spend.select(
+        "segment",
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(seg).alias("n"),
+    )
+    gini = (
+        F.lit(2.0)
+        * F.sum(F.col("i") * F.col("spend")).cast("double")
+        / (F.max("n") * F.sum("spend").cast("double"))
+        - (F.max("n") + F.lit(1.0)) / F.max("n")
+    )
+    # top-20% share needs the cutoff INSIDE the conditional sum: compute
+    # max_n as a window column first (mirrors the oracle's nested select).
+    ranked = ranked.withColumn("max_n", F.max("n").over(seg))
+    top_share = (
+        F.sum(
+            F.when(
+                F.col("i")
+                > F.col("max_n") - F.floor(F.col("max_n") / F.lit(5.0)).cast("long"),
+                F.col("spend"),
+            ).otherwise(F.lit(0).cast("decimal(38,2)"))
+        ).cast("double")
+        / F.sum("spend").cast("double")
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            stable_round(gini, 6).alias("gini"),
+            stable_round(top_share, 6).alias("top20_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q_group_mode",
+    """
+    WITH counts AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               count(*) AS cnt
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT segment, priority, cnt,
+               sum(cnt) OVER (PARTITION BY segment) AS seg_total,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY cnt DESC, priority) AS rk
+        FROM counts
+    )
+    SELECT segment, priority AS mode_priority,
+           CAST(cnt AS BIGINT) AS mode_count,
+           floor(cnt / CAST(seg_total AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS mode_share
+    FROM ranked WHERE rk = 1
+    ORDER BY segment
+    """,
+    doc="Grouped MODE (most frequent value): the modal order priority "
+    "per market segment with its count and share, ties broken "
+    "lexicographically by priority (deterministic). Two hash "
+    "aggregates + a top-1 window over the tiny (segment, priority) "
+    "grid — the raw rows are reduced before any window touches them, "
+    "so the sort input is O(segments × priorities), not O(orders).",
+)
+def q_group_mode(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg = Window.partitionBy("segment")
+    rk = Window.partitionBy("segment").orderBy(F.desc("cnt"), "priority")
+    return (
+        counts.withColumn("seg_total", F.sum("cnt").over(seg))
+        .withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("mode_priority"),
+            F.col("cnt").cast("long").alias("mode_count"),
+            stable_round(
+                F.col("cnt") / F.col("seg_total").cast("double"), 6
+            ).alias("mode_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q_supplier_overlap",
+    """
+    WITH sp AS (
+        SELECT DISTINCT l_suppkey AS a, l_partkey AS i FROM lineitem
+    ), sizes AS (
+        SELECT a, count(*) AS n_items FROM sp GROUP BY a
+    ), df_ok AS (
+        SELECT i FROM sp GROUP BY i HAVING count(*) <= 50
+    ), pruned AS (
+        SELECT sp.a, sp.i FROM sp JOIN df_ok USING (i)
+    ), pairs AS (
+        SELECT l.a AS a, r.a AS b, count(*) AS common
+        FROM pruned l JOIN pruned r ON l.i = r.i AND l.a < r.a
+        GROUP BY 1, 2
+    )
+    SELECT p.a, p.b, CAST(p.common AS BIGINT) AS common,
+           CAST(sa.n_items AS BIGINT) AS na,
+           CAST(sb.n_items AS BIGINT) AS nb,
+           floor(p.common
+                 / CAST(sa.n_items + sb.n_items - p.common AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.a = p.a
+    JOIN sizes sb ON sb.a = p.b
+    ORDER BY floor(p.common
+                 / CAST(sa.n_items + sb.n_items - p.common AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 DESC, p.a, p.b
+    LIMIT 25
+    """,
+    doc="Node-similarity on the supplier↔part bipartite graph: top-25 "
+    "supplier pairs by Jaccard of their part sets. Inverted-index "
+    "lowering (the dedup-family discipline): per-part ordered pairs "
+    "with a document-frequency cap (parts spread over >50 suppliers "
+    "are pruned — O(df²) pairs, negligible signal), so pair growth is "
+    "Σdf² ≤ cap·|edges|, linear in postings, never an all-pairs cross "
+    "join. Top-k lowers to TakeOrderedAndProject (per-partition heaps; "
+    "no global sort). Jaccard is rounded BEFORE the ordering on both "
+    "sides so rank ties at equal similarity break identically by "
+    "(a, b).",
+)
+def q_supplier_overlap(spark, sf_dir):
+    from ..operators.graph import node_overlap
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("node"), F.col("l_partkey").alias("item")
+    )
+    out = node_overlap(li, max_item_df=50, top_k=25)
+    return out.select(
+        "a",
+        "b",
+        F.col("common").cast("long").alias("common"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        stable_round(F.col("jaccard"), 6).alias("jaccard"),
+    )
