@@ -29,6 +29,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Ranks after ``iterations`` synchronous PageRank steps from the
     uniform 1/N start: r(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u).
@@ -62,13 +63,21 @@ def pagerank(
     deg = e.groupBy("src").agg((F.lit(1.0) / F.count(F.lit(1))).alias("inv"))
     weighted = e.join(deg, "src").localCheckpoint(eager=False)  # reused per iter
     ranks = base.select("node", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
+    # broadcast_ranks: when the caller knows |nodes| ≪ |edges| (bipartite
+    # order graphs, web-domain graphs), shipping the O(nodes) rank frame
+    # to the pinned edge partitions skips re-shuffling O(edges) rows
+    # every iteration. Off by default: on a graph where nodes rival
+    # edges (social follower graphs) the broadcast would not fit.
+    maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
         contribs = (
-            weighted.join(ranks, weighted["src"] == ranks["node"])
+            weighted.join(maybe_b(ranks), weighted["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("inv")).alias("contrib"))
         )
-        ranks = base.join(contribs, base["node"] == contribs["dst"], "left").select(
+        ranks = base.join(
+            maybe_b(contribs), base["node"] == contribs["dst"], "left"
+        ).select(
             base["node"],
             base["n"],
             (
