@@ -2503,3 +2503,139 @@ def q_supplier_overlap(spark, sf_dir):
         F.col("nb").cast("long").alias("nb"),
         stable_round(F.col("jaccard"), 6).alias("jaccard"),
     )
+
+
+@register(
+    "q_order_backlog",
+    """
+    WITH ship AS (
+        SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+        FROM lineitem GROUP BY l_orderkey
+    ), deltas AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS day, 1 AS delta
+        FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT s.last_ship + INTERVAL 1 DAY, -1
+        FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+    ), daily AS (
+        SELECT day, sum(delta) AS net FROM deltas GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(net AS BIGINT) AS net_change,
+           CAST(sum(net) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS open_orders
+    FROM daily ORDER BY day
+    """,
+    doc="Open-order backlog timeline by sweep-line: each order emits "
+    "+1 at its order date and −1 the day after its LAST shipment "
+    "(max l_shipdate — orders without lineitems, which the generator "
+    "never produces, would be excluded by the inner join), collapsed "
+    "to per-day net changes, then one cumulative sum over the "
+    "O(distinct days) frame. This is the interval-stabbing pattern "
+    "that never materializes order×day rows — at 100 TB the window "
+    "input is the calendar, not the fact table. Counts stay in LONG "
+    "end to end; no floats at all.",
+)
+def q_order_backlog(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    )
+    j = orders.join(ship, ship.l_orderkey == orders.o_orderkey)
+    opens = j.select(
+        F.col("o_orderdate").cast("date").alias("day"), F.lit(1).alias("delta")
+    )
+    closes = j.select(
+        F.date_add(F.col("last_ship"), 1).alias("day"), F.lit(-1).alias("delta")
+    )
+    daily = opens.union(closes).groupBy("day").agg(F.sum("delta").alias("net"))
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("net").cast("long").alias("net_change"),
+        F.sum("net").over(run).cast("long").alias("open_orders"),
+    ).orderBy("day")
+
+
+@register(
+    "q_rfm",
+    """
+    WITH anchor AS (
+        SELECT max(o_orderdate) AS mx FROM orders
+    ), per_cust AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(28,2))) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT custkey, frequency,
+               CAST(monetary AS DOUBLE) AS monetary,
+               date_diff('day', last_order, (SELECT mx FROM anchor))
+                   AS recency_days,
+               ntile(5) OVER (ORDER BY last_order, custkey) AS r,
+               ntile(5) OVER (ORDER BY frequency, custkey) AS f,
+               ntile(5) OVER (ORDER BY monetary, custkey) AS m
+        FROM per_cust
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           floor(monetary * 100 + 0.5) / 100 AS monetary,
+           r, f, m,
+           CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+                WHEN r >= 4 AND f <= 2 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored ORDER BY custkey
+    """,
+    doc="RFM segmentation: per-customer recency (days since last order "
+    "against the corpus max date — a 1-row broadcast contract scalar), "
+    "frequency, and DECIMAL-exact monetary total, each scored into "
+    "quintiles with ntile(5) over a FULLY tiebroken order (metric, "
+    "custkey) — ntile is deterministic only under a total order, so "
+    "the tiebreak is load-bearing for engine parity. Score 5 = best "
+    "on every axis (most recent / most frequent / highest spend). One "
+    "hash aggregate + three ntile windows over the O(customers) "
+    "frame; the canonical champion/at-risk/new labels are a map-only "
+    "CASE. Scale note: an unpartitioned ntile is a single-task sort — "
+    "fine while customers ≪ facts (the frame is post-aggregation), "
+    "but a billion-customer corpus swaps in quantile-boundary scoring "
+    "(the q_customer_deciles lowering: approx boundaries + map-side "
+    "CASE), trading ntile's exact equal-count split for parallelism.",
+)
+def q_rfm(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("monetary"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    scored = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .withColumn("monetary", F.col("monetary").cast("double"))
+        .withColumn(
+            "recency_days", F.datediff(F.col("mx"), F.col("last_order"))
+        )
+        .withColumn("r", F.ntile(5).over(Window.orderBy("last_order", "custkey")))
+        .withColumn("f", F.ntile(5).over(Window.orderBy("frequency", "custkey")))
+        .withColumn("m", F.ntile(5).over(Window.orderBy("monetary", "custkey")))
+    )
+    seg = (
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4), "champion")
+        .when((F.col("r") <= 2) & (F.col("f") >= 4), "at_risk")
+        .when((F.col("r") >= 4) & (F.col("f") <= 2), "new")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        stable_round(F.col("monetary"), 2).alias("monetary"),
+        "r",
+        "f",
+        "m",
+        seg.alias("segment"),
+    ).orderBy("custkey")

@@ -3158,3 +3158,97 @@ def q_vortex(spark, sf_dir):
         stable_round(F.col("vi_plus"), 6).alias("vi_plus"),
         stable_round(F.col("vi_minus"), 6).alias("vi_minus"),
     )
+
+
+@register(
+    "q_candlestick",
+    _DAILYOHLC_CTE
+    + """
+    , f AS (
+        SELECT ticker, day, open, high, low, close,
+               close - open AS body,
+               high - low AS rng,
+               high - greatest(open, close) AS upper_sh,
+               least(open, close) - low AS lower_sh,
+               lag(open)  OVER w AS p_open,
+               lag(close) OVER w AS p_close
+        FROM dailyohlc
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), flags AS (
+        SELECT ticker, day,
+               CASE WHEN rng > 0 AND abs(body) <= 0.1 * rng
+                    THEN 1 ELSE 0 END AS doji,
+               CASE WHEN rng > 0 AND body <> 0
+                         AND lower_sh >= 2 * abs(body)
+                         AND upper_sh <= abs(body)
+                    THEN 1 ELSE 0 END AS hammer,
+               CASE WHEN p_close < p_open AND body > 0
+                         AND open <= p_close AND close >= p_open
+                    THEN 1 ELSE 0 END AS bull_engulf,
+               CASE WHEN p_close > p_open AND body < 0
+                         AND open >= p_close AND close <= p_open
+                    THEN 1 ELSE 0 END AS bear_engulf
+        FROM f
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           doji, hammer, bull_engulf, bear_engulf
+    FROM flags
+    WHERE doji + hammer + bull_engulf + bear_engulf > 0
+    ORDER BY ticker, day
+    """,
+    doc="Candlestick pattern screen over daily O/H/L/C bars: doji "
+    "(body ≤ 10%% of range), hammer (lower shadow ≥ 2×body, upper "
+    "shadow ≤ body), and bullish/bearish engulfing (body swallows the "
+    "previous bar's opposite-sign body). All flags are pure "
+    "comparisons on raw doubles — bit-identical on any engine, no "
+    "rounding needed anywhere. One hash aggregate builds the bars, "
+    "one (ticker, day) window pass reads the previous bar; the "
+    "pattern screen itself is map-only codegen.",
+)
+def q_candlestick(spark, sf_dir):
+    d = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy("day")
+    body = F.col("close") - F.col("open")
+    rng = F.col("high") - F.col("low")
+    upper_sh = F.col("high") - F.greatest("open", "close")
+    lower_sh = F.least("open", "close") - F.col("low")
+    f = d.withColumns(
+        {
+            "body": body,
+            "rng": rng,
+            "upper_sh": upper_sh,
+            "lower_sh": lower_sh,
+            "p_open": F.lag("open").over(w),
+            "p_close": F.lag("close").over(w),
+        }
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)
+    out = f.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        flag(
+            (F.col("rng") > 0) & (F.abs("body") <= 0.1 * F.col("rng"))
+        ).alias("doji"),
+        flag(
+            (F.col("rng") > 0)
+            & (F.col("body") != 0)
+            & (F.col("lower_sh") >= 2 * F.abs("body"))
+            & (F.col("upper_sh") <= F.abs("body"))
+        ).alias("hammer"),
+        flag(
+            (F.col("p_close") < F.col("p_open"))
+            & (F.col("body") > 0)
+            & (F.col("open") <= F.col("p_close"))
+            & (F.col("close") >= F.col("p_open"))
+        ).alias("bull_engulf"),
+        flag(
+            (F.col("p_close") > F.col("p_open"))
+            & (F.col("body") < 0)
+            & (F.col("open") >= F.col("p_close"))
+            & (F.col("close") <= F.col("p_open"))
+        ).alias("bear_engulf"),
+    )
+    return out.where(
+        F.col("doji") + F.col("hammer") + F.col("bull_engulf") + F.col("bear_engulf")
+        > 0
+    ).orderBy("ticker", "day")
