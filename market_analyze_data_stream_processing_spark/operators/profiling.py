@@ -196,3 +196,52 @@ def chi2_mix(
         "o_cur",
         contrib.alias("chi2_contrib"),
     )
+
+
+def psi_from_counts(
+    ref: list[int],
+    cur: list[int],
+    smooth: float = 0.5,
+    observed_only: bool = True,
+) -> float:
+    """PSI from two aligned bucket-count vectors — the pure kernel the
+    streaming drift monitor shares with the batch plan. With
+    ``observed_only`` (the default) it matches psi_drift's convention
+    exactly: the metric is defined over the slots OBSERVED by either
+    side (a slot neither period ever hit carries no evidence), and the
+    smoothing mass in each denominator scales by that same
+    observed-slot count. Pass ``observed_only=False`` to score against
+    every slot — required when the reference is ALL-ZERO (unknown key):
+    under observed-only, concentrated current mass in one slot
+    normalizes to share 1 on both sides and PSI degenerates to 0."""
+    import math
+
+    if observed_only:
+        observed = [i for i in range(len(ref)) if ref[i] + cur[i] > 0]
+    else:
+        observed = list(range(len(ref)))
+    if not observed:
+        return 0.0
+    nslots = len(observed)
+    t_ref = sum(ref[i] for i in observed) + smooth * nslots
+    t_cur = sum(cur[i] for i in observed) + smooth * nslots
+    psi = 0.0
+    for i in observed:
+        p_ref = (ref[i] + smooth) / t_ref
+        p_cur = (cur[i] + smooth) / t_cur
+        psi += (p_cur - p_ref) * math.log(p_cur / p_ref)
+    return psi
+
+
+def bucketize_counts(
+    values, bucket_width: float, n_buckets: int
+) -> list[int]:
+    """Histogram a value iterable with psi_drift's fixed-breakpoint
+    bucketing (floor(v/width) clamped to [0, n_buckets]); driver-side
+    helper for building the frozen reference histogram a drift monitor
+    compares against."""
+    counts = [0] * (n_buckets + 1)
+    for v in values:
+        b = int(v // bucket_width)
+        counts[min(max(b, 0), n_buckets)] += 1
+    return counts
