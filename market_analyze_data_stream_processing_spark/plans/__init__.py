@@ -20,13 +20,13 @@ from . import profiling  # noqa: E402,F401
 # registry entries per round (each recorded round sampled exactly 50 in
 # registration order). Rotate queries with the stalest (or missing)
 # driver evidence to the front so every query accumulates a fresh
-# driver row within a few rounds. Round-8 final front (from
-# tools/rotate_front.py; only hash-green rows count as evidence):
-# the 50 driver-sampled slots are all queries with NO driver row yet
-# (late round-7 registrations + the round-8 additions); four
-# never-sampled names (q_volatility_estimators, q_volume_imbalance,
-# q_vwap, q_williams_mfi) did not fit and lead the round-9 rotation
-# with the r05/r06 tail.
+# driver row within a few rounds. Round-8 continuation front (from
+# tools/rotate_front.py; only hash-green rows count as evidence): all
+# 50 slots are never-driver-sampled queries (late round-7
+# registrations + every round-8 addition, including this session's
+# indicator/profiling/text/OLAP tiers). 20 further never-sampled
+# names (q_risk_report .. q_williams_mfi alphabetically) did not fit
+# and lead the round-9 rotation ahead of the r05/r06 stale tail.
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
 # expose the same full set.
 _SWEEP_FRONT = [
@@ -37,12 +37,17 @@ _SWEEP_FRONT = [
     "q_autocorr",
     "q_benford",
     "q_beta_daily",
+    "q_bigram_logprob",
     "q_bloom_decontaminate",
     "q_bm25",
     "q_bollinger",
+    "q_candlestick",
     "q_capped_growth",
     "q_cci",
     "q_char_entropy",
+    "q_chi2_mix",
+    "q_cmf_adl",
+    "q_column_profile",
     "q_customer_deciles",
     "q_donchian",
     "q_drawdown",
@@ -51,11 +56,14 @@ _SWEEP_FRONT = [
     "q_forecast_eval",
     "q_fuzzy_match",
     "q_gapfill_daily",
+    "q_gini_pareto",
+    "q_group_mode",
     "q_heavy_hitters",
     "q_ichimoku",
     "q_intraday_profile",
     "q_keltner",
     "q_kll_quantile_merge",
+    "q_ks_drift",
     "q_last_touch",
     "q_lead_lag",
     "q_macd",
@@ -63,24 +71,16 @@ _SWEEP_FRONT = [
     "q_market_basket",
     "q_ngram_containment",
     "q_obv",
+    "q_order_backlog",
     "q_pagerank",
     "q_pivot_points",
     "q_portfolio_return",
     "q_pq_ann",
     "q_pq_codes",
+    "q_psi_drift",
+    "q_readability",
     "q_resample_weekly",
-    "q_risk_report",
-    "q_rolling_distinct",
-    "q_rsi",
-    "q_scd2_history",
-    "q_seasonal_anomalies",
-    "q_seasonal_decompose",
-    "q_sharpe",
-    "q_sketch_reaggregation",
-    "q_stochastic",
-    "q_triangles",
-    "q_twap",
-    "q_var_cvar",
+    "q_rfm",
 ]
 
 

@@ -3252,3 +3252,186 @@ def q_candlestick(spark, sf_dir):
         F.col("doji") + F.col("hammer") + F.col("bull_engulf") + F.col("bear_engulf")
         > 0
     ).orderBy("ticker", "day")
+
+
+@register(
+    "q_cusum",
+    _DAILYBARS_CTE
+    + """
+    , stats AS (
+        SELECT ticker,
+               sum(CAST(close AS DECIMAL(28,6))) AS sx,
+               sum(CAST(close * close AS DECIMAL(38,8))) AS sx2,
+               count(close) AS n
+        FROM dailybars GROUP BY ticker
+    ), tgt AS (
+        SELECT ticker,
+               CAST(sx AS DOUBLE) / n AS mu,
+               CASE WHEN n > 1 THEN
+                   sqrt(greatest((CAST(sx2 AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                                 / (n - 1), 0.0))
+               END AS sigma
+        FROM stats
+    ), y AS (
+        SELECT d.ticker, d.day, t.sigma,
+               CAST(d.close - t.mu - 0.5::DOUBLE * t.sigma
+                    AS DECIMAL(28,10)) AS yu,
+               CAST(t.mu - 0.5::DOUBLE * t.sigma - d.close
+                    AS DECIMAL(28,10)) AS yd
+        FROM dailybars d JOIN tgt t USING (ticker)
+    ), p AS (
+        SELECT ticker, day, sigma,
+               sum(yu) OVER run AS pu,
+               sum(yd) OVER run AS pd
+        FROM y
+        WINDOW run AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+        SELECT ticker, day, sigma,
+               CAST(pu - least(CAST(0 AS DECIMAL(38,10)), min(pu) OVER run)
+                    AS DOUBLE) AS cusum_up,
+               CAST(pd - least(CAST(0 AS DECIMAL(38,10)), min(pd) OVER run)
+                    AS DOUBLE) AS cusum_dn
+        FROM p
+        WINDOW run AS (PARTITION BY ticker ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           floor(cusum_up * 1000000 + 0.5) / 1000000 AS cusum_up,
+           floor(cusum_dn * 1000000 + 0.5) / 1000000 AS cusum_dn,
+           CAST(cusum_up > 4.0::DOUBLE * sigma AS INT) AS alarm_up,
+           CAST(cusum_dn > 4.0::DOUBLE * sigma AS INT) AS alarm_dn
+    FROM s ORDER BY ticker, day
+    """,
+    doc="Two-sided tabular CUSUM control chart per ticker over daily "
+    "closes (self-calibrated: μ/σ are the key's own DECIMAL-exact "
+    "moments, slack k = 0.5σ, alarm h = 4σ). The max(0, ·) recursion is "
+    "lowered to its EXACT closed form S_t = P_t − min(0, min_{i≤t} "
+    "P_i) — a running sum plus a running min of it, two stacked "
+    "WindowExecs on ONE (ticker, day) shuffle+sort; no per-row Python, "
+    "no halo blocks, nothing sequential. Deviations are DECIMAL-"
+    "quantized before the prefix sums so both windows are exact; the "
+    "only float steps are the final subtraction and the σ expressions. "
+    "operators/changepoint.py; streaming twin cusum_per_key_stateful "
+    "keeps (P, min P) — O(1) state — and matches bit for bit.",
+)
+def q_cusum(spark, sf_dir):
+    from ..operators.changepoint import with_cusum
+
+    out = with_cusum(
+        _daily_bars(spark, sf_dir), k_sigma=0.5, h_sigma=4.0
+    )
+    return out.select(
+        "ticker",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("cusum_up"), 6).alias("cusum_up"),
+        stable_round(F.col("cusum_dn"), 6).alias("cusum_dn"),
+        "alarm_up",
+        "alarm_dn",
+    ).orderBy("ticker", "day")
+
+
+@register(
+    "q_pairs_spread",
+    _BARS_CTE
+    + """
+    , daily AS (
+        SELECT ticker, date_trunc('day', ts) AS d,
+               sum(CAST(price AS DECIMAL(18,4))) AS v
+        FROM bars GROUP BY ticker, date_trunc('day', ts)
+    ), spread AS (
+        SELECT a.ticker AS ticker_a, b.ticker AS ticker_b, a.d,
+               CAST(ln(CAST(a.v AS DOUBLE) / CAST(b.v AS DOUBLE))
+                    AS DECIMAL(28,12)) AS s
+        FROM daily a JOIN daily b ON a.d = b.d AND a.ticker < b.ticker
+    ), runs AS (
+        SELECT ticker_a, ticker_b, d, s,
+               sum(s) OVER run AS ss,
+               sum(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        AS DECIMAL(38,12))) OVER run AS ss2,
+               count(s) OVER run AS c
+        FROM spread
+        WINDOW run AS (PARTITION BY ticker_a, ticker_b ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), fin AS (
+        SELECT ticker_a, ticker_b, d, s,
+               CAST(ss - coalesce(lag(ss, 10) OVER w, 0) AS DOUBLE) AS s_n,
+               CAST(ss2 - coalesce(lag(ss2, 10) OVER w, 0) AS DOUBLE) AS s2_n,
+               c - coalesce(lag(c, 10) OVER w, 0) AS c_n
+        FROM runs
+        WINDOW w AS (PARTITION BY ticker_a, ticker_b ORDER BY d)
+    )
+    SELECT ticker_a, ticker_b, strftime(d, '%Y-%m-%d') AS day,
+           floor(CAST(s AS DOUBLE) * 1000000 + 0.5) / 1000000 AS spread,
+           CASE WHEN c_n >= 10
+                     AND (s2_n - s_n * s_n / c_n) / (c_n - 1) > 0
+                THEN floor((CAST(s AS DOUBLE) - s_n / c_n)
+                           / sqrt((s2_n - s_n * s_n / c_n) / (c_n - 1))
+                           * 1000000 + 0.5) / 1000000
+           END AS zscore
+    FROM fin ORDER BY ticker_a, ticker_b, day
+    """,
+    doc="Pairs-trading spread monitor: for every ticker pair, the "
+    "log-ratio of daily dollar values and its 10-day rolling z-score "
+    "(the mean-reversion entry/exit signal). The spread is DECIMAL-"
+    "quantized at source so the rolling first/second moments ride the "
+    "exact running-sum-difference lowering (one (pair, day) "
+    "shuffle+sort for everything); z is emitted only when the window "
+    "holds 10 full observations with positive variance. Pair fan-out "
+    "is |tickers|² on the DAILY aggregate (K²·days rows, K = distinct "
+    "tickers — tiny), never on raw ticks.",
+)
+def q_pairs_spread(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    daily = bars.groupBy(
+        "ticker", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.col("price").cast("decimal(18,4)")).alias("v"))
+    a = daily.select(F.col("ticker").alias("ticker_a"), "d", F.col("v").alias("va"))
+    b = daily.select(F.col("ticker").alias("ticker_b"), "d", F.col("v").alias("vb"))
+    spread = (
+        a.join(b, "d")
+        .where(F.col("ticker_a") < F.col("ticker_b"))
+        .select(
+            "ticker_a",
+            "ticker_b",
+            "d",
+            F.log(F.col("va").cast("double") / F.col("vb").cast("double"))
+            .cast("decimal(28,12)")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("ticker_a", "ticker_b").orderBy("d")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = spread.select(
+        "ticker_a",
+        "ticker_b",
+        "d",
+        "s",
+        F.sum("s").over(run).alias("ss"),
+        F.sum(
+            (F.col("s").cast("double") * F.col("s").cast("double")).cast(
+                "decimal(38,12)"
+            )
+        )
+        .over(run)
+        .alias("ss2"),
+        F.count("s").over(run).alias("c"),
+    )
+    s_n = (F.col("ss") - F.coalesce(F.lag("ss", 10).over(w), F.lit(0))).cast("double")
+    s2_n = (F.col("ss2") - F.coalesce(F.lag("ss2", 10).over(w), F.lit(0))).cast(
+        "double"
+    )
+    c_n = F.col("c") - F.coalesce(F.lag("c", 10).over(w), F.lit(0))
+    var = (s2_n - s_n * s_n / c_n) / (c_n - 1)
+    z = F.when(
+        (c_n >= 10) & (var > 0),
+        (F.col("s").cast("double") - s_n / c_n) / F.sqrt(var),
+    )
+    return runs.select(
+        "ticker_a",
+        "ticker_b",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        stable_round(F.col("s").cast("double"), 6).alias("spread"),
+        stable_round(z, 6).alias("zscore"),
+    ).orderBy("ticker_a", "ticker_b", "day")

@@ -817,3 +817,93 @@ def scd2_stateful(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("last_seq", LongType()),
+        StructField("p_up", DoubleType()),
+        StructField("min_up", DoubleType()),
+        StructField("p_dn", DoubleType()),
+        StructField("min_dn", DoubleType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("value", DoubleType()),
+        StructField("cusum_up", DoubleType()),
+        StructField("cusum_dn", DoubleType()),
+        StructField("alarm_up", LongType()),
+        StructField("alarm_dn", LongType()),
+    ]
+)
+
+
+def cusum_per_key_stateful(
+    stream: DataFrame,
+    targets: dict[str, tuple[float, float]],
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+    key_col: str = "key",
+) -> DataFrame:
+    """Streaming twin of ``operators.changepoint.with_cusum`` with the
+    calibration FROZEN (``targets`` maps key → (μ, σ) from the batch
+    pass — the control-chart deployment shape: calibrate offline,
+    monitor online). State per key is the closed form's two scalars per
+    side, (P, min P) — O(1) per key whatever the stream length; the
+    recursion S_t = max(0, S_{t-1} + y_t) is never replayed. Keys
+    absent from ``targets`` pass through with null scores (an uncharted
+    series can't alarm — surface it via the drift monitor instead)."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        last_seq, p_up, min_up, p_dn, min_dn = (
+            state.get if state.exists else (-1, 0.0, 0.0, 0.0, 0.0)
+        )
+        tgt = targets.get(key[0])
+        parts = [p for p in pdfs if not p.empty]
+        if not parts:
+            return
+        # the twins' shared replay discipline: drop rows at or before
+        # the last processed seq, collapse in-batch duplicates
+        pdf = pd.concat(parts).sort_values("seq", kind="mergesort")
+        pdf = pdf[pdf["seq"] > last_seq].drop_duplicates(
+            subset=["seq"], keep="first"
+        )
+        rows = []
+        for seq, value in zip(pdf["seq"], pdf["value"]):
+            if tgt is None:
+                rows.append((key[0], int(seq), float(value),
+                             None, None, None, None))
+                continue
+            mu, sigma = tgt
+            k = k_sigma * sigma
+            h = h_sigma * sigma
+            p_up += float(value) - mu - k
+            p_dn += mu - k - float(value)
+            min_up = min(min_up, p_up)
+            min_dn = min(min_dn, p_dn)
+            cu = p_up - min(0.0, min_up)
+            cd = p_dn - min(0.0, min_dn)
+            rows.append((key[0], int(seq), float(value), cu, cd,
+                         int(cu > h), int(cd > h)))
+        if not rows:
+            return
+        state.update((int(pdf["seq"].iloc[-1]), p_up, min_up, p_dn, min_dn))
+        yield pd.DataFrame(
+            rows,
+            columns=["key", "seq", "value", "cusum_up", "cusum_dn",
+                     "alarm_up", "alarm_dn"],
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -54,6 +54,10 @@ HEADLINE = [
     "q_pq_codes",          # bounded codebook collect + map-only encode
     "q_scd2_history",      # one-shuffle change-flag version build
     "q_embedding_covariance",  # numpy Gram partials, d^2-bounded rows
+    "q_psi_drift",         # one-scan two-period histogram, O(groups) out
+    "q_bigram_logprob",    # Zipf-small conditional-count joins
+    "q_supplier_overlap",  # df-capped inverted-index pair generation
+    "q_order_backlog",     # sweep-line: window input is the calendar
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

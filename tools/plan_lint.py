@@ -118,6 +118,15 @@ ALLOW: dict[str, dict[str, str]] = {
         "per session — bounded by the calendar, not the data; the corpus-"
         "sized work is already reduced by then)",
     },
+    "q_bigram_logprob": {
+        "NLJ": "1-row second-token vocab-size aggregate broadcast (smoothing denominator)",
+    },
+    "q_chi2_mix": {
+        "NLJ": "1-row column-totals aggregate broadcast (expected-cell denominators)",
+    },
+    "q_rfm": {
+        "NLJ": "1-row corpus max(o_orderdate) anchor broadcast (recency origin)",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
