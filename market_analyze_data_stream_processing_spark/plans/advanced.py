@@ -2639,3 +2639,82 @@ def q_rfm(spark, sf_dir):
         "m",
         seg.alias("segment"),
     ).orderBy("custkey")
+
+
+@register(
+    "q_snapshot_diff",
+    """
+    WITH a AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(o_totalprice AS DECIMAL(28,2))) AS spend_a,
+               count(*) AS n_a
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+    ), b AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(o_totalprice AS DECIMAL(28,2))) AS spend_b,
+               count(*) AS n_b
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+    ), d AS (
+        SELECT coalesce(a.custkey, b.custkey) AS custkey,
+               CASE WHEN a.custkey IS NULL THEN 'added'
+                    WHEN b.custkey IS NULL THEN 'removed'
+                    WHEN a.spend_a = b.spend_b THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               coalesce(a.spend_a, 0) AS spend_a,
+               coalesce(b.spend_b, 0) AS spend_b
+        FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+    )
+    SELECT status,
+           count(*) AS n_customers,
+           floor(CAST(sum(spend_a) AS DOUBLE) * 100 + 0.5) / 100 AS total_a,
+           floor(CAST(sum(spend_b) AS DOUBLE) * 100 + 0.5) / 100 AS total_b
+    FROM d GROUP BY status ORDER BY status
+    """,
+    doc="Snapshot reconciliation (the delta-detection audit every "
+    "warehouse sync runs): per-customer spend aggregated in two "
+    "periods, FULL OUTER joined on the key, each key classified "
+    "added / removed / changed / unchanged, then rolled up per class "
+    "with DECIMAL-exact totals. The full-outer join runs on the two "
+    "POST-aggregation O(customers) frames — never fact-to-fact — so "
+    "the reconciliation costs two scans + one key-partitioned "
+    "shuffle at any scale. Spend equality is tested on exact "
+    "DECIMALs, so 'unchanged' can't flip on float noise.",
+)
+def q_snapshot_diff(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+    def half(pred, tag):
+        return (
+            orders.where(pred)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias(
+                    f"spend_{tag}"
+                ),
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+            )
+        )
+
+    a = half(F.col("o_orderdate") < cut, "a")
+    b = half(F.col("o_orderdate") >= cut, "b")
+    d = a.join(b, a.custkey == b.custkey, "full_outer").select(
+        F.when(a.custkey.isNull(), "added")
+        .when(b.custkey.isNull(), "removed")
+        .when(F.col("spend_a") == F.col("spend_b"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+        F.coalesce(F.col("spend_a"), F.lit(0).cast("decimal(28,2)")).alias("sa"),
+        F.coalesce(F.col("spend_b"), F.lit(0).cast("decimal(28,2)")).alias("sb"),
+    )
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            stable_round(F.sum("sa").cast("double"), 2).alias("total_a"),
+            stable_round(F.sum("sb").cast("double"), 2).alias("total_b"),
+        )
+        .orderBy("status")
+    )

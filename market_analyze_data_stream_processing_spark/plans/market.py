@@ -3435,3 +3435,81 @@ def q_pairs_spread(spark, sf_dir):
         stable_round(F.col("s").cast("double"), 6).alias("spread"),
         stable_round(z, 6).alias("zscore"),
     ).orderBy("ticker_a", "ticker_b", "day")
+
+
+@register(
+    "q_theil_sen",
+    _DAILYBARS_CTE
+    + """
+    , pairs AS (
+        SELECT a.ticker,
+               (b.close - a.close)
+                   / date_diff('day', a.day, b.day) AS slope,
+               a.day AS d_i, b.day AS d_j
+        FROM dailybars a
+        JOIN dailybars b ON a.ticker = b.ticker AND a.day < b.day
+    ), ranked AS (
+        SELECT ticker, slope,
+               row_number() OVER (PARTITION BY ticker
+                                  ORDER BY slope, d_i, d_j) AS rn,
+               count(*) OVER (PARTITION BY ticker) AS n
+        FROM pairs
+    )
+    SELECT ticker,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           floor(max(CASE WHEN rn = (max_n + 1) // 2 THEN slope END)
+                 * 1000000 + 0.5) / 1000000 AS slope
+    FROM (SELECT *, max(n) OVER (PARTITION BY ticker) AS max_n FROM ranked)
+    GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Theil–Sen robust trend estimator per ticker: the LOWER MEDIAN "
+    "of all pairwise daily-close slopes (c_j−c_i)/(d_j−d_i), i<j — "
+    "outlier-resistant where OLS is not. The median is rank-based "
+    "(row_number under a fully tiebroken (slope, d_i, d_j) order, pick "
+    "rank ⌊(n+1)/2⌋) — no interpolation, so the answer is a DATA VALUE "
+    "and engine-exact by construction. Pair fan-out is O(days²) per "
+    "key on the DAILY aggregate (435 pairs per 30-day key) — at longer "
+    "histories the standard fix is pair sampling or the "
+    "Siegel-repeated-median per-anchor variant, both the same join "
+    "shape with a rank prune.",
+)
+def q_theil_sen(spark, sf_dir):
+    d = _daily_bars(spark, sf_dir).select("ticker", "day", "close")
+    a = d.select("ticker", F.col("day").alias("d_i"), F.col("close").alias("c_i"))
+    b = d.select(
+        F.col("ticker").alias("t2"),
+        F.col("day").alias("d_j"),
+        F.col("close").alias("c_j"),
+    )
+    pairs = a.join(
+        b, (a.ticker == b.t2) & (a.d_i < b.d_j)
+    ).select(
+        "ticker",
+        ((F.col("c_j") - F.col("c_i")) / F.datediff("d_j", "d_i")).alias("slope"),
+        "d_i",
+        "d_j",
+    )
+    w = Window.partitionBy("ticker").orderBy("slope", "d_i", "d_j")
+    seg = Window.partitionBy("ticker")
+    ranked = pairs.select(
+        "ticker",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(seg).alias("n"),
+    ).withColumn("max_n", F.max("n").over(seg))
+    return (
+        ranked.groupBy("ticker")
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            stable_round(
+                F.max(
+                    F.when(
+                        F.col("rn") == F.floor((F.col("max_n") + 1) / 2),
+                        F.col("slope"),
+                    )
+                ),
+                6,
+            ).alias("slope"),
+        )
+        .orderBy("ticker")
+    )

@@ -1650,3 +1650,55 @@ def q_readability(spark, sf_dir):
         "n_syllables",
         F.when(F.col("n_words") > 0, stable_round(fre, 4)).alias("fre"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_weighted_sample",
+    r"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               list_sum(list_transform(generate_series(1, 8),
+                   i -> (strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), i, 1))
+                         - 1)
+                        * CAST(16 ** (8 - i) AS BIGINT))) AS u_int
+        FROM documents WHERE n_chars > 0
+    ), scored AS (
+        SELECT doc_id, n_chars,
+               floor(ln((u_int + 1) / 4294967296.0) / n_chars
+                     * 1000000000000 + 0.5) / 1000000000000 AS priority
+        FROM keyed
+    )
+    SELECT doc_id, n_chars, priority
+    FROM scored
+    ORDER BY priority DESC, doc_id
+    LIMIT 25
+    """,
+    doc="Deterministic WEIGHTED sampling without replacement "
+    "(Efraimidis–Spirakis A-ES): each doc draws u ∈ (0,1] from "
+    "md5(doc_id) (no RNG — replays and retries pick identical members, "
+    "the q_hash_split discipline) and scores priority = ln(u)/weight "
+    "with weight = n_chars; the global top-k by priority IS a weighted "
+    "sample without replacement. Longer docs are proportionally "
+    "likelier — the importance-sampling primitive for token-budgeted "
+    "corpus draws. Map-only scoring + TakeOrderedAndProject top-k "
+    "(per-partition heaps, no global sort); priorities are rounded "
+    "BEFORE the ordering so boundary ties break identically by doc_id "
+    "on any engine. The u integer is the md5 prefix's VALUE, so Spark "
+    "derives it with conv(hex) while the oracle folds digits — "
+    "different mechanisms, identical integer.",
+)
+def q_weighted_sample(spark, sf_dir):
+    from ..functions.scalars import stable_round
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u_int = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (u_int + 1) / F.lit(4294967296.0)
+    priority = stable_round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        d.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(25)
+    )
