@@ -3513,3 +3513,86 @@ def q_theil_sen(spark, sf_dir):
         )
         .orderBy("ticker")
     )
+
+
+@register(
+    "q_multi_rollup",
+    _VBARS_CTE
+    + f"""
+    , g AS (
+        SELECT ticker, ts, price, vol,
+               date_trunc('day', ts)   AS day,
+               date_trunc('week', ts)  AS week,
+               date_trunc('month', ts) AS month,
+               {_ORDKEY.replace("event_id", "seq")} AS ok
+        FROM vbars
+    ), rolled AS (
+        SELECT ticker, day, week, month,
+               max(price) AS high, min(price) AS low,
+               arg_max(price, ok) AS close,
+               CAST(sum(vol) AS BIGINT) AS vol,
+               count(*) AS n_ticks
+        FROM g
+        GROUP BY GROUPING SETS ((ticker, day), (ticker, week),
+                                (ticker, month))
+    )
+    SELECT ticker,
+           CASE WHEN day IS NOT NULL THEN 'day'
+                WHEN week IS NOT NULL THEN 'week'
+                ELSE 'month' END AS grain,
+           strftime(coalesce(day, week, month), '%Y-%m-%d') AS period,
+           high, low, close, vol, n_ticks
+    FROM rolled
+    ORDER BY ticker, grain, period
+    """,
+    doc="Hypertable-style multi-resolution continuous aggregate: "
+    "day/week/month OHLC+volume candles for every ticker in ONE scan — "
+    "GROUPING SETS expands to a single Expand+HashAggregate, so three "
+    "granularities cost one fact-table pass instead of three (the "
+    "TimescaleDB continuous-aggregate / materialized-rollup shape). "
+    "Close is tie-robust max_by over the (ts, seq) order key; volume "
+    "stays in LONG. Uses the native DataFrame groupingSets API "
+    "(Spark 4).",
+)
+def q_multi_rollup(spark, sf_dir):
+    v = _vbars(spark, sf_dir)
+    order = F.struct(F.col("ts"), F.col("seq"))
+    g = v.select(
+        "ticker",
+        "price",
+        "vol",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("month", "ts").alias("month"),
+        order.alias("ok"),
+    )
+    rolled = g.groupingSets(
+        [["ticker", "day"], ["ticker", "week"], ["ticker", "month"]],
+        "ticker",
+        "day",
+        "week",
+        "month",
+    ).agg(
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.max_by("price", F.col("ok")).alias("close"),
+        F.sum("vol").cast("long").alias("vol"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    grain = (
+        F.when(F.col("day").isNotNull(), "day")
+        .when(F.col("week").isNotNull(), "week")
+        .otherwise("month")
+    )
+    return rolled.select(
+        "ticker",
+        grain.alias("grain"),
+        F.date_format(F.coalesce("day", "week", "month"), "yyyy-MM-dd").alias(
+            "period"
+        ),
+        "high",
+        "low",
+        "close",
+        "vol",
+        "n_ticks",
+    ).orderBy("ticker", "grain", "period")
