@@ -2718,3 +2718,52 @@ def q_snapshot_diff(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+@register(
+    "q_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ), counts AS (
+        SELECT event_type AS from_state, next_type AS to_state,
+               count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           floor(n / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS p
+    FROM counts ORDER BY from_state, to_state
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next | current) from one lead() window ordered by "
+    "(ts, event_id) and one hash aggregate — the sequence-mining "
+    "primitive behind next-action prediction and journey analysis. "
+    "Row-normalization runs on the K×K counts grid (a window over "
+    "O(states²) rows, not events). Counts are exact LONGs; each "
+    "probability is one double division rounded on both sides.",
+)
+def q_markov_transitions(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    counts = seq.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        stable_round(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias(
+            "p"
+        ),
+    ).orderBy("from_state", "to_state")

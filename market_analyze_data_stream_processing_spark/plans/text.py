@@ -1702,3 +1702,62 @@ def q_weighted_sample(spark, sf_dir):
         .orderBy(F.desc("priority"), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "q_boolean_search",
+    r"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, count(*) AS n_matched
+        FROM toks WHERE tok IN ('spark', 'join', 'window')
+        GROUP BY doc_id
+        HAVING count(*) = 3
+    ), tf AS (
+        SELECT doc_id, count(*) AS total_tf
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        )
+        WHERE tok IN ('spark', 'join', 'window')
+        GROUP BY doc_id
+    )
+    SELECT h.doc_id, CAST(t.total_tf AS BIGINT) AS total_tf
+    FROM hits h JOIN tf t ON t.doc_id = h.doc_id
+    ORDER BY h.doc_id
+    """,
+    doc="Conjunctive boolean retrieval (AND of all query terms): the "
+    "postings-intersection primitive under every keyword filter. The "
+    "intersection is COUNT-MATCHED — distinct (doc, term) hits per doc "
+    "must equal |query| — which is one filtered aggregate instead of "
+    "|query|−1 self-joins; a term-frequency tally over the same scan "
+    "gives the relevance hint. The term filter prunes the exploded "
+    "postings BEFORE any shuffle, so cost tracks matching postings, "
+    "not corpus tokens. Complements q_bm25 (ranked) with the exact "
+    "boolean leg of hybrid retrieval.",
+)
+def q_boolean_search(spark, sf_dir):
+    import market_analyze_data_stream_processing_spark.functions.text as T
+
+    terms = ["spark", "join", "window"]
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    ).where(F.col("tok").isin(terms))
+    hits = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .where(F.col("n_matched") == len(terms))
+    )
+    tf = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total_tf"))
+    return (
+        hits.join(tf, "doc_id")
+        .select("doc_id", F.col("total_tf").cast("long").alias("total_tf"))
+        .orderBy("doc_id")
+    )
