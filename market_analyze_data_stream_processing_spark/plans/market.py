@@ -3850,3 +3850,129 @@ def q_hurst(spark, sf_dir):
         )
         .orderBy("ticker")
     )
+
+
+@register(
+    "q_spearman",
+    _BARS_CTE
+    + """
+    , daily AS (
+        SELECT ticker, date_trunc('day', ts) AS d,
+               sum(CAST(price AS DECIMAL(18,4))) AS v
+        FROM bars GROUP BY ticker, date_trunc('day', ts)
+    ), pairs AS (
+        SELECT a.ticker AS ticker_a, b.ticker AS ticker_b, a.d,
+               a.v AS va, b.v AS vb
+        FROM daily a JOIN daily b ON a.d = b.d AND a.ticker < b.ticker
+    ), ranked AS (
+        SELECT ticker_a, ticker_b,
+               row_number() OVER (PARTITION BY ticker_a, ticker_b
+                                  ORDER BY va, d) AS ra,
+               row_number() OVER (PARTITION BY ticker_a, ticker_b
+                                  ORDER BY vb, d) AS rb
+        FROM pairs
+    )
+    SELECT ticker_a, ticker_b,
+           CAST(count(*) AS BIGINT) AS n,
+           floor((count(*) * CAST(sum(ra * rb) AS DOUBLE)
+                  - CAST(sum(ra) AS DOUBLE) * CAST(sum(rb) AS DOUBLE))
+                 / (count(*) * CAST(sum(ra * ra) AS DOUBLE)
+                    - CAST(sum(ra) AS DOUBLE) * CAST(sum(ra) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS spearman
+    FROM ranked GROUP BY ticker_a, ticker_b
+    HAVING count(*) > 1
+    ORDER BY ticker_a, ticker_b
+    """,
+    doc="Spearman rank correlation per ticker pair over daily dollar "
+    "values — the monotone-association complement to the Pearson "
+    "q_series_correlation (robust to outliers and nonlinearity). Ranks "
+    "come from row_number under a fully tiebroken (value, day) order, "
+    "so EVERY moment (Σr, Σr², Σr_a·r_b) is INTEGER arithmetic — the "
+    "whole statistic is exact with zero decimal casts, the strongest "
+    "possible cross-engine reproducibility. (With distinct ranks "
+    "Σra² = Σrb², so the symmetric denominator reduces to the variance "
+    "of either.) Pair fan-out on the daily aggregate, never ticks; two "
+    "rank windows + one hash aggregate.",
+)
+def q_spearman(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    daily = bars.groupBy(
+        "ticker", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.col("price").cast("decimal(18,4)")).alias("v"))
+    a = daily.select(F.col("ticker").alias("ticker_a"), "d", F.col("v").alias("va"))
+    b = daily.select(
+        F.col("ticker").alias("ticker_b"),
+        F.col("d").alias("d2"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(
+        b, (F.col("d") == F.col("d2")) & (F.col("ticker_a") < F.col("ticker_b"))
+    ).select("ticker_a", "ticker_b", "d", "va", "vb")
+    pw = Window.partitionBy("ticker_a", "ticker_b")
+    ranked = pairs.select(
+        "ticker_a",
+        "ticker_b",
+        F.row_number().over(pw.orderBy("va", "d")).alias("ra"),
+        F.row_number().over(pw.orderBy("vb", "d")).alias("rb"),
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("ra") * F.col("rb")).cast("double") - F.sum(
+        "ra"
+    ).cast("double") * F.sum("rb").cast("double")
+    den = n * F.sum(F.col("ra") * F.col("ra")).cast("double") - F.sum(
+        "ra"
+    ).cast("double") * F.sum("ra").cast("double")
+    return (
+        ranked.groupBy("ticker_a", "ticker_b")
+        .agg(
+            n.cast("long").alias("n"),
+            stable_round(num / den, 6).alias("spearman"),
+        )
+        .where(F.col("n") > 1)
+        .orderBy("ticker_a", "ticker_b")
+    )
+
+
+@register(
+    "q_volume_profile",
+    _VBARS_CTE
+    + """
+    , hist AS (
+        SELECT ticker,
+               CAST(floor(price / 20.0) AS INT) AS bucket,
+               CAST(sum(vol) AS BIGINT) AS v
+        FROM vbars GROUP BY 1, 2
+    )
+    SELECT ticker, bucket, v,
+           floor(v / CAST(sum(v) OVER (PARTITION BY ticker) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS share,
+           CAST(row_number() OVER (PARTITION BY ticker
+                                   ORDER BY v DESC, bucket) = 1 AS INT)
+               AS is_poc
+    FROM hist ORDER BY ticker, bucket
+    """,
+    doc="Volume profile (market profile): per ticker, traded volume "
+    "histogrammed into fixed price buckets with each bucket's share "
+    "and the POINT OF CONTROL (highest-volume bucket, bucket-id "
+    "tiebreak) flagged — where positions concentrate, the "
+    "support/resistance primitive. One hash aggregate reduces ticks "
+    "to the O(tickers × buckets) grid; the share/POC windows run on "
+    "that grid, never on ticks. Volume stays in LONG end to end.",
+)
+def q_volume_profile(spark, sf_dir):
+    v = _vbars(spark, sf_dir)
+    hist = v.groupBy(
+        "ticker",
+        F.floor(F.col("price") / F.lit(20.0)).cast("int").alias("bucket"),
+    ).agg(F.sum("vol").cast("long").alias("v"))
+    seg = Window.partitionBy("ticker")
+    poc = Window.partitionBy("ticker").orderBy(F.desc("v"), "bucket")
+    return hist.select(
+        "ticker",
+        "bucket",
+        "v",
+        stable_round(F.col("v") / F.sum("v").over(seg).cast("double"), 6).alias(
+            "share"
+        ),
+        (F.row_number().over(poc) == 1).cast("int").alias("is_poc"),
+    ).orderBy("ticker", "bucket")
