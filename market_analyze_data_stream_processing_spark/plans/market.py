@@ -3976,3 +3976,112 @@ def q_volume_profile(spark, sf_dir):
         ),
         (F.row_number().over(poc) == 1).cast("int").alias("is_poc"),
     ).orderBy("ticker", "bucket")
+
+
+@register(
+    "q_cross_momentum",
+    _DAILYBARS_CTE
+    + """
+    , r AS (
+        SELECT ticker, day, close,
+               close / lag(close, 5) OVER w - 1.0 AS r5,
+               lead(close) OVER w / close - 1.0 AS r1_next
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), ranked AS (
+        SELECT day, ticker, r5, r1_next,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY r5 DESC, ticker) AS rk,
+               count(*) OVER (PARTITION BY day) AS k
+        FROM r WHERE r5 IS NOT NULL AND r1_next IS NOT NULL
+    ), legs AS (
+        SELECT day,
+               sum(CASE WHEN rk <= 2
+                        THEN CAST(r1_next AS DECIMAL(28,12)) END) AS s_long,
+               sum(CASE WHEN rk > k - 2
+                        THEN CAST(r1_next AS DECIMAL(28,12)) END) AS s_short,
+               sum(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS n_long,
+               sum(CASE WHEN rk > k - 2 THEN 1 ELSE 0 END) AS n_short,
+               max(k) AS k
+        FROM ranked GROUP BY day
+    ), daily_ls AS (
+        SELECT day, n_long, n_short,
+               CAST(s_long AS DOUBLE) / n_long
+                   - CAST(s_short AS DOUBLE) / n_short AS ls
+        FROM legs WHERE k >= 4 AND n_long = 2 AND n_short = 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_long AS BIGINT) AS n_long,
+           CAST(n_short AS BIGINT) AS n_short,
+           floor(ls * 1000000 + 0.5) / 1000000 AS ls_return,
+           floor(exp(CAST(sum(CAST(CASE WHEN ls > -1.0 THEN ln(1.0 + ls)
+                                        ELSE 0.0 END AS DECIMAL(28,12)))
+                          OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS growth
+    FROM daily_ls ORDER BY day
+    """,
+    doc="Cross-sectional momentum factor backtest (winner−loser "
+    "portfolio): each day, rank tickers by trailing 5-day return "
+    "(ticker tiebreak), go long the top 2 / short the bottom 2, score "
+    "with each leg's NEXT-day return (no look-ahead: the signal uses "
+    "closes through t, the payoff is t→t+1), and compound the "
+    "long-short spread into a growth index via the DECIMAL-quantized "
+    "log1p running sum (order-independent — the q_portfolio_return "
+    "discipline). The per-day rank window runs on the O(tickers) daily "
+    "frame; leg sums are DECIMAL-exact; days without both full legs "
+    "are dropped.",
+)
+def q_cross_momentum(spark, sf_dir):
+    d = _daily_bars(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy("day")
+    r = d.select(
+        "ticker",
+        "day",
+        (F.col("close") / F.lag("close", 5).over(w) - 1.0).alias("r5"),
+        (F.lead("close").over(w) / F.col("close") - 1.0).alias("r1_next"),
+    ).where(F.col("r5").isNotNull() & F.col("r1_next").isNotNull())
+    dw = Window.partitionBy("day")
+    ranked = r.select(
+        "day",
+        "r1_next",
+        F.row_number().over(dw.orderBy(F.desc("r5"), "ticker")).alias("rk"),
+        F.count(F.lit(1)).over(dw).alias("k"),
+    )
+    dec = lambda c: c.cast("decimal(28,12)")
+    legs = ranked.groupBy("day").agg(
+        F.sum(F.when(F.col("rk") <= 2, dec(F.col("r1_next")))).alias("s_long"),
+        F.sum(
+            F.when(F.col("rk") > F.col("k") - 2, dec(F.col("r1_next")))
+        ).alias("s_short"),
+        F.sum(F.when(F.col("rk") <= 2, 1).otherwise(0)).alias("n_long"),
+        F.sum(F.when(F.col("rk") > F.col("k") - 2, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+        F.max("k").alias("k"),
+    )
+    ls = (
+        F.col("s_long").cast("double") / F.col("n_long")
+        - F.col("s_short").cast("double") / F.col("n_short")
+    )
+    daily_ls = legs.where(
+        (F.col("k") >= 4) & (F.col("n_long") == 2) & (F.col("n_short") == 2)
+    ).select("day", "n_long", "n_short", ls.alias("ls"))
+    lr = F.when(F.col("ls") > -1.0, F.log(F.lit(1.0) + F.col("ls"))).otherwise(
+        F.lit(0.0)
+    ).cast("decimal(28,12)")
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_ls.withColumn("__lr", lr)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_long").cast("long").alias("n_long"),
+            F.col("n_short").cast("long").alias("n_short"),
+            stable_round(F.col("ls"), 6).alias("ls_return"),
+            stable_round(
+                F.exp(F.sum("__lr").over(run).cast("double")), 6
+            ).alias("growth"),
+        )
+        .orderBy("day")
+    )
