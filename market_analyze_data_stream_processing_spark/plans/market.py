@@ -4085,3 +4085,87 @@ def q_cross_momentum(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_kyle_lambda",
+    _VBARS_CTE
+    + """
+    , d AS (
+        SELECT ticker, ts, seq, vol,
+               price - lag(price) OVER w AS dp
+        FROM vbars
+        WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq)
+    ), sv AS (
+        SELECT ticker,
+               CAST(dp AS DECIMAL(18,6)) AS dp,
+               CAST(CASE WHEN dp > 0 THEN vol
+                         WHEN dp < 0 THEN -vol ELSE 0 END AS BIGINT) AS q
+        FROM d WHERE dp IS NOT NULL
+    ), m AS (
+        SELECT ticker, count(*) AS n,
+               sum(q) AS sq,
+               sum(dp) AS sdp,
+               sum(q * q) AS sqq,
+               sum(CAST(CAST(dp AS DOUBLE) * q AS DECIMAL(38,10))) AS sdq
+        FROM sv GROUP BY ticker
+    )
+    SELECT ticker, CAST(n AS BIGINT) AS n,
+           floor((n * CAST(sdq AS DOUBLE)
+                  - CAST(sq AS DOUBLE) * CAST(sdp AS DOUBLE))
+                 / (n * CAST(sqq AS DOUBLE)
+                    - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                 * 1000000000 + 0.5) / 1000000000 AS kyle_lambda
+    FROM m WHERE n > 1
+          AND n * CAST(sqq AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) <> 0
+    ORDER BY ticker
+    """,
+    doc="Kyle's lambda (price impact): per ticker, the OLS slope of "
+    "tick price change on tick-rule SIGNED volume — how many price "
+    "units one unit of net order flow moves, the classic liquidity/"
+    "impact estimator beside q_amihud and q_roll_spread. Signed "
+    "volume is exact LONG (so Σq, Σq² are integer-exact); Δp and "
+    "Δp·q are DECIMAL-quantized; the slope is one fixed-order double "
+    "expression per ticker. One window lag + one hash aggregate; "
+    "degenerate no-flow keys (zero signed-volume variance) drop out.",
+)
+def q_kyle_lambda(spark, sf_dir):
+    v = _vbars(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy("ts", "seq")
+    d = v.withColumn("dp", F.col("price") - F.lag("price").over(w)).where(
+        F.col("dp").isNotNull()
+    )
+    q = (
+        F.when(F.col("dp") > 0, F.col("vol"))
+        .when(F.col("dp") < 0, -F.col("vol"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    sv = d.select(
+        "ticker", F.col("dp").cast("decimal(18,6)").alias("dp"), q.alias("q")
+    )
+    m = sv.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("dp").alias("sdp"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum((F.col("dp").cast("double") * F.col("q")).cast("decimal(38,10)")).alias(
+            "sdq"
+        ),
+    )
+    num = F.col("n") * F.col("sdq").cast("double") - F.col("sq").cast(
+        "double"
+    ) * F.col("sdp").cast("double")
+    den = F.col("n") * F.col("sqq").cast("double") - F.col("sq").cast(
+        "double"
+    ) * F.col("sq").cast("double")
+    return (
+        m.where((F.col("n") > 1) & (den != 0))
+        .select(
+            "ticker",
+            F.col("n").cast("long").alias("n"),
+            stable_round(num / den, 9).alias("kyle_lambda"),
+        )
+        .orderBy("ticker")
+    )

@@ -1761,3 +1761,148 @@ def q_boolean_search(spark, sf_dir):
         .select("doc_id", F.col("total_tf").cast("long").alias("total_tf"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_oov_rate",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS cnt,
+                   row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+            FROM toks GROUP BY tok
+        ) WHERE rk <= 30
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_tok,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           floor(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    doc="Tokenizer vocabulary coverage: induce a top-30 frequency "
+    "vocabulary from the corpus itself (deterministic count-then-token "
+    "tiebreak), then score every document's out-of-vocabulary token "
+    "rate against it — the coverage audit run before committing a "
+    "tokenizer or a fixed vocab to a training run. The vocab is "
+    "Zipf-tiny and broadcast; scoring is one left join + one hash "
+    "aggregate over the postings, counts exact LONGs. At 100 TB the "
+    "vocab induction is the only shuffle (map-side combined), and a "
+    "frozen production vocab replaces it with a pure broadcast.",
+)
+def q_oov_rate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    import market_analyze_data_stream_processing_spark.functions.text as T
+    from ..functions.scalars import stable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = Window.orderBy(F.desc("cnt"), "tok")
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= 30)
+        .select(F.col("tok").alias("vtok"))
+    )
+    j = toks.join(
+        F.broadcast(vocab), toks.tok == vocab.vtok, "left"
+    )
+    oov = F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            oov.cast("long").alias("n_oov"),
+            stable_round(oov / F.count(F.lit(1)).cast("double"), 6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_cohen_kappa",
+    r"""
+    WITH gates AS (
+        SELECT doc_id,
+               CAST(n_chars >= 300 AS INT) AS a,
+               CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                            '\s+')))
+                    / CAST(greatest(len(regexp_split_to_array(trim(lower(text)),
+                                                              '\s+')), 1)
+                           AS DOUBLE) >= 0.5 AS INT) AS b
+        FROM documents
+    ), cells AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+               sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+               sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+               sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+        FROM gates
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           floor(((n11 + n00) / CAST(n AS DOUBLE)
+                  - ((n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00)) / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00))
+                          / (CAST(n AS DOUBLE) * n))
+                 * 1000000 + 0.5) / 1000000 AS kappa
+    FROM cells
+    """,
+    doc="Cohen's kappa agreement between two deterministic document "
+    "gates (length ≥ 300 chars vs unique-token ratio ≥ 0.5) — the "
+    "inter-annotator / classifier-agreement statistic every labeling "
+    "and auto-curation pipeline reports: observed agreement corrected "
+    "for chance agreement from the marginals. One scan builds the 2×2 "
+    "contingency cells as exact LONGs; kappa is one fixed-order double "
+    "expression on the single summary row. Swap any two boolean "
+    "columns in — the operator is the contingency + kappa shape.",
+)
+def q_cohen_kappa(spark, sf_dir):
+    import market_analyze_data_stream_processing_spark.functions.text as T
+    from ..functions.scalars import stable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.lower(F.col("text")))
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    gates = d.select(
+        (F.col("n_chars") >= 300).cast("int").alias("a"),
+        (uniq_ratio >= 0.5).cast("int").alias("b"),
+    )
+    cells = gates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias("n00"),
+    )
+    nD = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / nD
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (nD * F.col("n"))
+    return cells.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        stable_round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
