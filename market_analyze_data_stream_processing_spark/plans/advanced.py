@@ -2767,3 +2767,95 @@ def q_markov_transitions(spark, sf_dir):
             "p"
         ),
     ).orderBy("from_state", "to_state")
+
+
+@register(
+    "q_ab_test",
+    """
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'A' ELSE 'B' END AS arm,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), cells AS (
+        SELECT arm, count(*) AS n, sum(converted) AS conv
+        FROM assigned GROUP BY arm
+    ), wide AS (
+        SELECT max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+               max(CASE WHEN arm = 'A' THEN conv END) AS c_a,
+               max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+               max(CASE WHEN arm = 'B' THEN conv END) AS c_b
+        FROM cells
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           floor((c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS lift,
+           CASE WHEN (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b)
+                THEN floor((c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+                     / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                            * (1.0 / n_a + 1.0 / n_b))
+                     * 1000000 + 0.5) / 1000000
+           END AS z_stat
+    FROM wide
+    """,
+    doc="A/B experiment readout: users are hash-assigned to arms "
+    "(md5 prefix — the q_hash_split discipline: no RNG, membership "
+    "stable under replays), conversion = any purchase event, and the "
+    "two-proportion pooled z-statistic tests the lift. User collapse "
+    "and arm cells are exact LONG counts from two hash aggregates; "
+    "lift and z are one fixed-order double expression on the single "
+    "summary row. Degenerate experiments (0%% or 100%% pooled "
+    "conversion — this synthetic corpus converts every user) have "
+    "zero pooled variance, so z is null by the explicit guard rather "
+    "than an ANSI divide-by-zero. The experimentation primitive every "
+    "event pipeline serves.",
+)
+def q_ab_test(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    assigned = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).withColumn("arm", arm)
+    cells = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a").cast("double")
+    p_b = F.col("c_b") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    # degenerate experiments (0% or 100% pooled conversion) have zero
+    # pooled variance — z undefined, emit null (ANSI-total either way)
+    tot_c = F.col("c_a") + F.col("c_b")
+    tot_n = F.col("n_a") + F.col("n_b")
+    z = F.when(
+        (tot_c > 0) & (tot_c < tot_n),
+        (p_a - p_b)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("c_b"),
+        stable_round(p_a - p_b, 6).alias("lift"),
+        stable_round(z, 6).alias("z_stat"),
+    )

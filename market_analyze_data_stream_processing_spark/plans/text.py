@@ -1906,3 +1906,58 @@ def q_cohen_kappa(spark, sf_dir):
         F.col("n00").cast("long").alias("n00"),
         stable_round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+@register(
+    "q_source_diversity",
+    r"""
+    WITH counts AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY 1, 2
+    ), terms AS (
+        SELECT source, n,
+               sum(n) OVER (PARTITION BY source) AS tot,
+               count(*) OVER (PARTITION BY source) AS n_langs,
+               CAST(-(n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE))
+                    * ln(n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE))
+                    AS DECIMAL(28,12)) AS t
+        FROM counts
+    )
+    SELECT source,
+           CAST(max(tot) AS BIGINT) AS n_docs,
+           CAST(max(n_langs) AS BIGINT) AS n_langs,
+           floor(CAST(sum(t) AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS lang_entropy
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    doc="Corpus-mix diversity audit: Shannon entropy of the language "
+    "distribution within each source — the metric a data-mixing stage "
+    "watches so one domain doesn't silently collapse to a single "
+    "language. One hash aggregate to the O(sources × langs) grid; each "
+    "−p·ln p term is DECIMAL-quantized before the per-source sum "
+    "(order-insensitive); a single-language source scores exactly 0.",
+)
+def q_source_diversity(spark, sf_dir):
+    from ..functions.scalars import stable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    p = F.col("n") / F.sum("n").over(w).cast("double")
+    terms = counts.select(
+        "source",
+        F.sum("n").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("n_langs"),
+        (-p * F.log(p)).cast("decimal(28,12)").alias("t"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("tot").cast("long").alias("n_docs"),
+            F.max("n_langs").cast("long").alias("n_langs"),
+            stable_round(F.sum("t").cast("double"), 6).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
