@@ -2859,3 +2859,99 @@ def q_ab_test(spark, sf_dir):
         stable_round(p_a - p_b, 6).alias("lift"),
         stable_round(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "q_embedding_outliers",
+    """
+    WITH ex AS (
+        SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS val
+        FROM embeddings, range(1, 65) AS r(i)
+    ), cent AS (
+        SELECT label, dim,
+               floor(avg(val) * 1000000 + 0.5) / 1000000 AS c
+        FROM ex GROUP BY label, dim
+    ), dist AS (
+        SELECT ex.vec_id, ex.label,
+               CAST(sum(CAST((ex.val - cent.c) * (ex.val - cent.c)
+                             AS DECIMAL(28,12))) AS DOUBLE) AS d2
+        FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+        GROUP BY ex.vec_id, ex.label
+    ), mom AS (
+        SELECT vec_id, label, d2,
+               count(*) OVER w AS n,
+               CAST(sum(CAST(d2 AS DECIMAL(28,10))) OVER w AS DOUBLE) AS s,
+               CAST(sum(CAST(d2 * d2 AS DECIMAL(38,10))) OVER w AS DOUBLE)
+                   AS s2
+        FROM dist
+        WINDOW w AS (PARTITION BY label)
+    )
+    SELECT vec_id, label,
+           floor(d2 * 1000000 + 0.5) / 1000000 AS dist2,
+           CASE WHEN n > 1 AND (s2 - s * s / n) / (n - 1) > 0
+                THEN floor((d2 - s / n)
+                           / sqrt((s2 - s * s / n) / (n - 1))
+                           * 1000000 + 0.5) / 1000000
+           END AS z
+    FROM mom ORDER BY vec_id
+    """,
+    doc="Embedding outlier score: each vector's squared distance to its "
+    "OWN label's centroid, z-scored within the label — the "
+    "mislabeled-sample / corrupt-embedding screen run before training "
+    "on labeled vectors. Centroids are elementwise means quantized to "
+    "6dp BEFORE the distance pass, so the float-averaging step is "
+    "pinned and every downstream term is a fixed-order expression on "
+    "pinned inputs; per-vector Σ(v−c)² and the per-label moment sums "
+    "ride DECIMAL quantization (order-insensitive). Two shuffles "
+    "((label, dim) centroid agg, vec_id distance agg) + one O(vectors) "
+    "window; σ = 0 labels emit null z.",
+)
+def q_embedding_outliers(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        stable_round(F.avg("val"), 6).alias("c")
+    )
+    dist = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                ((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("label")
+    mom = dist.select(
+        "vec_id",
+        "label",
+        "d2",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("d2").cast("decimal(28,10)")).over(w).cast("double").alias("s"),
+        F.sum((F.col("d2") * F.col("d2")).cast("decimal(38,10)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = F.when(
+        (F.col("n") > 1) & (var > 0),
+        (F.col("d2") - F.col("s") / F.col("n")) / F.sqrt(var),
+    )
+    return mom.select(
+        "vec_id",
+        "label",
+        stable_round(F.col("d2"), 6).alias("dist2"),
+        stable_round(z, 6).alias("z"),
+    ).orderBy("vec_id")
