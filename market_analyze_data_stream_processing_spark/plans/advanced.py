@@ -2873,16 +2873,19 @@ def q_ab_test(spark, sf_dir):
         FROM ex GROUP BY label, dim
     ), dist AS (
         SELECT ex.vec_id, ex.label,
-               CAST(sum(CAST((ex.val - cent.c) * (ex.val - cent.c)
+               CAST(sum(CAST(floor((ex.val - cent.c) * (ex.val - cent.c)
+                                   * 1000000000000 + 0.5) / 1000000000000
                              AS DECIMAL(28,12))) AS DOUBLE) AS d2
         FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
         GROUP BY ex.vec_id, ex.label
     ), mom AS (
         SELECT vec_id, label, d2,
                count(*) OVER w AS n,
-               CAST(sum(CAST(d2 AS DECIMAL(28,10))) OVER w AS DOUBLE) AS s,
-               CAST(sum(CAST(d2 * d2 AS DECIMAL(38,10))) OVER w AS DOUBLE)
-                   AS s2
+               CAST(sum(CAST(floor(d2 * 10000000000 + 0.5) / 10000000000
+                             AS DECIMAL(28,10))) OVER w AS DOUBLE) AS s,
+               CAST(sum(CAST(floor(d2 * d2 * 10000000000 + 0.5)
+                             / 10000000000
+                             AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s2
         FROM dist
         WINDOW w AS (PARTITION BY label)
     )
@@ -2924,22 +2927,32 @@ def q_embedding_outliers(spark, sf_dir):
         .groupBy("vec_id", "label")
         .agg(
             F.sum(
-                ((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))).cast(
-                    "decimal(28,12)"
-                )
+                stable_round(
+                    (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")),
+                    12,
+                ).cast("decimal(28,12)")
             )
             .cast("double")
             .alias("d2")
         )
     )
     w = Window.partitionBy("label")
+    # stable_round BEFORE the decimal casts: a raw double's 10dp decimal
+    # cut differs between engines (Spark rounds the shortest decimal
+    # repr, DuckDB the binary expansion — the stable_round rationale),
+    # so pin the value to an exact 10dp double first.
     mom = dist.select(
         "vec_id",
         "label",
         "d2",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(F.col("d2").cast("decimal(28,10)")).over(w).cast("double").alias("s"),
-        F.sum((F.col("d2") * F.col("d2")).cast("decimal(38,10)"))
+        F.sum(stable_round(F.col("d2"), 10).cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+        .alias("s"),
+        F.sum(
+            stable_round(F.col("d2") * F.col("d2"), 10).cast("decimal(38,10)")
+        )
         .over(w)
         .cast("double")
         .alias("s2"),
