@@ -1961,3 +1961,138 @@ def q_source_diversity(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_collocations",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), uni AS (
+        SELECT unnest(toks) AS tok FROM w
+    ), ucnt AS (
+        SELECT tok, count(*) AS c1 FROM uni GROUP BY tok
+    ), utot AS (
+        SELECT count(*) AS n FROM uni
+    ), bg AS (
+        SELECT unnest("""
+    + _SHINGLES2_SQL
+    + r""") AS bigram
+        FROM w WHERE len(toks) >= 2
+    ), bcnt AS (
+        SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram
+        HAVING count(*) >= 5
+    ), scored AS (
+        SELECT b.bigram, b.c2,
+               floor(ln(CAST(b.c2 AS DOUBLE) * n
+                        / (CAST(ua.c1 AS DOUBLE) * ub.c1))
+                     * 1000000 + 0.5) / 1000000 AS pmi
+        FROM bcnt b
+        JOIN ucnt ua ON ua.tok = split_part(b.bigram, ' ', 1)
+        JOIN ucnt ub ON ub.tok = split_part(b.bigram, ' ', 2)
+        CROSS JOIN utot
+    )
+    SELECT bigram, CAST(c2 AS BIGINT) AS c2, pmi
+    FROM scored
+    ORDER BY pmi DESC, bigram
+    LIMIT 25
+    """,
+    doc="Collocation mining: top-25 adjacent word pairs by pointwise "
+    "mutual information PMI = ln(N·c(ab)/(c(a)·c(b))) with a min-count "
+    "floor of 5 (the sparse-pair variance guard) — the phrase-"
+    "detection primitive behind tokenizer merge rules and multiword "
+    "vocab entries. Unigram and bigram counts are two map-side-"
+    "combined aggregates over one corpus scan each; the Zipf-small "
+    "count tables join broadcast-style; N is a 1-row contract scalar. "
+    "PMI is rounded BEFORE the top-k ordering so boundary ties break "
+    "identically by bigram on any engine.",
+)
+def q_collocations(spark, sf_dir):
+    import market_analyze_data_stream_processing_spark.functions.text as T
+    from ..functions.scalars import stable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(T.tokens(F.lower(F.col("text"))).alias("toks"))
+    uni = toks.select(F.explode("toks").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    utot = uni.agg(F.count(F.lit(1)).alias("n"))
+    bg = toks.where(F.size("toks") >= 2).select(
+        F.explode(T.shingles_from_tokens(F.col("toks"), n=2)).alias("bigram")
+    )
+    bcnt = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= 5)
+    )
+    ua = ucnt.select(F.col("tok").alias("t1"), F.col("c1").alias("ca"))
+    ub = ucnt.select(F.col("tok").alias("t2"), F.col("c1").alias("cb"))
+    scored = (
+        bcnt.withColumn("t1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("t2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(ua, "t1")
+        .join(ub, "t2")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "bigram",
+            "c2",
+            stable_round(
+                F.log(
+                    F.col("c2").cast("double")
+                    * F.col("n")
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.select("bigram", F.col("c2").cast("long").alias("c2"), "pmi")
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(25)
+    )
+
+
+@register(
+    "q_dup_rate_by_source",
+    """
+    WITH fp AS (
+        SELECT source,
+               md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs,
+           floor((count(*) - count(DISTINCT h)) / CAST(count(*) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS dup_rate
+    FROM fp GROUP BY source ORDER BY source
+    """,
+    doc="Duplicate-rate scorecard per source: normalized-text md5 "
+    "fingerprints (the q_doc_exact_dedup canonicalization) reduced to "
+    "docs − distinct(fingerprints) per source — the per-provider "
+    "contamination report a curation pipeline publishes after every "
+    "crawl drop. One hash aggregate with a single distinct; counts "
+    "exact LONGs. At 100 TB the distinct partial-aggregates per "
+    "partition before the shuffle, so the wire carries fingerprints, "
+    "not documents.",
+)
+def q_dup_rate_by_source(spark, sf_dir):
+    from ..functions.scalars import stable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    fp = d.select("source", h.alias("h"))
+    n = F.count(F.lit(1))
+    ndup = n - F.countDistinct("h")
+    return (
+        fp.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            ndup.cast("long").alias("n_dup_docs"),
+            stable_round(ndup / n.cast("double"), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
