@@ -20,17 +20,19 @@ from . import profiling  # noqa: E402,F401
 # registry entries per round (each recorded round sampled exactly 50 in
 # registration order). Rotate queries with the stalest (or missing)
 # driver evidence to the front so every query accumulates a fresh
-# driver row within a few rounds. Round-8 continuation front (from
+# driver row within a few rounds. Round-8 final front (from
 # tools/rotate_front.py; only hash-green rows count as evidence): all
 # 50 slots are never-driver-sampled queries (late round-7
-# registrations + every round-8 addition, including this session's
-# indicator/profiling/text/OLAP tiers). 20 further never-sampled
-# names (q_risk_report .. q_williams_mfi alphabetically) did not fit
-# and lead the round-9 rotation ahead of the r05/r06 stale tail.
+# registrations + the round-8 additions through q_multi_rollup,
+# alphabetically). 41 further never-sampled names (q_ngram_containment
+# .. q_williams_mfi) did not fit — they lead the round-9 rotation
+# ahead of the r05/r06 stale tail; every one is green on the local
+# oracle replica (tools/verify_local.py, full-registry sweep).
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
 # expose the same full set.
 _SWEEP_FRONT = [
     # newest driver evidence: none
+    "q_ab_test",
     "q_amihud",
     "q_aroon",
     "q_atr",
@@ -41,17 +43,24 @@ _SWEEP_FRONT = [
     "q_bloom_decontaminate",
     "q_bm25",
     "q_bollinger",
+    "q_boolean_search",
     "q_candlestick",
     "q_capped_growth",
     "q_cci",
     "q_char_entropy",
     "q_chi2_mix",
     "q_cmf_adl",
+    "q_cohen_kappa",
+    "q_collocations",
     "q_column_profile",
+    "q_cross_momentum",
     "q_customer_deciles",
+    "q_cusum",
     "q_donchian",
     "q_drawdown",
+    "q_dup_rate_by_source",
     "q_embedding_covariance",
+    "q_embedding_outliers",
     "q_event_study",
     "q_forecast_eval",
     "q_fuzzy_match",
@@ -59,28 +68,20 @@ _SWEEP_FRONT = [
     "q_gini_pareto",
     "q_group_mode",
     "q_heavy_hitters",
+    "q_hurst",
     "q_ichimoku",
     "q_intraday_profile",
     "q_keltner",
     "q_kll_quantile_merge",
     "q_ks_drift",
+    "q_kyle_lambda",
     "q_last_touch",
     "q_lead_lag",
     "q_macd",
     "q_mad_outliers",
     "q_market_basket",
-    "q_ngram_containment",
-    "q_obv",
-    "q_order_backlog",
-    "q_pagerank",
-    "q_pivot_points",
-    "q_portfolio_return",
-    "q_pq_ann",
-    "q_pq_codes",
-    "q_psi_drift",
-    "q_readability",
-    "q_resample_weekly",
-    "q_rfm",
+    "q_markov_transitions",
+    "q_multi_rollup",
 ]
 
 
