@@ -2968,3 +2968,135 @@ def q_embedding_outliers(spark, sf_dir):
         stable_round(F.col("d2"), 6).alias("dist2"),
         stable_round(z, 6).alias("z"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q_event_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type)    OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+        SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1
+    ), tot AS (SELECT sum(n) AS t FROM paths)
+    SELECT path, CAST(n AS BIGINT) AS n,
+           floor(n / CAST(t AS DOUBLE) * 1000000 + 0.5) / 1000000 AS share
+    FROM paths, tot
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    doc="Journey path mining: the top-10 three-step event paths across "
+    "user sequences (the Sankey/flow primitive one order above "
+    "q_markov_transitions' pairwise matrix). Two stacked lead() "
+    "offsets ride ONE (user, ts, seq) shuffle+sort; paths reduce to "
+    "the O(states³) grid before the 1-row total joins on (an "
+    "allowlisted contract scalar). Counts exact; top-k via "
+    "TakeOrderedAndProject with a path tiebreak.",
+)
+def q_event_paths(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = paths.agg(F.sum("n").alias("t"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            F.col("n").cast("long").alias("n"),
+            stable_round(F.col("n") / F.col("t").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "q_interarrival",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT)
+                   AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), g AS (
+        SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us, gap_us) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM g
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(sum(CASE WHEN rn = (max_n + 1) // 2 THEN gap_us END)
+                AS BIGINT) AS median_gap_us,
+           floor(CAST(sum(gap_us) AS DOUBLE) / max(n) * 100 + 0.5) / 100
+               AS mean_gap_us,
+           CAST(sum(CASE WHEN gap_us < 60000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bursty
+    FROM (SELECT *, max(n) OVER (PARTITION BY event_type) AS max_n
+          FROM ranked)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Inter-arrival profile per event type: median (LOWER-median "
+    "rank — a data value, engine-exact), mean, and burst count "
+    "(gaps under 60 s) over microsecond inter-arrival deltas — the "
+    "feed-health / burstiness monitor beside the heartbeat scan. "
+    "Deltas are exact LONG microseconds (epoch_us differencing, "
+    "tz-free); the only float is the final mean division. One "
+    "(event_type, ts, seq) window pass + one rank window on the gap "
+    "frame.",
+)
+def q_interarrival(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).where(F.col("gap_us").isNotNull())
+    seg = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(seg.orderBy("gap_us", "gap_us")).alias("rn"),
+        F.count(F.lit(1)).over(seg).alias("n"),
+    ).withColumn("max_n", F.max("n").over(seg))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.sum(
+                F.when(
+                    F.col("rn") == F.floor((F.col("max_n") + 1) / 2),
+                    F.col("gap_us"),
+                )
+            )
+            .cast("long")
+            .alias("median_gap_us"),
+            stable_round(
+                F.sum("gap_us").cast("double") / F.max("n"), 2
+            ).alias("mean_gap_us"),
+            F.sum(F.when(F.col("gap_us") < 60000000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bursty"),
+        )
+        .orderBy("event_type")
+    )

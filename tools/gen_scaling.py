@@ -58,6 +58,10 @@ HEADLINE = [
     "q_bigram_logprob",    # Zipf-small conditional-count joins
     "q_supplier_overlap",  # df-capped inverted-index pair generation
     "q_order_backlog",     # sweep-line: window input is the calendar
+    "q_cusum",             # prefix-min closed form, one shuffle+sort
+    "q_hurst",             # block windows + two tiny fit aggregates
+    "q_embedding_outliers",  # (label,dim) centroid agg + vec_id distance agg
+    "q_collocations",      # two map-side-combined count passes + broadcast
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]

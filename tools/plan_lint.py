@@ -130,6 +130,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_collocations": {
         "NLJ": "1-row corpus token-total aggregate broadcast (PMI normalizer)",
     },
+    "q_event_paths": {
+        "NLJ": "1-row path-total aggregate broadcast (share denominator)",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
