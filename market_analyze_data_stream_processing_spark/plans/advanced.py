@@ -3100,3 +3100,127 @@ def q_interarrival(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_kaplan_meier",
+    """
+    WITH sign AS (
+        SELECT user_id, min(ts) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), purch AS (
+        SELECT e.user_id, min(e.ts) AS t_ev
+        FROM events e JOIN sign s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        GROUP BY e.user_id
+    ), lastact AS (
+        SELECT e.user_id, max(e.ts) AS t_last
+        FROM events e JOIN sign s ON s.user_id = e.user_id
+        WHERE e.ts >= s.t0
+        GROUP BY e.user_id
+    ), per_user AS (
+        SELECT s.user_id,
+               date_diff('day', CAST(s.t0 AS DATE),
+                         CAST(coalesce(p.t_ev, l.t_last) AS DATE)) AS dur,
+               CASE WHEN p.t_ev IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM sign s
+        JOIN lastact l ON l.user_id = s.user_id
+        LEFT JOIN purch p ON p.user_id = s.user_id
+    ), grid AS (
+        SELECT dur, sum(obs) AS d, sum(1 - obs) AS c, count(*) AS tot
+        FROM per_user GROUP BY dur
+    ), tot AS (SELECT sum(tot) AS n_all FROM grid),
+    risk AS (
+        SELECT dur, d, c, n_all,
+               n_all - coalesce(sum(tot) OVER (ORDER BY dur
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n_risk
+        FROM grid, tot
+    ), terms AS (
+        SELECT dur, d, c, n_risk,
+               CASE WHEN d < n_risk
+                    THEN CAST(ln(1.0 - d / CAST(n_risk AS DOUBLE))
+                              AS DECIMAL(28,12)) END AS t
+        FROM risk
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS c_censored,
+           CASE WHEN d >= n_risk THEN 0.0
+                ELSE floor(exp(CAST(sum(t) OVER (ORDER BY dur
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000
+           END AS survival
+    FROM terms ORDER BY dur
+    """,
+    doc="Kaplan–Meier survival curve for time-to-conversion (signup → "
+    "first purchase, right-censored at the user's last activity): the "
+    "product-limit estimator S(t) = Π(1 − dᵢ/nᵢ) with the product "
+    "lowered to exp(Σ ln terms), each term DECIMAL-quantized so the "
+    "running sum is order-exact. Risk sets come from one cumulative "
+    "window over the O(distinct durations) grid — the fact table is "
+    "reduced to per-user (duration, observed) rows first, so the "
+    "survival math never touches events again. dᵢ = nᵢ (the final "
+    "step) pins S to exactly 0 instead of ln(0). The cohort/LTV "
+    "analytics companion every event warehouse serves.",
+)
+def q_kaplan_meier(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    sign = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    j = e.join(sign, "user_id")
+    purch = (
+        j.where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_ev"))
+    )
+    lastact = (
+        j.where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("t_last"))
+    )
+    per_user = (
+        sign.join(lastact, "user_id")
+        .join(purch, "user_id", "left")
+        .select(
+            F.datediff(
+                F.coalesce(F.col("t_ev"), F.col("t_last")).cast("date"),
+                F.col("t0").cast("date"),
+            ).alias("dur"),
+            F.when(F.col("t_ev").isNotNull(), 1).otherwise(0).alias("obs"),
+        )
+    )
+    grid = per_user.groupBy("dur").agg(
+        F.sum("obs").alias("d"),
+        F.sum(1 - F.col("obs")).alias("c"),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    tot = grid.agg(F.sum("tot").alias("n_all"))
+    prior = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_all") - F.coalesce(F.sum("tot").over(prior), F.lit(0)),
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double")).cast(
+            "decimal(28,12)"
+        ),
+    )
+    run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    terms = risk.withColumn("t", term)
+    surv = F.when(F.col("d") >= F.col("n_risk"), F.lit(0.0)).otherwise(
+        stable_round(F.exp(F.sum("t").over(run).cast("double")), 6)
+    )
+    return terms.select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("c").cast("long").alias("c_censored"),
+        surv.alias("survival"),
+    ).orderBy("dur_days")

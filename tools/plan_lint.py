@@ -133,6 +133,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_event_paths": {
         "NLJ": "1-row path-total aggregate broadcast (share denominator)",
     },
+    "q_kaplan_meier": {
+        "NLJ": "1-row cohort-size aggregate broadcast (initial risk set)",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
