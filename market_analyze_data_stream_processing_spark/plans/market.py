@@ -4169,3 +4169,138 @@ def q_kyle_lambda(spark, sf_dir):
         )
         .orderBy("ticker")
     )
+
+
+@register(
+    "q_underwater",
+    _DAILYBARS_CTE
+    + """
+    , uw AS (
+        SELECT ticker, day,
+               CASE WHEN close < max(close) OVER (PARTITION BY ticker
+                         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) THEN 1 ELSE 0 END AS under
+        FROM dailybars
+    ), grp AS (
+        SELECT ticker, day, under,
+               row_number() OVER (PARTITION BY ticker ORDER BY day)
+               - row_number() OVER (PARTITION BY ticker, under ORDER BY day)
+                   AS g
+        FROM uw
+    ), runs AS (
+        SELECT ticker, count(*) AS run_len, min(day) AS run_start
+        FROM grp WHERE under = 1
+        GROUP BY ticker, g
+    ), best AS (
+        SELECT ticker, run_len, run_start,
+               row_number() OVER (PARTITION BY ticker
+                                  ORDER BY run_len DESC, run_start) AS rk
+        FROM runs
+    )
+    SELECT ticker,
+           CAST(run_len AS BIGINT) AS max_underwater_days,
+           strftime(run_start, '%Y-%m-%d') AS start_day
+    FROM best WHERE rk = 1 ORDER BY ticker
+    """,
+    doc="Longest underwater period per ticker (time-UNDER-water, the "
+    "duration complement of q_drawdown's depth): days strictly below "
+    "the running peak, consecutive runs identified by the classic "
+    "gaps-and-islands double row_number difference — run-length "
+    "encoding as two windows + one aggregate, no iteration, no "
+    "self-join. The running max, both row_numbers, and the per-run "
+    "aggregate all ride (ticker, day)-partitioned operators; counts "
+    "exact LONGs end to end (no floats anywhere but none needed).",
+)
+def q_underwater(spark, sf_dir):
+    d = _daily_bars(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy("day")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    uw = d.select(
+        "ticker",
+        "day",
+        F.when(F.col("close") < F.max("close").over(run), 1)
+        .otherwise(0)
+        .alias("under"),
+    )
+    g = (
+        F.row_number().over(w)
+        - F.row_number().over(
+            Window.partitionBy("ticker", "under").orderBy("day")
+        )
+    ).alias("g")
+    runs = (
+        uw.select("ticker", "day", "under", g)
+        .where(F.col("under") == 1)
+        .groupBy("ticker", "g")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("day").alias("run_start"))
+    )
+    rk = Window.partitionBy("ticker").orderBy(F.desc("run_len"), "run_start")
+    return (
+        runs.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "ticker",
+            F.col("run_len").cast("long").alias("max_underwater_days"),
+            F.date_format("run_start", "yyyy-MM-dd").alias("start_day"),
+        )
+        .orderBy("ticker")
+    )
+
+
+@register(
+    "q_swing_points",
+    _DAILYBARS_CTE
+    + """
+    , ctx AS (
+        SELECT ticker, day, high, low,
+               max(high) OVER w2 AS hmax, count(*) OVER w2 AS cnt,
+               min(low)  OVER w2 AS lmin
+        FROM dailybars
+        WINDOW w2 AS (PARTITION BY ticker ORDER BY day
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    )
+    SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN high = hmax THEN 1 ELSE 0 END AS swing_high,
+           CASE WHEN low = lmin THEN 1 ELSE 0 END AS swing_low,
+           high, low
+    FROM ctx
+    WHERE cnt = 5 AND (high = hmax OR low = lmin)
+    ORDER BY ticker, day
+    """,
+    doc="Swing-point detection (the support/resistance primitive): a "
+    "bar is a swing high/low when its high/low is the extreme of the "
+    "centered 5-bar neighborhood (ROWS 2 PRECEDING..2 FOLLOWING — a "
+    "centered frame, exercised nowhere else in the registry); edge "
+    "bars with truncated neighborhoods are excluded by the frame "
+    "count. Pure comparisons on data values — no rounding, "
+    "bit-identical anywhere. One (ticker, day) shuffle+sort.",
+)
+def q_swing_points(spark, sf_dir):
+    d = _daily_bars(spark, sf_dir)
+    w2 = (
+        Window.partitionBy("ticker").orderBy("day").rowsBetween(-2, 2)
+    )
+    ctx = d.select(
+        "ticker",
+        "day",
+        "high",
+        "low",
+        F.max("high").over(w2).alias("hmax"),
+        F.min("low").over(w2).alias("lmin"),
+        F.count(F.lit(1)).over(w2).alias("cnt"),
+    )
+    return (
+        ctx.where(
+            (F.col("cnt") == 5)
+            & ((F.col("high") == F.col("hmax")) | (F.col("low") == F.col("lmin")))
+        )
+        .select(
+            "ticker",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("high") == F.col("hmax")).cast("int").alias("swing_high"),
+            (F.col("low") == F.col("lmin")).cast("int").alias("swing_low"),
+            "high",
+            "low",
+        )
+        .orderBy("ticker", "day")
+    )

@@ -2096,3 +2096,69 @@ def q_dup_rate_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_ngram_novelty",
+    r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest("""
+    + _SHINGLES_SQL
+    + r""") AS s
+            FROM w WHERE len(toks) >= 3
+        )
+    ), df AS (
+        SELECT s, count(*) AS df FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           count(*)::BIGINT AS n_grams,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           floor(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS novelty
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+    doc="N-gram novelty score: the share of a document's DISTINCT word "
+    "3-grams that appear in NO other document (corpus document "
+    "frequency 1) — high novelty marks unique content, low novelty "
+    "marks boilerplate and near-duplicates; the inverse signal of the "
+    "dedup family computed on the SAME shingle representation "
+    "(operators/dedup's 3-gram convention). Two hash aggregates over "
+    "the postings — df is Zipf-small; the df=1 test needs no per-pair "
+    "work at all, making this the cheapest memorization screen in the "
+    "curation toolbox.",
+)
+def q_ngram_novelty(spark, sf_dir):
+    import market_analyze_data_stream_processing_spark.functions.text as T
+    from ..functions.scalars import stable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    sh = (
+        toks.where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(T.shingles_from_tokens(F.col("toks"), n=3)).alias("s"),
+        )
+        .distinct()
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            stable_round(novel / F.count(F.lit(1)).cast("double"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
