@@ -3224,3 +3224,71 @@ def q_kaplan_meier(spark, sf_dir):
         F.col("c").cast("long").alias("c_censored"),
         surv.alias("survival"),
     ).orderBy("dur_days")
+
+
+@register(
+    "q_hhi",
+    """
+    WITH spend AS (
+        SELECT n.n_name AS nation, o.o_custkey,
+               sum(CAST(o.o_totalprice AS DECIMAL(28,2))) AS s
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ), shares AS (
+        SELECT nation,
+               CAST(floor((CAST(s AS DOUBLE)
+                           / CAST(sum(s) OVER (PARTITION BY nation)
+                                  AS DOUBLE))
+                          * (CAST(s AS DOUBLE)
+                             / CAST(sum(s) OVER (PARTITION BY nation)
+                                    AS DOUBLE))
+                          * 1000000000000 + 0.5) / 1000000000000
+                    AS DECIMAL(28,12)) AS sh2
+        FROM spend
+    )
+    SELECT nation,
+           count(*) AS n_customers,
+           floor(CAST(sum(sh2) AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS hhi,
+           floor(1.0 / CAST(sum(sh2) AS DOUBLE) * 10000 + 0.5) / 10000
+               AS effective_n
+    FROM shares GROUP BY nation ORDER BY nation
+    """,
+    doc="Herfindahl–Hirschman concentration index of customer revenue "
+    "within each nation (HHI = Σ shareᵢ², plus the effective number of "
+    "customers 1/HHI) — the concentration standard beside q_gini_pareto's "
+    "inequality view. Spend aggregates in DECIMAL; each squared share "
+    "is one fixed-order double stable_rounded to 12dp and quantized "
+    "to DECIMAL before the per-nation sum, so distributed accumulation "
+    "order can't flip the hash (the q_embedding_outliers cast lesson). "
+    "Two hash aggregates + one O(customers) window.",
+)
+def q_hhi(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s"))
+    )
+    w = Window.partitionBy("nation")
+    share = F.col("s").cast("double") / F.sum("s").over(w).cast("double")
+    shares = spend.select(
+        "nation",
+        stable_round(share * share, 12).cast("decimal(28,12)").alias("sh2"),
+    )
+    return (
+        shares.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            stable_round(F.sum("sh2").cast("double"), 6).alias("hhi"),
+            stable_round(
+                F.lit(1.0) / F.sum("sh2").cast("double"), 4
+            ).alias("effective_n"),
+        )
+        .orderBy("nation")
+    )

@@ -4304,3 +4304,76 @@ def q_swing_points(spark, sf_dir):
         )
         .orderBy("ticker", "day")
     )
+
+
+@register(
+    "q_overnight_gaps",
+    _DAILYOHLC_CTE
+    + """
+    , g AS (
+        SELECT ticker, day, open, high, low,
+               lag(close) OVER w AS pc
+        FROM dailyohlc
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), m AS (
+        SELECT ticker,
+               CASE WHEN open > pc THEN 1 ELSE 0 END AS up,
+               CASE WHEN open < pc THEN 1 ELSE 0 END AS down,
+               CASE WHEN low <= pc AND pc <= high THEN 1 ELSE 0 END
+                   AS filled,
+               CAST(CASE WHEN pc <> 0
+                         THEN floor((open / pc - 1.0) * 100.0
+                                    * 1000000000 + 0.5) / 1000000000
+                    END AS DECIMAL(28,9)) AS gap_pct
+        FROM g WHERE pc IS NOT NULL
+    )
+    SELECT ticker,
+           count(*) AS n_days,
+           CAST(sum(up) AS BIGINT) AS n_gap_up,
+           CAST(sum(down) AS BIGINT) AS n_gap_down,
+           CAST(sum(filled) AS BIGINT) AS n_filled,
+           floor(CAST(sum(gap_pct) AS DOUBLE) / count(*) * 1000000 + 0.5)
+               / 1000000 AS mean_gap_pct
+    FROM m GROUP BY ticker ORDER BY ticker
+    """,
+    doc="Overnight gap analytics per ticker: count of up/down opening "
+    "gaps vs the prior close, how many gaps the SAME session filled "
+    "(prior close re-touched inside the day's low..high range — the "
+    "'gaps get filled' trading claim, testable), and the mean gap "
+    "percent. Gap percents are stable_rounded to 9dp and DECIMAL-"
+    "quantized before the per-ticker mean so accumulation order can't "
+    "flip the hash; the fill test is pure comparisons on data values. "
+    "One lag window + one hash aggregate.",
+)
+def q_overnight_gaps(spark, sf_dir):
+    d = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy("day")
+    g = d.withColumn("pc", F.lag("close").over(w)).where(
+        F.col("pc").isNotNull()
+    )
+    gap_pct = F.when(
+        F.col("pc") != 0,
+        stable_round((F.col("open") / F.col("pc") - 1.0) * 100.0, 9),
+    ).cast("decimal(28,9)")
+    m = g.select(
+        "ticker",
+        (F.col("open") > F.col("pc")).cast("int").alias("up"),
+        (F.col("open") < F.col("pc")).cast("int").alias("down"),
+        ((F.col("low") <= F.col("pc")) & (F.col("pc") <= F.col("high")))
+        .cast("int")
+        .alias("filled"),
+        gap_pct.alias("gap_pct"),
+    )
+    return (
+        m.groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("up").cast("long").alias("n_gap_up"),
+            F.sum("down").cast("long").alias("n_gap_down"),
+            F.sum("filled").cast("long").alias("n_filled"),
+            stable_round(
+                F.sum("gap_pct").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_gap_pct"),
+        )
+        .orderBy("ticker")
+    )
