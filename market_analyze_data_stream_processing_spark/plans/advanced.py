@@ -3292,3 +3292,69 @@ def q_hhi(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q_sla_compliance",
+    """
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderpriority AS priority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         max(CAST(l.l_shipdate AS DATE))) AS days_to_ship
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, o.o_orderdate
+    )
+    SELECT priority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_30,
+           CAST(sum(CASE WHEN days_to_ship <= 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_60,
+           CAST(sum(CASE WHEN days_to_ship <= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_90,
+           floor(sum(CASE WHEN days_to_ship <= 60 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS sla60_rate
+    FROM per_order GROUP BY priority ORDER BY priority
+    """,
+    doc="SLA compliance scorecard: per order priority, the share of "
+    "orders FULLY shipped (max lineitem shipdate — the order is done "
+    "only when its last line ships) within 30/60/90 days of order "
+    "date. Two hash aggregates (per-order completion, then the "
+    "priority rollup); day arithmetic and counts are exact integers; "
+    "the single rate divides once per output row. The operations "
+    "analytics every fulfillment warehouse reports.",
+)
+def q_sla_compliance(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderdate",
+        )
+        .agg(
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            ).alias("days_to_ship")
+        )
+    )
+    within = lambda d: F.sum(
+        F.when(F.col("days_to_ship") <= d, 1).otherwise(0)
+    )
+    return (
+        per_order.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            within(30).cast("long").alias("within_30"),
+            within(60).cast("long").alias("within_60"),
+            within(90).cast("long").alias("within_90"),
+            stable_round(
+                within(60) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("sla60_rate"),
+        )
+        .orderBy("priority")
+    )

@@ -4377,3 +4377,72 @@ def q_overnight_gaps(spark, sf_dir):
         )
         .orderBy("ticker")
     )
+
+
+@register(
+    "q_ljung_box",
+    _DAILYBARS_CTE
+    + """
+    , r AS (
+        SELECT ticker, day,
+               CASE WHEN close > 0 AND lag(close) OVER w > 0
+                    THEN ln(close / lag(close) OVER w) END AS r
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), lagged AS (
+        SELECT ticker, r,
+               lag(r, 1) OVER w AS r1, lag(r, 2) OVER w AS r2,
+               lag(r, 3) OVER w AS r3, lag(r, 4) OVER w AS r4,
+               lag(r, 5) OVER w AS r5
+        FROM r
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), acf AS (
+        SELECT ticker, count(r) AS n,
+               round(corr(r, r1), 6) AS p1, round(corr(r, r2), 6) AS p2,
+               round(corr(r, r3), 6) AS p3, round(corr(r, r4), 6) AS p4,
+               round(corr(r, r5), 6) AS p5
+        FROM lagged GROUP BY ticker
+    )
+    SELECT ticker, CAST(n AS BIGINT) AS n_returns,
+           floor(n * (n + 2.0)
+                 * (p1 * p1 / (n - 1) + p2 * p2 / (n - 2)
+                    + p3 * p3 / (n - 3) + p4 * p4 / (n - 4)
+                    + p5 * p5 / (n - 5))
+                 * 10000 + 0.5) / 10000 AS q_stat,
+           CAST(n * (n + 2.0)
+                * (p1 * p1 / (n - 1) + p2 * p2 / (n - 2)
+                   + p3 * p3 / (n - 3) + p4 * p4 / (n - 4)
+                   + p5 * p5 / (n - 5)) > 11.0705 AS INT) AS reject_5pct
+    FROM acf WHERE n > 5 ORDER BY ticker
+    """,
+    doc="Ljung–Box portmanteau test per ticker: Q = n(n+2)·Σ ρ̂ₖ²/(n−k) "
+    "over return autocorrelations at lags 1–5, with the χ²(5) 5%% "
+    "rejection flag (11.0705) — 'is this series white noise?', the "
+    "model-adequacy gate run before fitting anything. ACFs reuse the "
+    "q_autocorr lowering (one window pass materializes all five lag "
+    "columns, ONE hash aggregate computes five corr()s) and are pinned "
+    "at 6dp before entering Q, so the statistic is a fixed-order "
+    "expression on engine-agreed inputs.",
+)
+def q_ljung_box(spark, sf_dir):
+    from ..operators.volatility import return_autocorr
+
+    lags = (1, 2, 3, 4, 5)
+    out = return_autocorr(_daily_bars(spark, sf_dir), lags=lags)
+    n = F.col("n_returns")
+    ps = [F.round(F.col(f"acf_{k}"), 6) for k in lags]
+    q = (
+        n
+        * (n + F.lit(2.0))
+        * sum(p * p / (n - k) for k, p in zip(lags, ps))
+    )
+    return (
+        out.where(n > 5)
+        .select(
+            "ticker",
+            n.cast("long").alias("n_returns"),
+            stable_round(q, 4).alias("q_stat"),
+            (q > 11.0705).cast("int").alias("reject_5pct"),
+        )
+        .orderBy("ticker")
+    )
