@@ -23,11 +23,11 @@ from . import profiling  # noqa: E402,F401
 # driver row within a few rounds. Round-8 final front (from
 # tools/rotate_front.py; only hash-green rows count as evidence): all
 # 50 slots are never-driver-sampled queries (late round-7
-# registrations + the round-8 additions through q_multi_rollup,
-# alphabetically). 41 further never-sampled names (q_ngram_containment
-# .. q_williams_mfi) did not fit — they lead the round-9 rotation
-# ahead of the r05/r06 stale tail; every one is green on the local
-# oracle replica (tools/verify_local.py, full-registry sweep).
+# registrations + the round-8 additions through q_ljung_box,
+# alphabetically). 51 further never-sampled names (q_macd ..
+# q_williams_mfi) did not fit — they lead the round-9 rotation ahead
+# of the r05/r06 stale tail; every one is green on the local oracle
+# replica (tools/verify_local.py, full-registry sweep).
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
 # expose the same full set.
 _SWEEP_FRONT = [
@@ -61,6 +61,7 @@ _SWEEP_FRONT = [
     "q_dup_rate_by_source",
     "q_embedding_covariance",
     "q_embedding_outliers",
+    "q_event_paths",
     "q_event_study",
     "q_forecast_eval",
     "q_fuzzy_match",
@@ -68,20 +69,19 @@ _SWEEP_FRONT = [
     "q_gini_pareto",
     "q_group_mode",
     "q_heavy_hitters",
+    "q_hhi",
     "q_hurst",
     "q_ichimoku",
+    "q_interarrival",
     "q_intraday_profile",
+    "q_kaplan_meier",
     "q_keltner",
     "q_kll_quantile_merge",
     "q_ks_drift",
     "q_kyle_lambda",
     "q_last_touch",
     "q_lead_lag",
-    "q_macd",
-    "q_mad_outliers",
-    "q_market_basket",
-    "q_markov_transitions",
-    "q_multi_rollup",
+    "q_ljung_box",
 ]
 
 
