@@ -4446,3 +4446,123 @@ def q_ljung_box(spark, sf_dir):
         )
         .orderBy("ticker")
     )
+
+
+@register(
+    "q_seasonality_strength",
+    _DAILYBARS_CTE
+    + """
+    , t AS (
+        SELECT ticker, day, close,
+               CAST((day - DATE '1970-01-01') % 7 AS INT) AS phase,
+               CASE WHEN count(close) OVER c = 7
+                    THEN CAST(sum(CAST(close AS DECIMAL(18,4))) OVER c
+                              AS DOUBLE) / 7.0 END AS trend
+        FROM dailybars
+        WINDOW c AS (PARTITION BY ticker ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), s AS (
+        SELECT ticker, day, close, trend,
+               round(avg(close - trend)
+                         OVER (PARTITION BY ticker, phase), 6) AS seasonal
+        FROM t
+    ), comp AS (
+        SELECT ticker,
+               CAST(round(close - trend - seasonal, 6)
+                    AS DECIMAL(28,6)) AS r,
+               CAST(round(close - trend, 6) AS DECIMAL(28,6)) AS sr,
+               CAST(round(close - seasonal, 6) AS DECIMAL(28,6)) AS tr,
+               CAST(floor((close - trend - seasonal)
+                          * (close - trend - seasonal)
+                          * 1000000000000 + 0.5) / 1000000000000
+                    AS DECIMAL(38,12)) AS r2,
+               CAST(floor((close - trend) * (close - trend)
+                          * 1000000000000 + 0.5) / 1000000000000
+                    AS DECIMAL(38,12)) AS sr2,
+               CAST(floor((close - seasonal) * (close - seasonal)
+                          * 1000000000000 + 0.5) / 1000000000000
+                    AS DECIMAL(38,12)) AS tr2
+        FROM s WHERE trend IS NOT NULL
+    ), m AS (
+        SELECT ticker, count(*) AS n,
+               CAST(sum(r)  AS DOUBLE) AS s_r,  CAST(sum(r2)  AS DOUBLE) AS s_r2,
+               CAST(sum(sr) AS DOUBLE) AS s_sr, CAST(sum(sr2) AS DOUBLE) AS s_sr2,
+               CAST(sum(tr) AS DOUBLE) AS s_tr, CAST(sum(tr2) AS DOUBLE) AS s_tr2
+        FROM comp GROUP BY ticker
+    )
+    SELECT ticker, CAST(n AS BIGINT) AS n_obs,
+           CASE WHEN (s_sr2 - s_sr * s_sr / n) > 0
+                THEN floor(greatest(0.0,
+                        1.0 - (s_r2 - s_r * s_r / n)
+                              / (s_sr2 - s_sr * s_sr / n))
+                     * 1000000 + 0.5) / 1000000 END AS seasonal_strength,
+           CASE WHEN (s_tr2 - s_tr * s_tr / n) > 0
+                THEN floor(greatest(0.0,
+                        1.0 - (s_r2 - s_r * s_r / n)
+                              / (s_tr2 - s_tr * s_tr / n))
+                     * 1000000 + 0.5) / 1000000 END AS trend_strength
+    FROM m WHERE n > 1 ORDER BY ticker
+    """,
+    doc="Seasonality and trend strength per ticker (Hyndman's tsfeatures "
+    "definitions): F_s = max(0, 1 − Var(R)/Var(S+R)) and F_t = max(0, "
+    "1 − Var(R)/Var(T+R)) on the SAME decomposition as "
+    "q_seasonal_decompose — the scalar the monitoring layer thresholds "
+    "to decide if a series deserves seasonal modeling at all. The raw "
+    "variance RATIOS would compound float noise, so every component "
+    "(R, S+R, T+R and their squares) is stable_rounded then DECIMAL-"
+    "quantized before the moment sums; the strengths are one "
+    "fixed-order expression per ticker on exact sums. Adds ONE hash "
+    "aggregate on top of the decompose plan's two shuffles.",
+)
+def q_seasonality_strength(spark, sf_dir):
+    from ..operators.timeseries import seasonal_decompose
+
+    out = seasonal_decompose(_daily_bars(spark, sf_dir), period=7)
+    seasonal6 = F.round("seasonal", 6)
+    r = F.round(F.col("close") - F.col("trend") - seasonal6, 6)
+    sr = F.round(F.col("close") - F.col("trend"), 6)
+    tr = F.round(F.col("close") - seasonal6, 6)
+
+    def sq(x):
+        return stable_round(x * x, 12).cast("decimal(38,12)")
+
+    comp = out.where(F.col("trend").isNotNull()).select(
+        "ticker",
+        r.cast("decimal(28,6)").alias("r"),
+        sr.cast("decimal(28,6)").alias("sr"),
+        tr.cast("decimal(28,6)").alias("tr"),
+        sq(F.col("close") - F.col("trend") - seasonal6).alias("r2"),
+        sq(F.col("close") - F.col("trend")).alias("sr2"),
+        sq(F.col("close") - seasonal6).alias("tr2"),
+    )
+    m = comp.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(c).cast("double").alias(f"s_{c}")
+            for c in ("r", "r2", "sr", "sr2", "tr", "tr2")
+        ],
+    )
+    n = F.col("n")
+
+    def var(s, s2):
+        return F.col(s2) - F.col(s) * F.col(s) / n
+
+    v_r = var("s_r", "s_r2")
+    v_sr = var("s_sr", "s_sr2")
+    v_tr = var("s_tr", "s_tr2")
+    return (
+        m.where(n > 1)
+        .select(
+            "ticker",
+            n.cast("long").alias("n_obs"),
+            F.when(
+                v_sr > 0,
+                stable_round(F.greatest(F.lit(0.0), 1.0 - v_r / v_sr), 6),
+            ).alias("seasonal_strength"),
+            F.when(
+                v_tr > 0,
+                stable_round(F.greatest(F.lit(0.0), 1.0 - v_r / v_tr), 6),
+            ).alias("trend_strength"),
+        )
+        .orderBy("ticker")
+    )
