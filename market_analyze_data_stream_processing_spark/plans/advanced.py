@@ -3038,7 +3038,7 @@ def q_event_paths(spark, sf_dir):
     ), ranked AS (
         SELECT event_type, gap_us,
                row_number() OVER (PARTITION BY event_type
-                                  ORDER BY gap_us, gap_us) AS rn,
+                                  ORDER BY gap_us) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
         FROM g
     )
@@ -3076,7 +3076,9 @@ def q_interarrival(spark, sf_dir):
     ranked = gaps.select(
         "event_type",
         "gap_us",
-        F.row_number().over(seg.orderBy("gap_us", "gap_us")).alias("rn"),
+        # ties on gap_us are interchangeable for a rank-picked VALUE,
+        # so no further tiebreak is needed for determinism
+        F.row_number().over(seg.orderBy("gap_us")).alias("rn"),
         F.count(F.lit(1)).over(seg).alias("n"),
     ).withColumn("max_n", F.max("n").over(seg))
     return (
