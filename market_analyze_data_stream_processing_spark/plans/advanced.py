@@ -3360,3 +3360,69 @@ def q_sla_compliance(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+_SKEW_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+@register(
+    "q_key_skew",
+    """
+    WITH per_key AS (
+        SELECT CASE WHEN grouping(l_orderkey) = 0 THEN 'l_orderkey'
+                    WHEN grouping(l_partkey)  = 0 THEN 'l_partkey'
+                    ELSE 'l_suppkey' END AS key_col,
+               count(*) AS c
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_orderkey), (l_partkey), (l_suppkey))
+    )
+    SELECT key_col,
+           count(*) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           floor(CAST(sum(c) AS DOUBLE) / count(*) * 100 + 0.5) / 100
+               AS avg_rows,
+           floor(max(c) / (CAST(sum(c) AS DOUBLE) / count(*)) * 10000 + 0.5)
+               / 10000 AS skew_ratio
+    FROM per_key GROUP BY key_col ORDER BY key_col
+    """,
+    doc="Join/shuffle-key skew diagnostic: for each candidate key "
+    "column of the fact table, the per-key row-count distribution "
+    "(distinct keys, max, mean, and max/mean skew ratio) — the "
+    "pre-flight report that decides between a plain shuffle join, "
+    "broadcast, or the salted lowering (operators/skew.py) BEFORE "
+    "burning a 100 TB shuffle on a hot key. GROUPING SETS computes "
+    "all three per-key count tables in ONE fact-table pass (one "
+    "Expand+HashAggregate — the q_multi_rollup shape), each reduced "
+    "to one summary row; counts exact LONGs, the ratio one "
+    "fixed-order double per row.",
+)
+def q_key_skew(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    # grouping() is only legal inside the grouping-sets aggregate, so
+    # emit the masks there and derive the key label from them after.
+    per_key = li.groupingSets([[c] for c in _SKEW_COLS], *_SKEW_COLS).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.grouping("l_orderkey").alias("g_o"),
+        F.grouping("l_partkey").alias("g_p"),
+    )
+    key_col = (
+        F.when(F.col("g_o") == 0, "l_orderkey")
+        .when(F.col("g_p") == 0, "l_partkey")
+        .otherwise("l_suppkey")
+    )
+    return (
+        per_key.select(key_col.alias("key_col"), "c")
+        .groupBy("key_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").cast("long").alias("max_rows"),
+            stable_round(
+                F.sum("c").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_rows"),
+            stable_round(
+                F.max("c") / (F.sum("c").cast("double") / F.count(F.lit(1))),
+                4,
+            ).alias("skew_ratio"),
+        )
+        .orderBy("key_col")
+    )

@@ -2162,3 +2162,67 @@ def q_ngram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_lang_confusion",
+    r"""
+    WITH h AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS h_en,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS h_de,
+               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pas|pour|que|dans)\b')) AS h_fr,
+               len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|para|con|del|como)\b')) AS h_es
+        FROM documents
+    ), pred AS (
+        SELECT lang AS actual_lang,
+               CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                    WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                    WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                    WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+               END AS pred_lang
+        FROM h
+    ), cells AS (
+        SELECT actual_lang, pred_lang, count(*) AS n
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT actual_lang, pred_lang, CAST(n AS BIGINT) AS n,
+           floor(n / CAST(sum(n) OVER (PARTITION BY actual_lang) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS recall_share,
+           floor(n / CAST(sum(n) OVER (PARTITION BY pred_lang) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS precision_share
+    FROM cells ORDER BY actual_lang, pred_lang
+    """,
+    doc="Classifier evaluation matrix: the lang-ID heuristic's full "
+    "confusion matrix against the labeled lang column, each cell "
+    "annotated with its recall share (within the actual language) and "
+    "precision share (within the prediction) — the per-class "
+    "diagnostics behind every auto-labeling QA report, computed on the "
+    "O(langs²) grid after ONE corpus scan + one hash aggregate. "
+    "Counts exact; two normalizing windows run on the tiny grid.",
+)
+def q_lang_confusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("actual_lang"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+    )
+    cells = pred.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wa = Window.partitionBy("actual_lang")
+    wp = Window.partitionBy("pred_lang")
+    return cells.select(
+        "actual_lang",
+        "pred_lang",
+        F.col("n").cast("long").alias("n"),
+        stable_round(F.col("n") / F.sum("n").over(wa).cast("double"), 6).alias(
+            "recall_share"
+        ),
+        stable_round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias(
+            "precision_share"
+        ),
+    ).orderBy("actual_lang", "pred_lang")
