@@ -23,11 +23,11 @@ from . import profiling  # noqa: E402,F401
 # driver row within a few rounds. Round-8 final front (from
 # tools/rotate_front.py; only hash-green rows count as evidence): all
 # 50 slots are never-driver-sampled queries (late round-7
-# registrations + the round-8 additions through q_ljung_box,
-# alphabetically). 51 further never-sampled names (q_macd ..
-# q_williams_mfi) did not fit — they lead the round-9 rotation ahead
-# of the r05/r06 stale tail; every one is green on the local oracle
-# replica (tools/verify_local.py, full-registry sweep).
+# registrations + the round-8 additions, alphabetically through
+# q_last_touch). The remaining never-sampled names did not fit — they
+# lead the round-9 rotation ahead of the r05/r06 stale tail; every one
+# is green on the local oracle replica (tools/verify_local.py,
+# full-registry sweep).
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
 # expose the same full set.
 _SWEEP_FRONT = [
@@ -76,12 +76,12 @@ _SWEEP_FRONT = [
     "q_intraday_profile",
     "q_kaplan_meier",
     "q_keltner",
+    "q_key_skew",
     "q_kll_quantile_merge",
     "q_ks_drift",
     "q_kyle_lambda",
+    "q_lang_confusion",
     "q_last_touch",
-    "q_lead_lag",
-    "q_ljung_box",
 ]
 
 
