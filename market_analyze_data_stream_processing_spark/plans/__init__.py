@@ -24,7 +24,7 @@ from . import profiling  # noqa: E402,F401
 # tools/rotate_front.py; only hash-green rows count as evidence): all
 # 50 slots are never-driver-sampled queries (late round-7
 # registrations + the round-8 additions, alphabetically through
-# q_last_touch). The remaining never-sampled names did not fit — they
+# q_lang_confusion). The remaining never-sampled names did not fit — they
 # lead the round-9 rotation ahead of the r05/r06 stale tail; every one
 # is green on the local oracle replica (tools/verify_local.py,
 # full-registry sweep).
@@ -70,6 +70,7 @@ _SWEEP_FRONT = [
     "q_group_mode",
     "q_heavy_hitters",
     "q_hhi",
+    "q_higher_moments",
     "q_hurst",
     "q_ichimoku",
     "q_interarrival",
@@ -81,7 +82,6 @@ _SWEEP_FRONT = [
     "q_ks_drift",
     "q_kyle_lambda",
     "q_lang_confusion",
-    "q_last_touch",
 ]
 
 

@@ -4566,3 +4566,114 @@ def q_seasonality_strength(spark, sf_dir):
         )
         .orderBy("ticker")
     )
+
+
+@register(
+    "q_higher_moments",
+    _DAILYBARS_CTE
+    + """
+    , r AS (
+        SELECT ticker,
+               CAST(CASE WHEN close > 0 AND lag(close) OVER w > 0
+                    THEN floor(ln(close / lag(close) OVER w)
+                               * 1000000000000 + 0.5) / 1000000000000
+                    END AS DECIMAL(28,12)) AS r
+        FROM dailybars
+        WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), m AS (
+        SELECT ticker, count(r) AS n,
+               CAST(sum(r) AS DOUBLE) AS s1,
+               CAST(sum(CAST(floor(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+                                   * 1000000000000 + 0.5) / 1000000000000
+                             AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(floor(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+                                   * CAST(r AS DOUBLE)
+                                   * 1000000000000 + 0.5) / 1000000000000
+                             AS DECIMAL(38,12))) AS DOUBLE) AS s3,
+               CAST(sum(CAST(floor(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+                                   * CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+                                   * 1000000000000 + 0.5) / 1000000000000
+                             AS DECIMAL(38,12))) AS DOUBLE) AS s4
+        FROM r WHERE r IS NOT NULL GROUP BY ticker
+    ), c AS (
+        SELECT ticker, n,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM m WHERE n > 3
+    )
+    SELECT ticker, CAST(n AS BIGINT) AS n_returns,
+           floor(m3 / (m2 * sqrt(m2)) * 1000000 + 0.5) / 1000000 AS skewness,
+           floor((m4 / (m2 * m2) - 3.0) * 1000000 + 0.5) / 1000000
+               AS excess_kurtosis,
+           floor(n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                            + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                              / 4.0)
+                 * 10000 + 0.5) / 10000 AS jarque_bera,
+           CAST(n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                           + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                             / 4.0) > 5.9915 AS INT) AS reject_normal_5pct
+    FROM c WHERE m2 > 0 ORDER BY ticker
+    """,
+    doc="Higher-moment return statistics per ticker: population "
+    "skewness, excess kurtosis, and the Jarque–Bera normality test "
+    "with the χ²(2) 5%% rejection flag (5.9915) — fat tails and "
+    "asymmetry are what the Gaussian risk models (q_sharpe, "
+    "q_var_cvar's parametric cousins) silently assume away. Log "
+    "returns and every power term r², r³, r⁴ are stable_rounded to "
+    "12dp and DECIMAL-quantized before the moment sums (the cast-"
+    "divergence discipline), so all four sums are exact and the "
+    "central-moment algebra is one fixed-order expression per ticker. "
+    "One window lag + ONE hash aggregate.",
+)
+def q_higher_moments(spark, sf_dir):
+    d = _daily_bars(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy("day")
+    prev = F.lag("close").over(w)
+    r = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        stable_round(F.log(F.col("close") / prev), 12),
+    ).cast("decimal(28,12)")
+    rd = d.select("ticker", r.alias("r")).where(F.col("r").isNotNull())
+    x = F.col("r").cast("double")
+
+    def p(e):
+        return F.sum(stable_round(e, 12).cast("decimal(38,12)")).cast("double")
+
+    m = rd.groupBy("ticker").agg(
+        F.count("r").alias("n"),
+        F.sum("r").cast("double").alias("s1"),
+        p(x * x).alias("s2"),
+        p(x * x * x).alias("s3"),
+        p(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3.0 * mu * (F.col("s2") / n) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mu * (F.col("s3") / n)
+        + 6.0 * mu * mu * (F.col("s2") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    return (
+        m.where((n > 3))
+        .withColumn("__m2", m2)
+        .where(F.col("__m2") > 0)
+        .select(
+            "ticker",
+            n.cast("long").alias("n_returns"),
+            stable_round(skew, 6).alias("skewness"),
+            stable_round(exk, 6).alias("excess_kurtosis"),
+            stable_round(jb, 4).alias("jarque_bera"),
+            (jb > 5.9915).cast("int").alias("reject_normal_5pct"),
+        )
+        .orderBy("ticker")
+    )
