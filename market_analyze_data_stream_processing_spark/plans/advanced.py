@@ -3426,3 +3426,68 @@ def q_key_skew(spark, sf_dir):
         )
         .orderBy("key_col")
     )
+
+
+@register(
+    "q_mutual_information",
+    """
+    WITH cells AS (
+        SELECT event_type AS x, CAST(hour(ts) >= 12 AS INT) AS y,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (SELECT sum(n) AS t FROM cells),
+    marg AS (
+        SELECT x, y, n, t,
+               sum(n) OVER (PARTITION BY x) AS nx,
+               sum(n) OVER (PARTITION BY y) AS ny
+        FROM cells, tot
+    ), terms AS (
+        SELECT CAST((n / CAST(t AS DOUBLE))
+                    * ln((n / CAST(t AS DOUBLE))
+                         / ((nx / CAST(t AS DOUBLE))
+                            * (ny / CAST(t AS DOUBLE))))
+                    AS DECIMAL(28,12)) AS term
+        FROM marg
+    )
+    SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+           floor(CAST(sum(term) AS DOUBLE) * 1000000000 + 0.5) / 1000000000
+               AS mutual_info_nats
+    FROM terms
+    """,
+    doc="Mutual information between two categorical views of the event "
+    "stream (event type × AM/PM half-day): I(X;Y) = Σ p(x,y)·"
+    "ln(p(x,y)/(p(x)p(y))) — the dependence/feature-relevance "
+    "primitive behind feature selection and leakage audits. One hash "
+    "aggregate to the O(|X|·|Y|) contingency grid; marginals are "
+    "windows on that grid; each term is DECIMAL-quantized before the "
+    "final sum (order-insensitive); the grand total is a 1-row "
+    "contract scalar. Zero-count cells never materialize, and "
+    "0·ln(0) = 0 is exactly the convention their absence encodes.",
+)
+def q_mutual_information(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("x"),
+        (F.hour("ts") >= 12).cast("int").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("t"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    marg = cells.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "t",
+        F.sum("n").over(wx).alias("nx"),
+        F.sum("n").over(wy).alias("ny"),
+    )
+    p = F.col("n") / F.col("t").cast("double")
+    px = F.col("nx") / F.col("t").cast("double")
+    py = F.col("ny") / F.col("t").cast("double")
+    term = (p * F.log(p / (px * py))).cast("decimal(28,12)")
+    # one term row per contingency cell, so n_cells folds into the SAME
+    # aggregate — no eager driver-side count during plan construction
+    return marg.select(term.alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        stable_round(F.sum("term").cast("double"), 9).alias(
+            "mutual_info_nats"
+        ),
+    )

@@ -2226,3 +2226,76 @@ def q_lang_confusion(spark, sf_dir):
             "precision_share"
         ),
     ).orderBy("actual_lang", "pred_lang")
+
+
+@register(
+    "q_zipf_fit",
+    r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, count(*) AS f FROM toks GROUP BY tok
+    ), ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rk
+        FROM freq
+    ), pts AS (
+        SELECT CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(28,12)) AS x,
+               CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(28,12)) AS y,
+               CAST(floor(ln(CAST(rk AS DOUBLE)) * ln(CAST(f AS DOUBLE))
+                          * 1000000000000 + 0.5) / 1000000000000
+                    AS DECIMAL(38,12)) AS xy,
+               CAST(floor(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+                          * 1000000000000 + 0.5) / 1000000000000
+                    AS DECIMAL(38,12)) AS xx
+        FROM ranked WHERE rk <= 30
+    )
+    SELECT count(*)::BIGINT AS n_points,
+           floor((count(*) * CAST(sum(xy) AS DOUBLE)
+                  - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+                 / (count(*) * CAST(sum(xx) AS DOUBLE)
+                    - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS zipf_slope
+    FROM pts
+    """,
+    doc="Zipf's-law fit: the least-squares slope of ln(frequency) on "
+    "ln(rank) over the top-30 corpus tokens (a natural corpus follows "
+    "slope ≈ −1; a synthetic or templated one deviates — the "
+    "distributional-health check beside q_token_frequency's raw "
+    "table). Rank ties break by token, so the point set is total-"
+    "ordered; every fit moment (x, y, xy, x²) is stable_rounded and "
+    "DECIMAL-quantized before the sums. One vocab aggregate + one "
+    "top-k rank window on the Zipf-small frequency table.",
+)
+def q_zipf_fit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    import market_analyze_data_stream_processing_spark.functions.text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    rk = Window.orderBy(F.desc("f"), "tok")
+    ranked = freq.withColumn("rk", F.row_number().over(rk)).where(
+        F.col("rk") <= 30
+    )
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("f").cast("double"))
+    pts = ranked.select(
+        x.cast("decimal(28,12)").alias("x"),
+        y.cast("decimal(28,12)").alias("y"),
+        stable_round(x * y, 12).cast("decimal(38,12)").alias("xy"),
+        stable_round(x * x, 12).cast("decimal(38,12)").alias("xx"),
+    )
+    n = F.count(F.lit(1))
+    slope = (
+        n * F.sum("xy").cast("double")
+        - F.sum("x").cast("double") * F.sum("y").cast("double")
+    ) / (
+        n * F.sum("xx").cast("double")
+        - F.sum("x").cast("double") * F.sum("x").cast("double")
+    )
+    return pts.agg(
+        n.cast("long").alias("n_points"),
+        stable_round(slope, 6).alias("zipf_slope"),
+    )

@@ -136,6 +136,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_kaplan_meier": {
         "NLJ": "1-row cohort-size aggregate broadcast (initial risk set)",
     },
+    "q_mutual_information": {
+        "NLJ": "1-row grand-total aggregate broadcast (probability denominator)",
+    },
     # (q_kmeans_clusters' former NLJ entry was removed in round 7: its
     # quality contract is now collected eagerly from the cached
     # assignment, so the returned plan is a plain count — no join.)
