@@ -58,3 +58,44 @@ def test_triangle_count_k4_and_square(spark):
     # 4-cycle without diagonals: no triangles at all
     sq = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "A")]
     assert triangle_count(_edges(spark, sq)).count() == 0
+
+
+def test_node_overlap_jaccard_and_df_cap(spark):
+    from market_analyze_data_stream_processing_spark.operators.graph import (
+        node_overlap,
+    )
+
+    def m(rows):
+        return spark.createDataFrame(rows, "node string, item long")
+
+    # A={1,2,3}, B={2,3,4}: common 2, union 4 -> jaccard 0.5;
+    # C={9} shares nothing. Duplicate membership rows must collapse.
+    rows = [("A", 1), ("A", 2), ("A", 3), ("A", 3),
+            ("B", 2), ("B", 3), ("B", 4), ("C", 9)]
+    out = node_overlap(m(rows), max_item_df=10, top_k=5).collect()
+    assert [(r["a"], r["b"]) for r in out] == [("A", "B")]
+    (r,) = out
+    assert (r["common"], r["na"], r["nb"]) == (2, 3, 3)
+    assert abs(r["jaccard"] - 0.5) < 1e-12
+
+    # df cap: item 2 touches 3 nodes -> pruned at max_item_df=2, so the
+    # only surviving pair evidence is item 3 (A,B); sizes stay UNpruned.
+    rows2 = [("A", 2), ("A", 3), ("B", 2), ("B", 3), ("C", 2)]
+    out2 = node_overlap(m(rows2), max_item_df=2, top_k=5).collect()
+    assert [(r["a"], r["b"], r["common"]) for r in out2] == [("A", "B", 1)]
+    # jaccard uses unpruned sizes: 1 / (2 + 2 - 1)
+    assert abs(out2[0]["jaccard"] - 1 / 3) < 1e-6
+
+
+def test_node_overlap_topk_tiebreak_is_deterministic(spark):
+    from market_analyze_data_stream_processing_spark.operators.graph import (
+        node_overlap,
+    )
+
+    # three disjoint pairs with IDENTICAL jaccard: top-2 must pick the
+    # (a, b)-lexicographic first two, every run
+    rows = [(n, i) for k, n in enumerate("ABCDEF")
+            for i in (100 * (k // 2), 100 * (k // 2) + 1)]
+    df = spark.createDataFrame(rows, "node string, item long")
+    out = node_overlap(df, max_item_df=10, top_k=2).collect()
+    assert [(r["a"], r["b"]) for r in out] == [("A", "B"), ("C", "D")]
