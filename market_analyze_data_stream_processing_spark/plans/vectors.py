@@ -539,7 +539,13 @@ def q_quantize_embeddings(spark, sf_dir):
         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
         FROM embeddings, range(1, 65) AS r(i)
     ), g AS (
-        SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+        -- mirror of operators/linalg.py GRAM_SCALE quantization: every
+        -- per-row product hits the same 1e-8 integer grid (IEEE double
+        -- floor(p*1e8+0.5) on both sides) before summation, so the
+        -- fold order can't move the total.
+        SELECT a.i AS i, b.i AS j,
+               CAST(sum(CAST(floor(a.x * b.x * 1e8 + 0.5)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1e8 AS g
         FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         GROUP BY a.i, b.i
     ), s AS (
@@ -557,11 +563,14 @@ def q_quantize_embeddings(spark, sf_dir):
     doc="Sample covariance matrix of the embedding columns (upper "
     "triangle, 1-based dims) — the PCA/whitening/Mahalanobis building "
     "block. The cross-moment matrix accumulates as per-partition numpy "
-    "X^T X partials (one d*d float64 per task, <= d(d+1)/2 rows "
-    "emitted each) — NOT the d-squared-per-vector explode join the "
-    "oracle uses, which would be a 4096x row blowup at 100 TB; column "
-    "sums are one DECIMAL-exact posexplode aggregate and n is a 1-row "
-    "broadcast. operators/linalg.py.",
+    "partials (one d*d int64 per task, <= d(d+1)/2 rows emitted each) "
+    "— NOT the d-squared-per-vector explode join the oracle uses, "
+    "which would be a 4096x row blowup at 100 TB. Per the repo float "
+    "discipline, every product is quantized to the 1e-8 integer grid "
+    "BEFORE summation (exact, partition-order-independent; the oracle "
+    "CTE applies the identical floor(p*1e8+0.5)); column sums are one "
+    "DECIMAL-exact posexplode aggregate and n is a 1-row broadcast. "
+    "operators/linalg.py.",
 )
 def q_embedding_covariance(spark, sf_dir):
     from ..operators.linalg import covariance_matrix

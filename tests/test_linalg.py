@@ -15,7 +15,10 @@ def test_covariance_matches_numpy_and_partitioning(spark):
     X = rng.randn(40, 5).astype(np.float32)
     rows = [(i, [float(v) for v in X[i]]) for i in range(40)]
     ref = np.cov(X.astype(np.float64), rowvar=False, ddof=1)
-    for parts in (1, 6):
+    # the 1e-8 product-grid quantization bounds |cov error| by
+    # rows·0.5e-8/(n-1) ~ 5e-9 here; correctness bar is 1e-7
+    by_parts = {}
+    for parts in (1, 6, 7):
         df = spark.createDataFrame(
             rows, "vec_id long, embedding array<float>"
         ).repartition(parts)
@@ -24,7 +27,14 @@ def test_covariance_matches_numpy_and_partitioning(spark):
         for r in out:
             i, j = r["i"] - 1, r["j"] - 1
             assert r["n"] == 40
-            assert abs(r["cov"] - ref[i, j]) < 1e-9, (i, j, parts)
+            assert abs(r["cov"] - ref[i, j]) < 1e-7, (i, j, parts)
+        by_parts[parts] = sorted(
+            (r["i"], r["j"], r["n"], r["cov"]) for r in out
+        )
+    # reproducibility contract (the r08 driver-hash lesson): the
+    # quantized integer Gram makes the output BYTE-IDENTICAL under any
+    # partitioning — not merely close.
+    assert by_parts[1] == by_parts[6] == by_parts[7]
 
 
 def test_pca_matches_numpy_and_projects_jvm_side(spark):
