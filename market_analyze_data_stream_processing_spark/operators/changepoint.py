@@ -17,8 +17,10 @@ so P and its running min are exact and the subtraction is the only
 float step — bit-reproducible cross-engine (the q_atr discipline).
 
 The streaming twin (streaming/stateful.cusum_per_key_stateful) keeps
-exactly (P, min P) per key — O(1) state — and matches this operator
-bit for bit on the same data.
+exactly (P, min P) per key — O(1) state, as 1e-10-scaled integers on
+the SAME quantization grid as this operator's DECIMAL(28,10) cast
+(HALF_UP both sides) — and matches this operator bit for bit on the
+same data, pinned by tests/test_cusum.py's exact-parity assertion.
 """
 
 from __future__ import annotations

@@ -722,7 +722,10 @@ def with_cmf_adl(
     MFM·vol is cast to DECIMAL(28,8) so the ADL running sum and the
     CMF frame sums are exact and order-insensitive (the q_atr cast
     discipline). CMF(n) = Σn MFV / Σn vol with the volume sum in pure
-    LONG arithmetic; null until n bars exist. One (key, day)
+    LONG arithmetic; null until n bars exist, and null on an all-zero
+    n-bar volume sum (an undefined ratio — and an engine-dependent one:
+    Spark non-ANSI yields NULL on /0 while IEEE float engines yield
+    ±inf/NaN, so the gate keeps the semantics portable). One (key, day)
     shuffle+sort serves the running sums and every frame difference."""
     base = Window.partitionBy(key).orderBy(day)
     run = base.rowsBetween(Window.unboundedPreceding, 0)
@@ -740,7 +743,7 @@ def with_cmf_adl(
     c_n = c_run - F.coalesce(F.lag(c_run, n).over(base), F.lit(0))
     return (
         d.withColumn("adl", s_mfv.cast("double"))
-        .withColumn("cmf", F.when(c_n >= n, mfv_n / vol_n))
+        .withColumn("cmf", F.when((c_n >= n) & (vol_n != 0), mfv_n / vol_n))
         .drop("__mfv")
     )
 

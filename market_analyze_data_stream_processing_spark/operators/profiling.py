@@ -126,7 +126,11 @@ def ks_statistic(
     one (group)-partitioned window ordered by value forms both
     empirical CDFs cumulatively (counts stay in LONG — exact); the
     ratio/abs/max are order-insensitive. No sort of raw rows: the
-    window sorts the DISTINCT values only. Output is O(groups)."""
+    window sorts the DISTINCT values only. Output is O(groups).
+
+    A group present in only one period has no second CDF to compare:
+    ks_d is NULL (gated explicitly — Spark's NULL-on-/0 vs an IEEE
+    engine's NaN would otherwise diverge on that edge)."""
     from pyspark.sql import Window
 
     per_v = tagged.groupBy(group, value).agg(
@@ -140,7 +144,9 @@ def ks_statistic(
     cum_cur = F.sum("c_cur").over(run)
     n_ref = F.sum("c_ref").over(tot)
     n_cur = F.sum("c_cur").over(tot)
-    d = F.abs(cum_ref / n_ref - cum_cur / n_cur)
+    d = F.when(
+        (n_ref > 0) & (n_cur > 0), F.abs(cum_ref / n_ref - cum_cur / n_cur)
+    )
     return (
         per_v.select(group, n_ref.alias("n_ref"), n_cur.alias("n_cur"), d.alias("__d"))
         .groupBy(group)
@@ -225,15 +231,31 @@ def psi_from_counts(
     return psi
 
 
+def bucket_index(v, bucket_width: float, n_buckets: int) -> int:
+    """Total fixed-breakpoint bucketing: floor(v/width) clamped to
+    [0, n_buckets], defined for EVERY input. None/NaN route to the
+    overflow slot n_buckets — the same slot the batch psi_drift sends
+    NULLs to (``F.least(NULL, n)`` skips the null, then the clamp
+    lands on n_buckets); a pandas float column can't distinguish NULL
+    from NaN, so NaN follows the same path. ±inf clamp to the
+    respective edge slots instead of raising OverflowError."""
+    if v is None or v != v:
+        return n_buckets
+    if v == float("inf"):
+        return n_buckets
+    if v == float("-inf"):
+        return 0
+    return min(max(int(v // bucket_width), 0), n_buckets)
+
+
 def bucketize_counts(
     values, bucket_width: float, n_buckets: int
 ) -> list[int]:
     """Histogram a value iterable with psi_drift's fixed-breakpoint
-    bucketing (floor(v/width) clamped to [0, n_buckets]); driver-side
+    bucketing (``bucket_index`` — total, null/NaN-safe); driver-side
     helper for building the frozen reference histogram a drift monitor
     compares against."""
     counts = [0] * (n_buckets + 1)
     for v in values:
-        b = int(v // bucket_width)
-        counts[min(max(b, 0), n_buckets)] += 1
+        counts[bucket_index(v, bucket_width, n_buckets)] += 1
     return counts

@@ -590,17 +590,22 @@ def q_tfidf_top_tokens(spark, sf_dir):
     from ..functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # n_docs rides as a 1-row broadcast (the registry idiom), NOT a
+    # driver-side .count() — one job, one documents scan at any scale
+    n_row = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     return (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_row))
         .select(
             "token",
             "tf",
             "df",
             F.round(
-                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
             ).alias("tfidf"),
         )
         .orderBy(F.desc("tfidf"), "token")

@@ -3029,6 +3029,7 @@ def q_roc_cmo(spark, sf_dir):
     SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
            floor(CAST(s_mfv AS DOUBLE) * 1000000 + 0.5) / 1000000 AS adl,
            CASE WHEN c - coalesce(lag(c, 20) OVER base, 0) >= 20
+                 AND s_vol - coalesce(lag(s_vol, 20) OVER base, 0) <> 0
                 THEN floor(CAST(s_mfv - coalesce(lag(s_mfv, 20) OVER base, 0) AS DOUBLE)
                            / (s_vol - coalesce(lag(s_vol, 20) OVER base, 0))
                            * 1000000 + 0.5) / 1000000 END AS cmf
@@ -3041,7 +3042,9 @@ def q_roc_cmo(spark, sf_dir):
     "multiplier is a fixed-order double expression; MFM·vol is cast to "
     "DECIMAL(28,8) so the ADL cumulative sum and the CMF frame sums are "
     "exact and order-insensitive (the q_atr cast discipline); the "
-    "volume frame sum stays in LONG. CMF null until 20 bars exist.",
+    "volume frame sum stays in LONG. CMF null until 20 bars exist and "
+    "null on an all-zero 20-bar volume sum (Spark's NULL-on-/0 vs "
+    "IEEE ±inf would otherwise diverge engines on that edge).",
 )
 def q_cmf_adl(spark, sf_dir):
     from ..operators.indicators import with_cmf_adl

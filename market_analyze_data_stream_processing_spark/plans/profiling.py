@@ -143,9 +143,10 @@ def q_psi_drift(spark, sf_dir):
         SELECT grp,
                sum(c_ref) OVER tot AS n_ref,
                sum(c_cur) OVER tot AS n_cur,
-               abs(CAST(sum(c_ref) OVER run AS DOUBLE) / sum(c_ref) OVER tot
-                   - CAST(sum(c_cur) OVER run AS DOUBLE) / sum(c_cur) OVER tot)
-                   AS d
+               CASE WHEN sum(c_ref) OVER tot > 0 AND sum(c_cur) OVER tot > 0
+                    THEN abs(CAST(sum(c_ref) OVER run AS DOUBLE) / sum(c_ref) OVER tot
+                             - CAST(sum(c_cur) OVER run AS DOUBLE) / sum(c_cur) OVER tot)
+               END AS d
         FROM per_v
         WINDOW run AS (PARTITION BY grp ORDER BY value
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),

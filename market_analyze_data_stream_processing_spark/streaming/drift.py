@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..operators.profiling import psi_from_counts
+from ..operators.profiling import bucket_index, psi_from_counts
 
 DRIFT_OUTPUT_SCHEMA = StructType(
     [
@@ -67,8 +67,11 @@ def drift_monitor_stateful(
         counts = list(state.get[0]) if state.exists else [0] * n_slots
         for pdf in pdfs:
             for v in pdf[value]:
-                b = int(v // bucket_width)
-                counts[min(max(b, 0), n_buckets)] += 1
+                # bucket_index is total: a null/NaN value routes to the
+                # overflow slot instead of ValueError-ing the stream —
+                # the alert feed must be at least as robust as the
+                # pipeline it monitors.
+                counts[bucket_index(v, bucket_width, n_buckets)] += 1
         state.update((counts,))
         ref = list(ref_hists.get(key[0], [0] * n_slots))
         # Unknown key → all-zero reference: score over ALL slots, not

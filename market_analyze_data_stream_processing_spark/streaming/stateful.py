@@ -819,13 +819,18 @@ def scd2_stateful(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
     )
 
 
+# (P, min P) ride as 1e-10-scaled integers — the SAME grid the batch
+# operator's DECIMAL(28,10) cast quantizes to — so the prefix sums are
+# exact integer arithmetic and streaming/batch agree bit-for-bit, not
+# just to float tolerance. Long headroom: |P| up to ~9·10^8 in value
+# units before 2^63 nears (a control chart alarms ~h = 4σ long before).
 CUSUM_STATE_SCHEMA = StructType(
     [
         StructField("last_seq", LongType()),
-        StructField("p_up", DoubleType()),
-        StructField("min_up", DoubleType()),
-        StructField("p_dn", DoubleType()),
-        StructField("min_dn", DoubleType()),
+        StructField("p_up", LongType()),
+        StructField("min_up", LongType()),
+        StructField("p_dn", LongType()),
+        StructField("min_dn", LongType()),
     ]
 )
 
@@ -856,13 +861,32 @@ def cusum_per_key_stateful(
     side, (P, min P) — O(1) per key whatever the stream length; the
     recursion S_t = max(0, S_{t-1} + y_t) is never replayed. Keys
     absent from ``targets`` pass through with null scores (an uncharted
-    series can't alarm — surface it via the drift monitor instead)."""
+    series can't alarm — surface it via the drift monitor instead).
+
+    Exactness: each deviation is quantized to the 1e-10 grid with the
+    HALF_UP rounding of Spark's double→DECIMAL(28,10) cast. Spark's
+    ``Decimal.set(double)`` goes through Scala ``BigDecimal(double)`` =
+    ``Double.toString`` — the SHORTEST round-trip decimal string, not
+    the exact binary expansion — so the matching Python construction is
+    ``Decimal(repr(y))`` (Python repr is the same shortest-round-trip
+    algorithm), NOT ``Decimal(y)``. With that, (P, min P) accumulate as
+    scaled integers and this twin reproduces
+    ``operators.changepoint.with_cusum`` bit-for-bit, pinned by
+    tests/test_cusum.py's exact-parity assertion."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q10 = Decimal("1e-10")
+
+    def dec10(y: float) -> int:
+        return int(
+            Decimal(repr(y)).quantize(q10, rounding=ROUND_HALF_UP).scaleb(10)
+        )
 
     def fn(key, pdfs, state):
         import pandas as pd
 
         last_seq, p_up, min_up, p_dn, min_dn = (
-            state.get if state.exists else (-1, 0.0, 0.0, 0.0, 0.0)
+            state.get if state.exists else (-1, 0, 0, 0, 0)
         )
         tgt = targets.get(key[0])
         parts = [p for p in pdfs if not p.empty]
@@ -883,12 +907,18 @@ def cusum_per_key_stateful(
             mu, sigma = tgt
             k = k_sigma * sigma
             h = h_sigma * sigma
-            p_up += float(value) - mu - k
-            p_dn += mu - k - float(value)
+            p_up += dec10(float(value) - mu - k)
+            p_dn += dec10(mu - k - float(value))
             min_up = min(min_up, p_up)
             min_dn = min(min_dn, p_dn)
-            cu = p_up - min(0.0, min_up)
-            cd = p_dn - min(0.0, min_dn)
+            # Batch mirror, step 2: Spark types the final subtraction
+            # P − least(0, min P) as decimal(38,9) — the precision-loss
+            # rule trims one digit from dec(38,10)−dec(38,10) — so the
+            # exact int diff (always ≥ 0) gets one more HALF_UP round
+            # to the 1e-9 grid before the double cast; int/1e9 and
+            # DECIMAL(38,9)→double round the same rational identically.
+            cu = ((p_up - min(0, min_up)) + 5) // 10 / 1e9
+            cd = ((p_dn - min(0, min_dn)) + 5) // 10 / 1e9
             rows.append((key[0], int(seq), float(value), cu, cd,
                          int(cu > h), int(cd > h)))
         if not rows:

@@ -126,3 +126,17 @@ def test_cusum_stateful_parity_across_batches(spark, tmp_path):
         assert abs(rows[i]["cusum_up"] - su) < 1e-9, i
         assert abs(rows[i]["cusum_dn"] - sd) < 1e-9, i
         assert (rows[i]["alarm_up"], rows[i]["alarm_dn"]) == (au, ad)
+    # bit-for-bit parity with the batch operator: both quantize each
+    # deviation to the same 1e-10 HALF_UP grid before exact prefix
+    # accumulation, so equality here is ==, not a tolerance. (The test
+    # values' squares are decimal(38,8)-exact, so the batch's
+    # self-calibrated mu/sigma equal the floats frozen above.)
+    batch = {
+        r["day"]: r
+        for r in with_cusum(
+            _daily(spark, closes), k_sigma=0.5, h_sigma=1.0
+        ).collect()
+    }
+    for i, day in enumerate(sorted(batch)):
+        assert rows[i]["cusum_up"] == batch[day]["cusum_up"], i
+        assert rows[i]["cusum_dn"] == batch[day]["cusum_dn"], i

@@ -80,6 +80,30 @@ def test_drift_state_accumulates_across_batches(spark, tmp_path):
     assert abs(by_n[mid] - psi_from_counts(ref, bucketize_counts(prefix, 25.0, 3))) < 1e-12
 
 
+def test_drift_tolerates_null_and_nonfinite_values(spark, tmp_path):
+    """A null/NaN/inf value must not kill the streaming query — the
+    alert feed has to be at least as robust as the pipeline it
+    monitors. Null routes to the overflow slot (the batch twin's NULL
+    path) and still counts toward n_seen."""
+    rows = _run(
+        spark,
+        tmp_path,
+        [[("g", 5.0), ("g", None), ("g", float("nan")), ("g", float("inf"))]],
+    )
+    (r,) = rows
+    assert r["n_seen"] == 4
+    from market_analyze_data_stream_processing_spark.operators.profiling import (
+        bucket_index,
+    )
+
+    ref = bucketize_counts(REF_VALUES, 25.0, 3)
+    cur = [0] * 4
+    for v in [5.0, None, float("nan"), float("inf")]:
+        cur[bucket_index(v, 25.0, 3)] += 1
+    assert cur == [1, 0, 0, 3]  # null, NaN, inf all in the overflow slot
+    assert abs(r["psi"] - psi_from_counts(ref, cur)) < 1e-12
+
+
 def test_drift_unknown_key_scores_against_empty_reference(spark, tmp_path):
     rows = _run(spark, tmp_path, [[("novel", 5.0), ("novel", 5.0)]])
     (r,) = rows

@@ -355,6 +355,24 @@ def test_cmf_adl_flat_bar_and_frame(spark):
     assert abs(out["2024-01-03"]["cmf"] - (-200.0 / 250.0)) < 1e-9
 
 
+def test_cmf_null_on_zero_volume_window(spark):
+    """An all-zero n-bar volume sum leaves CMF undefined: explicit NULL
+    on every engine, never Spark-NULL-vs-IEEE-inf divergence."""
+    from market_analyze_data_stream_processing_spark.operators.indicators import with_cmf_adl
+
+    rows = [
+        ("A", "2024-01-01", 10.0, 8.0, 9.5, 0),
+        ("A", "2024-01-02", 12.0, 8.0, 8.0, 0),
+        ("A", "2024-01-03", 12.0, 8.0, 8.0, 100),  # mfm = -1
+    ]
+    out = {
+        r["day"].isoformat(): r
+        for r in with_cmf_adl(_daily(spark, rows, with_vol=True), n=2).collect()
+    }
+    assert out["2024-01-02"]["cmf"] is None  # full window, zero volume
+    assert abs(out["2024-01-03"]["cmf"] - (-100.0 / 100.0)) < 1e-9
+
+
 def test_ulcer_zero_at_new_highs_and_value(spark):
     from market_analyze_data_stream_processing_spark.operators.indicators import with_ulcer
 

@@ -62,6 +62,16 @@ def test_ks_zero_for_identical_samples(spark):
     assert out[0]["ks_d"] == 0.0
 
 
+def test_ks_single_period_group_is_null(spark):
+    """A group seen in only one period has no second CDF: ks_d must be
+    an explicit NULL, not an engine-dependent /0 artifact."""
+    rows = [("only_ref", 1.0, 0), ("only_ref", 2.0, 0), ("both", 1.0, 0), ("both", 1.0, 1)]
+    out = {r["grp"]: r for r in ks_statistic(_tagged(spark, rows)).collect()}
+    assert out["only_ref"]["n_ref"] == 2 and out["only_ref"]["n_cur"] == 0
+    assert out["only_ref"]["ks_d"] is None
+    assert out["both"]["ks_d"] == 0.0
+
+
 def test_chi2_balanced_mix_is_zero(spark):
     # both categories split 50/50 across periods -> observed == expected
     rows = [(g, 0.0, p) for g in ("a", "b") for p in (0, 1) for _ in range(3)]

@@ -112,6 +112,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_embedding_covariance": {
         "NLJ": "1-row vector-count aggregate broadcast (covariance denominator)",
     },
+    "q_tfidf_top_tokens": {
+        "NLJ": "1-row document-count aggregate broadcast (IDF denominator) — "
+        "the fix FOR the driver-side .count() double scan (VERDICT r8)",
+    },
     "q_portfolio_return": {
         "NLJ": "1-row total-dollar-volume aggregate broadcast (weight denominator)",
         "GLOBAL_WIN": "growth compounding runs on the PER-DAY frame (one row "
