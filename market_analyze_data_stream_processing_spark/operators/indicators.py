@@ -760,12 +760,15 @@ def with_ulcer(
     (the Donchian lowering — no running-sum shortcut exists for max);
     drawdown dd = 100·(close/maxn − 1) ≤ 0 is a fixed-order double, and
     dd² is cast to DECIMAL(28,8) so the n-period mean rides the exact
-    running-sum difference. Null until n bars exist. One (key, day)
-    shuffle+sort serves the frame max, the running sum, and the lags."""
+    running-sum difference. Null until n bars exist; a zero rolling
+    high (all-zero closes in frame) nulls the bar's dd² — undefined,
+    and the explicit gate is what DuckDB's NULL-on-/0 does implicitly
+    while ANSI Spark would DIVIDE_BY_ZERO. One (key, day) shuffle+sort
+    serves the frame max, the running sum, and the lags."""
     base = Window.partitionBy(key).orderBy(day)
     frame = base.rowsBetween(-(n - 1), 0)
     maxn = F.max(close).over(frame)
-    dd = (F.col(close) / maxn - 1.0) * 100.0
+    dd = F.when(maxn != 0, (F.col(close) / maxn - 1.0) * 100.0)
     d = daily.withColumn("__dd2", (dd * dd).cast("decimal(28,8)"))
     run = base.rowsBetween(Window.unboundedPreceding, 0)
     s = F.sum("__dd2").over(run)

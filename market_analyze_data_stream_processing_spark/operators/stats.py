@@ -1,0 +1,113 @@
+"""Total, engine-portable Pearson correlation lowering.
+
+Spark's ``corr()`` aggregate divides by ``sqrt(M2x · M2y)`` with NO
+zero gate — under ANSI mode (the Spark 4 default, and the driver's
+vanilla-session reality) a zero-variance group is a DIVIDE_BY_ZERO
+crash, and DuckDB's ``corr()`` returns NULL on the same input, so the
+built-in is banned from oracle-checked plans (found by the round-9
+adversarial-data differential: a flat-price ticker crashed q_autocorr,
+q_ljung_box, q_lead_lag, q_risk_report, and q_stats_agg).
+
+This kernel lowers Pearson to moment sums over a FIXED quantization
+grid plus one fixed-order double expression, gated total:
+
+- inputs are quantized to a DECIMAL grid (Spark double→DECIMAL and
+  DuckDB CAST round the same way), so every cross-row sum is exact
+  integer arithmetic — order-independent (the STABILITY.md discipline)
+  and bit-identical across engines;
+- cross products are one IEEE multiply of the two quantized doubles
+  (bit-identical on both engines) re-quantized to the product grid;
+- the final correlation is emitted ONLY when n ≥ 2 and both variance
+  terms are strictly positive — zero variance, single pairs, and empty
+  groups yield NULL on every engine instead of a crash / NaN / ±inf.
+
+Both the Spark aggregate columns and the mirroring oracle-SQL snippets
+are generated here so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: default input grid: 1e-12 quantization, |x| up to 1e16
+GRID = "decimal(28,12)"
+#: default product grid: the double product of two grid values rounds
+#: to 1e-12 identically on both engines; (38,12) leaves 1e26 headroom
+#: for the cross-partition sum
+PROD_GRID = "decimal(38,12)"
+
+
+def corr_moment_aggs(
+    xq: Column, yq: Column, prefix: str, prod_grid: str = PROD_GRID
+) -> list[Column]:
+    """Aggregate columns for the exact Pearson moments of the pair
+    (xq, yq) — both must already be DECIMAL-quantized columns (nullable;
+    a null on either side drops the PAIR from every moment, the
+    complete-pairs semantics shared with SQL ``corr``). Emits
+    ``{prefix}_n/sx/sy/sxy/sxx/syy``."""
+    m = xq.isNotNull() & yq.isNotNull()
+    xd, yd = xq.cast("double"), yq.cast("double")
+
+    def prod(a: Column, b: Column) -> Column:
+        return F.when(m, (a * b).cast(prod_grid))
+
+    return [
+        F.sum(m.cast("long")).alias(f"{prefix}_n"),
+        F.sum(F.when(m, xq)).alias(f"{prefix}_sx"),
+        F.sum(F.when(m, yq)).alias(f"{prefix}_sy"),
+        F.sum(prod(xd, yd)).alias(f"{prefix}_sxy"),
+        F.sum(prod(xd, xd)).alias(f"{prefix}_sxx"),
+        F.sum(prod(yd, yd)).alias(f"{prefix}_syy"),
+    ]
+
+
+def corr_from_moments(prefix: str) -> Column:
+    """Gated Pearson from the ``corr_moment_aggs`` columns: NULL unless
+    n ≥ 2 and both variance terms are strictly positive. Fixed-order
+    double expression — bit-identical to the SQL twin."""
+    n = F.col(f"{prefix}_n").cast("double")
+    sx = F.col(f"{prefix}_sx").cast("double")
+    sy = F.col(f"{prefix}_sy").cast("double")
+    sxy = F.col(f"{prefix}_sxy").cast("double")
+    sxx = F.col(f"{prefix}_sxx").cast("double")
+    syy = F.col(f"{prefix}_syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return F.when(
+        (F.col(f"{prefix}_n") >= 2) & (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+
+
+def corr_moments_sql(
+    x: str, y: str, prefix: str, prod_grid: str = "DECIMAL(38,12)"
+) -> str:
+    """Oracle select-list snippet mirroring ``corr_moment_aggs``.
+    ``x``/``y`` are SQL expressions for the ALREADY-quantized decimal
+    inputs (evaluated once per moment — keep them simple columns)."""
+    m = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+    xd, yd = f"CAST({x} AS DOUBLE)", f"CAST({y} AS DOUBLE)"
+    return (
+        f"sum(CASE WHEN {m} THEN 1 ELSE 0 END) AS {prefix}_n,\n"
+        f"sum(CASE WHEN {m} THEN {x} END) AS {prefix}_sx,\n"
+        f"sum(CASE WHEN {m} THEN {y} END) AS {prefix}_sy,\n"
+        f"sum(CASE WHEN {m} THEN CAST({xd} * {yd} AS {prod_grid}) END) AS {prefix}_sxy,\n"
+        f"sum(CASE WHEN {m} THEN CAST({xd} * {xd} AS {prod_grid}) END) AS {prefix}_sxx,\n"
+        f"sum(CASE WHEN {m} THEN CAST({yd} * {yd} AS {prod_grid}) END) AS {prefix}_syy"
+    )
+
+
+def corr_value_sql(prefix: str) -> str:
+    """Oracle expression mirroring ``corr_from_moments`` over the
+    ``corr_moments_sql`` columns (reference them from an inner SELECT)."""
+    n = f"CAST({prefix}_n AS DOUBLE)"
+    sx, sy = f"CAST({prefix}_sx AS DOUBLE)", f"CAST({prefix}_sy AS DOUBLE)"
+    sxy = f"CAST({prefix}_sxy AS DOUBLE)"
+    sxx, syy = f"CAST({prefix}_sxx AS DOUBLE)", f"CAST({prefix}_syy AS DOUBLE)"
+    vx = f"({n} * {sxx} - {sx} * {sx})"
+    vy = f"({n} * {syy} - {sy} * {sy})"
+    return (
+        f"CASE WHEN {prefix}_n >= 2 AND {vx} > 0 AND {vy} > 0 "
+        f"THEN ({n} * {sxy} - {sx} * {sy}) / (sqrt({vx}) * sqrt({vy})) END"
+    )

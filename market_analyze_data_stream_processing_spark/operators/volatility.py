@@ -84,22 +84,44 @@ def return_autocorr(
     per key with an ``acf_<k>`` column per lag.
 
     Returns r_t = ln(C_t / C_{t-1}) come from one (key, day) window
-    pass; each ACF is the sample Pearson correlation of (r_t, r_{t-k})
-    — a built-in ``corr`` aggregate, so all lags fold into ONE hash
-    aggregate after the single window shuffle. Pairs where either side
-    is null (series head) drop out of that lag's correlation only.
+    pass, gated on both closes being positive (a zero close leaves the
+    return undefined: NULL, never an ANSI DIVIDE_BY_ZERO / ln(0)
+    crash) and quantized to the 1e-12 DECIMAL grid. Each ACF is the
+    sample Pearson of (r_t, r_{t-k}) lowered through the exact-moment
+    kernel (operators/stats.py) — NOT the built-in ``corr``, which
+    crashes under ANSI on a zero-variance series — so all lags still
+    fold into ONE hash aggregate after the single window shuffle, the
+    moments are order-independent, and a flat series yields NULL ACFs
+    on every engine. Pairs where either side is null (series head,
+    zero-close gaps) drop out of that lag's correlation only.
     """
+    from .stats import GRID, corr_from_moments, corr_moment_aggs
+
     base = Window.partitionBy(key).orderBy(day)
-    r = F.log(F.col(close) / F.lag(close).over(base))
+    prev = F.lag(close).over(base)
+    r = F.when(
+        (F.col(close) > 0) & (prev > 0), F.log(F.col(close) / prev)
+    ).cast(GRID)
     with_r = daily.withColumn("__r", r)
-    # corr is an aggregate, not a window fn: materialize the lagged
-    # columns first, then aggregate — still one window pass + one agg.
+    # the moments are aggregates, not window fns: materialize the
+    # lagged columns first, then aggregate — one window pass + one agg.
     lagged = with_r.withColumns(
         {f"__r_{k}": F.lag("__r", k).over(base) for k in lags}
     )
-    return lagged.groupBy(key).agg(
+    m = lagged.groupBy(key).agg(
         F.count("__r").alias("n_returns"),
-        *[F.corr(F.col("__r"), F.col(f"__r_{k}")).alias(f"acf_{k}") for k in lags],
+        *[
+            c
+            for k in lags
+            for c in corr_moment_aggs(
+                F.col("__r"), F.col(f"__r_{k}"), f"l{k}"
+            )
+        ],
+    )
+    return m.select(
+        key,
+        "n_returns",
+        *[corr_from_moments(f"l{k}").alias(f"acf_{k}") for k in lags],
     )
 
 
@@ -115,18 +137,22 @@ def sharpe_ratio(
 ) -> DataFrame:
     """Per-key annualized Sharpe (rf = 0) over daily log returns:
     (n_returns, mean_r, std_r, sharpe_ann), unrounded. Zero closes
-    null the return (ANSI totality). One window pass + one aggregate."""
+    null the return, and a zero return stddev (flat series / single
+    return) nulls the ratio — ANSI totality on both edges; DuckDB's
+    NULL-on-/0 yields the identical NULL without a gate. One window
+    pass + one aggregate."""
     base = Window.partitionBy(key).orderBy(day)
     prev = F.lag(close).over(base)
     r = F.when((F.col(close) > 0) & (prev > 0), F.log(F.col(close) / prev))
+    mean_c, std_c = F.avg("__r"), F.stddev_samp("__r")
     return (
         daily.withColumn("__r", r)
         .groupBy(key)
         .agg(
             F.count("__r").alias("n_returns"),
-            F.avg("__r").alias("mean_r"),
-            F.stddev_samp("__r").alias("std_r"),
-            (F.avg("__r") / F.stddev_samp("__r") * F.lit(ann)).alias("sharpe_ann"),
+            mean_c.alias("mean_r"),
+            std_c.alias("std_r"),
+            F.when(std_c != 0, mean_c / std_c * F.lit(ann)).alias("sharpe_ann"),
         )
     )
 

@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import stable_round
+from ..operators.stats import corr_moments_sql, corr_value_sql
 from ..sources.tables import load_table, load_tables
 from .registry import register
 
@@ -285,31 +286,58 @@ def q_percentiles(spark, sf_dir):
 @register(
     "q_stats_agg",
     """
-    SELECT event_type,
-           round(stddev_samp(value), 4) AS sd,
-           round(var_samp(value), 4) AS var,
-           round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uid,
-           round(min(value), 4) AS vmin,
-           round(max(value), 4) AS vmax
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
+    WITH q AS (
+        SELECT event_type, value,
+               CAST(value AS DECIMAL(18,6)) AS vq,
+               CAST(user_id AS DECIMAL(18,6)) AS uq
+        FROM events
+    ), m AS (
+        SELECT event_type,
+               round(stddev_samp(value), 4) AS sd,
+               round(var_samp(value), 4) AS var,
+               round(min(value), 4) AS vmin,
+               round(max(value), 4) AS vmax,
+               """
+    + corr_moments_sql("vq", "uq", "cu")
+    + f"""
+        FROM q GROUP BY event_type
+    )
+    SELECT event_type, sd, var,
+           round({corr_value_sql('cu')}, 4) AS corr_uid,
+           vmin, vmax
+    FROM m ORDER BY event_type
     """,
-    doc="Statistical aggregates (stddev/variance/correlation) per key.",
+    doc="Statistical aggregates (stddev/variance/correlation) per key. "
+    "stddev/var are total built-ins on both engines (single row → "
+    "NULL, zero variance → 0); the correlation goes through the "
+    "exact-moment kernel (operators/stats.py) on 1e-6-quantized values "
+    "— built-in corr() DIVIDE_BY_ZEROs under ANSI when either side has "
+    "zero variance (e.g. a single-event key).",
 )
 def q_stats_agg(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.round(F.stddev_samp("value"), 4).alias("sd"),
-            F.round(F.var_samp("value"), 4).alias("var"),
-            F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_uid"),
-            F.round(F.min("value"), 4).alias("vmin"),
-            F.round(F.max("value"), 4).alias("vmax"),
-        )
-        .orderBy("event_type")
+    from ..operators.stats import corr_from_moments, corr_moment_aggs
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.col("value").cast("decimal(18,6)").alias("__vq"),
+        F.col("user_id").cast("decimal(18,6)").alias("__uq"),
     )
+    m = e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+        *corr_moment_aggs(F.col("__vq"), F.col("__uq"), "cu"),
+    )
+    return m.select(
+        "event_type",
+        "sd",
+        "var",
+        F.round(corr_from_moments("cu"), 4).alias("corr_uid"),
+        "vmin",
+        "vmax",
+    ).orderBy("event_type")
 
 
 @register(

@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import stable_round
+from ..operators.stats import corr_moments_sql, corr_value_sql
 from ..operators.analytics import (
     daily_summary,
     keep_last,
@@ -580,8 +581,10 @@ def q_chart_frame(spark, sf_dir):
         GROUP BY a.ticker, b.ticker
     )
     SELECT ticker_a, ticker_b, n,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)), 6) END AS r
     FROM pairs
     ORDER BY ticker_a, ticker_b
     """,
@@ -616,9 +619,11 @@ def q_series_correlation(spark, sf_dir):
         )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    r = (n * F.col("sxy") - sx * sy) / (
-        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
-    )
+    vx = n * F.col("sxx") - sx * sx
+    vy = n * F.col("syy") - sy * sy
+    # zero variance on either series (flat prices) leaves Pearson
+    # undefined: explicit NULL, never an ANSI /0 crash
+    r = F.when((vx > 0) & (vy > 0), (n * F.col("sxy") - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)))
     return pairs.select(
         "ticker_a", "ticker_b", "n", F.round(r, 6).alias("r")
     ).orderBy("ticker_a", "ticker_b")
@@ -1750,7 +1755,8 @@ def q_volatility_estimators(spark, sf_dir):
     , r AS (
         SELECT ticker, day,
                CASE WHEN close > 0 AND lag(close) OVER w > 0
-                    THEN ln(close / lag(close) OVER w) END AS r
+                    THEN CAST(ln(close / lag(close) OVER w)
+                              AS DECIMAL(28,12)) END AS r
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), lagged AS (
@@ -1760,20 +1766,32 @@ def q_volatility_estimators(spark, sf_dir):
                lag(r, 5) OVER w AS r5
         FROM r
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
+    ), m AS (
+        SELECT ticker, count(r) AS n_returns,
+               """
+    + corr_moments_sql("r", "r1", "l1")
+    + ",\n"
+    + corr_moments_sql("r", "r2", "l2")
+    + ",\n"
+    + corr_moments_sql("r", "r5", "l5")
+    + f"""
+        FROM lagged GROUP BY ticker
     )
-    SELECT ticker, CAST(count(r) AS BIGINT) AS n_returns,
-           round(corr(r, r1), 6) AS acf_1,
-           round(corr(r, r2), 6) AS acf_2,
-           round(corr(r, r5), 6) AS acf_5
-    FROM lagged GROUP BY ticker ORDER BY ticker
+    SELECT ticker, CAST(n_returns AS BIGINT) AS n_returns,
+           round({corr_value_sql('l1')}, 6) AS acf_1,
+           round({corr_value_sql('l2')}, 6) AS acf_2,
+           round({corr_value_sql('l5')}, 6) AS acf_5
+    FROM m ORDER BY ticker
     """,
     doc="Autocorrelation of daily log returns at lags 1/2/5 per ticker "
     "— the mean-reversion / momentum diagnostic. One (ticker, day) "
     "window pass materializes the lagged return columns, then ONE hash "
-    "aggregate computes all three sample Pearson correlations (series-"
-    "head nulls drop out of each lag's pairs only). Pearson is scale-"
-    "invariant so population/sample normalization cancels; the float "
-    "co-moment accumulation rounds at 6 (cf. q_series_correlation).",
+    "aggregate computes all three sample Pearson correlations through "
+    "the exact-moment kernel (operators/stats.py: 1e-12-quantized "
+    "returns, DECIMAL moment sums, variance>0 gate — built-in corr() "
+    "DIVIDE_BY_ZEROs under ANSI on a flat series and is banned). "
+    "Series-head and zero-close nulls drop out of each lag's pairs "
+    "only; flat series yield NULL ACFs on every engine.",
 )
 def q_autocorr(spark, sf_dir):
     from ..operators.volatility import return_autocorr
@@ -2250,21 +2268,34 @@ def _daily_dollar_bars(spark, sf_dir):
     , r AS (
         SELECT ticker, day,
                CASE WHEN close > 0 AND lag(close) OVER w > 0
-                    THEN ln(close / lag(close) OVER w) END AS r
+                    THEN CAST(ln(close / lag(close) OVER w)
+                              AS DECIMAL(28,12)) END AS r
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), rr AS (
         SELECT ticker, day, r, lag(r) OVER (PARTITION BY ticker ORDER BY day)
                    AS r_prev
         FROM r
+    ), m AS (
+        SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
+               """
+    + ",\n".join(
+        corr_moments_sql(x, y, p)
+        for x, y, p in (
+            ("a.r", "b.r", "c"),
+            ("a.r", "b.r_prev", "ba"),
+            ("b.r", "a.r_prev", "ab"),
+        )
     )
-    SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
-           round(corr(a.r, b.r), 6) AS contemp,
-           round(corr(a.r, b.r_prev), 6) AS b_leads_a,
-           round(corr(b.r, a.r_prev), 6) AS a_leads_b
-    FROM rr a JOIN rr b ON a.day = b.day AND a.ticker < b.ticker
-    GROUP BY a.ticker, b.ticker
-    ORDER BY ticker_a, ticker_b
+    + f"""
+        FROM rr a JOIN rr b ON a.day = b.day AND a.ticker < b.ticker
+        GROUP BY a.ticker, b.ticker
+    )
+    SELECT ticker_a, ticker_b,
+           round({corr_value_sql('c')}, 6) AS contemp,
+           round({corr_value_sql('ba')}, 6) AS b_leads_a,
+           round({corr_value_sql('ab')}, 6) AS a_leads_b
+    FROM m ORDER BY ticker_a, ticker_b
     """,
     doc="Lead-lag structure between every ticker pair: contemporaneous "
     "correlation of daily log returns plus both one-day cross-"
@@ -2272,13 +2303,20 @@ def _daily_dollar_bars(spark, sf_dir):
     "the price-discovery diagnostic. One window pass builds (r, "
     "r_prev) per ticker; the pair fan-out joins on the day grid "
     "(bounded by universe size squared per day, like "
-    "q_series_correlation); three corr aggregates share one grouping.",
+    "q_series_correlation); the three correlations share one grouping "
+    "through the exact-moment kernel (operators/stats.py — built-in "
+    "corr() DIVIDE_BY_ZEROs under ANSI on a zero-variance side; flat "
+    "series yield NULLs on every engine).",
 )
 def q_lead_lag(spark, sf_dir):
+    from ..operators.stats import GRID, corr_from_moments, corr_moment_aggs
+
     base = Window.partitionBy("ticker").orderBy("day")
     d = _daily_bars(spark, sf_dir)
     prev = F.lag("close").over(base)
-    r = F.when((F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev))
+    r = F.when(
+        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
+    ).cast(GRID)
     rr = d.withColumn("__r", r).withColumn("__r_prev", F.lag("__r").over(base))
     a = rr.select(
         F.col("ticker").alias("ticker_a"),
@@ -2292,17 +2330,23 @@ def q_lead_lag(spark, sf_dir):
         F.col("__r").alias("rb"),
         F.col("__r_prev").alias("rb_prev"),
     )
-    return (
+    m = (
         a.join(b, "day")
         .where(F.col("ticker_a") < F.col("ticker_b"))
         .groupBy("ticker_a", "ticker_b")
         .agg(
-            F.round(F.corr("ra", "rb"), 6).alias("contemp"),
-            F.round(F.corr("ra", "rb_prev"), 6).alias("b_leads_a"),
-            F.round(F.corr("rb", "ra_prev"), 6).alias("a_leads_b"),
+            *corr_moment_aggs(F.col("ra"), F.col("rb"), "c"),
+            *corr_moment_aggs(F.col("ra"), F.col("rb_prev"), "ba"),
+            *corr_moment_aggs(F.col("rb"), F.col("ra_prev"), "ab"),
         )
-        .orderBy("ticker_a", "ticker_b")
     )
+    return m.select(
+        "ticker_a",
+        "ticker_b",
+        F.round(corr_from_moments("c"), 6).alias("contemp"),
+        F.round(corr_from_moments("ba"), 6).alias("b_leads_a"),
+        F.round(corr_from_moments("ab"), 6).alias("a_leads_b"),
+    ).orderBy("ticker_a", "ticker_b")
 
 
 @register(
@@ -2434,12 +2478,19 @@ def q_intraday_profile(spark, sf_dir):
                round(avg(r) / stddev_samp(r) * 15.874507866387544, 6)
                    AS sharpe_ann
         FROM r GROUP BY ticker
-    ), acf AS (
-        SELECT ticker, round(corr(r, r1), 6) AS acf_1
-        FROM (SELECT ticker, r,
-                     lag(r) OVER (PARTITION BY ticker ORDER BY day) AS r1
+    ), acf_m AS (
+        SELECT ticker,
+               """
+    + corr_moments_sql("rq", "rq1", "l1")
+    + f"""
+        FROM (SELECT ticker, CAST(r AS DECIMAL(28,12)) AS rq,
+                     lag(CAST(r AS DECIMAL(28,12)))
+                         OVER (PARTITION BY ticker ORDER BY day) AS rq1
               FROM r)
         GROUP BY ticker
+    ), acf AS (
+        SELECT ticker, round({corr_value_sql('l1')}, 6) AS acf_1
+        FROM acf_m
     ), dvol AS (
         SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
                arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
@@ -3345,8 +3396,9 @@ def q_cusum(spark, sf_dir):
         FROM bars GROUP BY ticker, date_trunc('day', ts)
     ), spread AS (
         SELECT a.ticker AS ticker_a, b.ticker AS ticker_b, a.d,
-               CAST(ln(CAST(a.v AS DOUBLE) / CAST(b.v AS DOUBLE))
-                    AS DECIMAL(28,12)) AS s
+               CASE WHEN a.v > 0 AND b.v > 0
+                    THEN CAST(ln(CAST(a.v AS DOUBLE) / CAST(b.v AS DOUBLE))
+                              AS DECIMAL(28,12)) END AS s
         FROM daily a JOIN daily b ON a.d = b.d AND a.ticker < b.ticker
     ), runs AS (
         SELECT ticker_a, ticker_b, d, s,
@@ -3399,7 +3451,12 @@ def q_pairs_spread(spark, sf_dir):
             "ticker_a",
             "ticker_b",
             "d",
-            F.log(F.col("va").cast("double") / F.col("vb").cast("double"))
+            # a non-positive daily value leaves the log-ratio undefined:
+            # NULL (the row still exists; the rolling moments skip it)
+            F.when(
+                (F.col("va") > 0) & (F.col("vb") > 0),
+                F.log(F.col("va").cast("double") / F.col("vb").cast("double")),
+            )
             .cast("decimal(28,12)")
             .alias("s"),
         )
@@ -3691,7 +3748,7 @@ def q_roll_spread(spark, sf_dir):
                CAST(ln(close / lag(close) OVER w) AS DECIMAL(28,12)) AS r
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
-        QUALIFY lag(close) OVER w IS NOT NULL
+        QUALIFY close > 0 AND lag(close) OVER w > 0
     ), idxed AS (
         SELECT ticker, r,
                row_number() OVER (PARTITION BY ticker ORDER BY day) - 1 AS idx
@@ -3764,9 +3821,12 @@ def q_hurst(spark, sf_dir):
     d = _daily_bars(spark, sf_dir)
     w = Window.partitionBy("ticker").orderBy("day")
     prev = F.lag("close").over(w)
+    # positivity gate on BOTH closes: a zero price leaves the log
+    # return undefined (ANSI DIVIDE_BY_ZERO / DuckDB ln(0) error
+    # otherwise) — the row drops out of the R/S block grid entirely
     r = (
         d.withColumn("__prev", prev)
-        .where(F.col("__prev").isNotNull())
+        .where((F.col("close") > 0) & (F.col("__prev") > 0))
         .select(
             "ticker",
             "day",
@@ -4389,7 +4449,8 @@ def q_overnight_gaps(spark, sf_dir):
     , r AS (
         SELECT ticker, day,
                CASE WHEN close > 0 AND lag(close) OVER w > 0
-                    THEN ln(close / lag(close) OVER w) END AS r
+                    THEN CAST(ln(close / lag(close) OVER w)
+                              AS DECIMAL(28,12)) END AS r
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), lagged AS (
@@ -4399,12 +4460,22 @@ def q_overnight_gaps(spark, sf_dir):
                lag(r, 5) OVER w AS r5
         FROM r
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
-    ), acf AS (
+    ), m AS (
         SELECT ticker, count(r) AS n,
-               round(corr(r, r1), 6) AS p1, round(corr(r, r2), 6) AS p2,
-               round(corr(r, r3), 6) AS p3, round(corr(r, r4), 6) AS p4,
-               round(corr(r, r5), 6) AS p5
+               """
+    + ",\n".join(
+        corr_moments_sql("r", f"r{k}", f"l{k}") for k in (1, 2, 3, 4, 5)
+    )
+    + f"""
         FROM lagged GROUP BY ticker
+    ), acf AS (
+        SELECT ticker, n,
+               round({corr_value_sql('l1')}, 6) AS p1,
+               round({corr_value_sql('l2')}, 6) AS p2,
+               round({corr_value_sql('l3')}, 6) AS p3,
+               round({corr_value_sql('l4')}, 6) AS p4,
+               round({corr_value_sql('l5')}, 6) AS p5
+        FROM m
     )
     SELECT ticker, CAST(n AS BIGINT) AS n_returns,
            floor(n * (n + 2.0)
