@@ -36,5 +36,9 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """cosine = dot/(||a||*||b||) — matches DuckDB's list_inner_product
-    composition so the oracle can mirror it exactly."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    composition so the oracle can mirror it exactly. A zero-norm vector
+    leaves cosine undefined: NULL, the same result DuckDB's NULL-on-/0
+    produces, where ANSI Spark would otherwise DIVIDE_BY_ZERO (a zero
+    or all-null embedding is reachable data at corpus scale)."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0, dot(a, b) / den)

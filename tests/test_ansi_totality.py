@@ -152,3 +152,34 @@ def test_risk_report_total_on_degenerate(spark, degenerate_sf):
     assert out["flatline"]["sharpe_ann"] is None
     assert out["flatline"]["acf_1"] is None
     assert out["flatline"]["gk_vol"] == 0.0
+
+
+def test_cosine_null_on_zero_norm_vector(spark):
+    """A zero-norm embedding leaves cosine undefined: NULL on every
+    engine (ANSI Spark would DIVIDE_BY_ZERO; DuckDB NULLs on /0) — and
+    a NULL similarity sorts after every real one in a desc top-k on
+    both engines, so kNN results stay comparable."""
+    from market_analyze_data_stream_processing_spark.functions.vectors import (
+        cosine_sim,
+        lit_vector,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    from market_analyze_data_stream_processing_spark.functions.vectors import (
+        as_double,
+    )
+
+    probe = lit_vector([1.0, 0.0])
+    out = {
+        r["vec_id"]: r["sim"]
+        for r in df.select(
+            "vec_id",
+            cosine_sim(as_double(F.col("embedding")), probe).alias("sim"),
+        ).collect()
+    }
+    assert out[1] == 1.0
+    assert out[2] is None
+    assert abs(out[3] - 0.5**0.5) < 1e-9

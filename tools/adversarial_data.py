@@ -13,7 +13,15 @@ whole registry is TOTAL on them, not merely lucky about the data:
 - every ~1/1251th event's price zeroed (spread across tickers/days);
 - `solo_tick`: a single-event ticker (n=1 moments, stddev of one row);
 - `flatline`: six identical closes (zero return variance);
-- `zero_open`: a series whose first price is exactly 0.0.
+- `zero_open`: a series whose first price is exactly 0.0;
+- `null_tick`: an event with a NULL price (skipped by windows/aggs, must
+  not crash or desync either engine);
+- documents: an empty text, a whitespace-only text, a NULL text, a
+  single-token text (no 3-shingles), a NULL-lang row, a unicode/emoji
+  text, and an exact-duplicate pair (curation paths must treat all of
+  them as data);
+- embeddings: an all-zero vector (zero norm — cosine undefined) and an
+  exact duplicate of an existing vector (distance ties).
 
 Round-9 result: the injected edges crashed 9 registry queries
 (q_autocorr, q_ljung_box, q_sharpe, q_risk_report, q_pairs_spread,
@@ -46,16 +54,51 @@ EXTRA_ROWS = """
       (900007, TIMESTAMP '2024-03-06 09:00:00', 47, 'flatline', 7.0, ''),
       (900008, TIMESTAMP '2024-03-01 08:00:00', 48, 'zero_open', 0.0, ''),
       (900009, TIMESTAMP '2024-03-02 08:00:00', 49, 'zero_open', 3.0, ''),
-      (900010, TIMESTAMP '2024-03-03 08:00:00', 50, 'zero_open', 4.0, '')
+      (900010, TIMESTAMP '2024-03-03 08:00:00', 50, 'zero_open', 4.0, ''),
+      (900011, TIMESTAMP '2024-03-04 08:00:00', 51, 'null_tick', CAST(NULL AS DOUBLE), ''),
+      (900012, TIMESTAMP '2024-03-05 08:00:00', 52, 'null_tick', 2.5, '')
 """
 
 
 def build(src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
+    perturbed = {"events.parquet", "documents.parquet", "embeddings.parquet"}
     for p in glob.glob(os.path.join(src, "*.parquet")):
-        if os.path.basename(p) != "events.parquet":
+        if os.path.basename(p) not in perturbed:
             shutil.copy(p, dst)
     con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM '{src}/documents.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    (900001, '', 'en', 'adversarial', 0),
+    (900002, '   ' || chr(10) || chr(9) || ' ', 'en', 'adversarial', 6),
+    (900003, 'word', 'en', 'adversarial', 4),
+    (900004, 'alpha beta gamma delta epsilon zeta', NULL, 'adversarial', 35),
+    (900005, 'héllo wörld — naïve café ✓ ✓ ✓ 日本語テキスト', 'fr', 'adversarial', 43),
+    (900006, 'the same duplicated sentence appears twice verbatim', 'en', 'adversarial', 51),
+    (900007, 'the same duplicated sentence appears twice verbatim', 'en', 'adversarial', 51),
+    (900008, CAST(NULL AS VARCHAR), 'en', 'adversarial', 0)
+  ) v(doc_id, text, lang, source, n_chars)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM '{src}/embeddings.parquet'
+  UNION ALL
+  SELECT 900001 AS vec_id,
+         CAST(list_transform(range(64), x -> 0.0) AS FLOAT[]) AS embedding,
+         0 AS label
+  UNION ALL
+  SELECT 900002 AS vec_id, embedding, label
+  FROM '{src}/embeddings.parquet' WHERE vec_id = 0
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
     con.execute(
         f"""
 COPY (
