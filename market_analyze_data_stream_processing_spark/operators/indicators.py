@@ -610,35 +610,56 @@ def macd_blocked(
     w_fast = ewm_weights(2.0 / 13.0, MACD_K_FAST)
     w_slow = ewm_weights(2.0 / 27.0, MACD_K_SLOW)
     w_sig = ewm_weights(2.0 / 10.0, MACD_K_SIG)
-    p_fast = np.array(left_prefix(w_fast))
-    p_slow = np.array(left_prefix(w_slow))
-    p_sig = np.array(left_prefix(w_sig))
 
     def kernel_rows(pdf: pd.DataFrame, own) -> pd.DataFrame:
         x = pdf[price].to_numpy(dtype=np.float64)
         n = len(x)
-        idx = np.arange(n)
 
-        def conv(series, weights, prefix, cap):
+        def conv(series, weights):
+            # NULL-aware, mirroring the oracle's coalesce/CASE chains:
+            # a null (NaN in the Arrow batch) lag contributes nothing to
+            # the numerator AND its weight leaves the denominator, so an
+            # EMA over a gappy window is the weighted mean of the prices
+            # that exist. The denominator accumulates in the SAME
+            # left-associated j-order as the numerator (and as the old
+            # dense-prefix table), so clean-data outputs are
+            # bit-identical to before. A window with no prices at all
+            # (den == 0) leaves the EMA undefined: NaN here, emitted as
+            # NULL below — never a 0/0 artifact.
+            m = ~np.isnan(series)
+            sz = np.where(m, series, 0.0)
             num = np.zeros(n, dtype=np.float64)
+            den = np.zeros(n, dtype=np.float64)
             for j, wt in enumerate(weights):
                 if j >= n:
                     break
-                num[j:] += series[: n - j] * wt
-            return num / prefix[np.minimum(idx, cap)]
+                num[j:] += sz[: n - j] * wt
+                den[j:] += m[: n - j] * wt
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = num / den
+            out[den == 0.0] = np.nan
+            return out
 
-        ema_f = conv(x, w_fast, p_fast, MACD_K_FAST - 1)
-        ema_s = conv(x, w_slow, p_slow, MACD_K_SLOW - 1)
+        ema_f = conv(x, w_fast)
+        ema_s = conv(x, w_slow)
         macd = ema_f - ema_s
-        signal = conv(macd, w_sig, p_sig, MACD_K_SIG - 1)
+        signal = conv(macd, w_sig)
         hist = macd - signal
+
+        def col(a):
+            # NaN -> NULL: the oracle's 0/0 yields SQL NULL; an Arrow
+            # float64 column would keep NaN, hash-diverging on 'NaN'
+            out = pd.array(a[own], dtype="Float64")
+            out[np.isnan(a[own])] = pd.NA
+            return out
+
         return pd.DataFrame(
             {
                 key: pdf[key].to_numpy()[own],
                 seq: pdf[seq].to_numpy()[own],
-                "macd": macd[own],
-                "signal": signal[own],
-                "histogram": hist[own],
+                "macd": col(macd),
+                "signal": col(signal),
+                "histogram": col(hist),
             }
         )
 

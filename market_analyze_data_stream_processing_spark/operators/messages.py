@@ -36,7 +36,18 @@ def daily_summary_messages(
     )
     latest = latest_per_key(enriched, key, order).where(F.col("prev_close").isNotNull())
     variation = pct_change(F.col("Close"), F.col("prev_close"))
-    summary_text = F.concat(
+    # NULL-total rendering: a missing O/C/H/L nulls the WHOLE summary —
+    # SQL string concatenation propagates NULL, while Spark's
+    # format_string would render a NULL %.2f as the garbage string
+    # 'nu'. One isNotNull gate makes both engines (and any reader)
+    # agree that a day with missing bar fields has no renderable body.
+    fields_ok = (
+        F.col("Open").isNotNull()
+        & F.col("Close").isNotNull()
+        & F.col("Low").isNotNull()
+        & F.col("High").isNotNull()
+    )
+    summary_text = F.when(fields_ok, F.concat(
         F.lit("Daily Summary for "), F.col(key), F.lit(":\n"),
         F.lit("- Open: "), F.format_string("%.2f", F.col("Open")), F.lit("\n"),
         F.lit("- Close: "), F.format_string("%.2f", F.col("Close")), F.lit("\n"),
@@ -44,7 +55,7 @@ def daily_summary_messages(
         F.lit("- Volume: "), F.col("Volume").cast("long").cast("string"), F.lit("\n"),
         F.lit("- Low: "), F.format_string("%.2f", F.col("Low")), F.lit("\n"),
         F.lit("- High: "), F.format_string("%.2f", F.col("High")), F.lit("\n"),
-    )
+    ))
     pt = publish_time if publish_time is not None else F.unix_timestamp()
     return latest.select(
         F.col(key).alias("ticker"),

@@ -668,14 +668,25 @@ def q_grouped_pandas_quantiles(spark, sf_dir):
     def quantiles(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        q25, q75 = np.percentile(pdf["value"].to_numpy(np.float64), [25.0, 75.0])
+        # NULL values arrive as NaN in the Arrow batch; np.percentile
+        # would propagate them into NaN quantiles, while quantile_cont
+        # (and every SQL aggregate) skips NULLs. Drop NaN first; an
+        # all-null group quantiles to NULL, not NaN.
+        vals = pdf["value"].to_numpy(np.float64)
+        vals = vals[~np.isnan(vals)]
+        if len(vals) == 0:
+            q25 = q75 = iqr = None
+        else:
+            r25, r75 = np.percentile(vals, [25.0, 75.0])
+            q25, q75 = round(float(r25), 4), round(float(r75), 4)
+            iqr = round(float(r75 - r25), 4)
         return pd.DataFrame(
             [
                 {
                     "event_type": pdf["event_type"].iloc[0],
-                    "q25": round(q25, 4),
-                    "q75": round(q75, 4),
-                    "iqr": round(q75 - q25, 4),
+                    "q25": q25,
+                    "q75": q75,
+                    "iqr": iqr,
                 }
             ]
         )

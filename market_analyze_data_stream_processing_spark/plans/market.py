@@ -219,7 +219,8 @@ def q_trend_classify(spark, sf_dir):
            round(max(price), 6) AS high_px,
            round(min(price), 6) AS low_px,
            count(*) AS n_bars,
-           round(CASE WHEN max(CASE WHEN rn_a = 1 THEN price END) = 0 THEN 0.0
+           round(CASE WHEN max(CASE WHEN rn_a = 1 THEN price END) IS NULL
+                      OR max(CASE WHEN rn_a = 1 THEN price END) = 0 THEN 0.0
                       ELSE (max(CASE WHEN rn_d = 1 THEN price END)
                             - max(CASE WHEN rn_a = 1 THEN price END))
                            / max(CASE WHEN rn_a = 1 THEN price END) * 100 END, 6) AS variation_pct
@@ -420,14 +421,20 @@ def q_decay_score(spark, sf_dir):
     "q_humanize_fmt",
     """
     SELECT event_id,
-           CASE WHEN value * 1000000 >= 1000000000 THEN printf('%.2fB', value * 1000000 / 1000000000)
+           CASE WHEN value IS NULL THEN NULL
+                WHEN value * 1000000 >= 1000000000 THEN printf('%.2fB', value * 1000000 / 1000000000)
                 WHEN value * 1000000 >= 1000000    THEN printf('%.2fM', value * 1000000 / 1000000)
                 WHEN value * 1000000 >= 1000       THEN printf('%.2fK', value * 1000000 / 1000)
                 ELSE printf('%.2f', value * 1000000) END AS human,
-           CASE WHEN value < 5 THEN 'small' WHEN value < 15 THEN 'medium' ELSE 'large' END AS bucket
+           CASE WHEN value < 5 THEN 'small' WHEN value < 15 THEN 'medium'
+                WHEN value >= 15 THEN 'large' END AS bucket
     FROM events
     """,
-    doc="F3/F4: number humanization ladder (main.py:21-33) + bucketing when-ladder.",
+    doc="F3/F4: number humanization ladder (main.py:21-33) + bucketing "
+    "when-ladder. NULL-total: a valueless row humanizes AND buckets to "
+    "NULL — an otherwise('large') branch mislabels null rows, and "
+    "Spark's format_string renders a NULL %.2f as the garbage string "
+    "'nu' where DuckDB printf yields NULL.",
 )
 def q_humanize_fmt(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
@@ -436,12 +443,12 @@ def q_humanize_fmt(spark, sf_dir):
         F.when(v >= 1e9, F.format_string("%.2fB", v / 1e9))
         .when(v >= 1e6, F.format_string("%.2fM", v / 1e6))
         .when(v >= 1e3, F.format_string("%.2fK", v / 1e3))
-        .otherwise(F.format_string("%.2f", v))
+        .when(v.isNotNull(), F.format_string("%.2f", v))
     )
     bucket = (
         F.when(F.col("value") < 5, "small")
         .when(F.col("value") < 15, "medium")
-        .otherwise("large")
+        .when(F.col("value") >= 15, "large")
     )
     return e.select("event_id", human.alias("human"), bucket.alias("bucket"))
 
@@ -699,23 +706,32 @@ def ewma_blocked(b, block_size: int = 4096):
     def kernel_rows(pdf: pd.DataFrame, own) -> pd.DataFrame:
         price = pdf["price"].to_numpy(dtype=np.float64)
         n = len(price)
+        # NULL-aware num/den, mirroring the oracle's coalesce/CASE
+        # chains (q_macd's kernel discipline): a null price (NaN in the
+        # Arrow batch) contributes nothing and its weight leaves the
+        # denominator, instead of poisoning every window that sees it.
+        # The denominator accumulates in the same left-associated
+        # j-order as the old dense prefix table, so clean-data outputs
+        # are bit-identical. A window with no prices at all is NULL.
+        m = ~np.isnan(price)
+        pz = np.where(m, price, 0.0)
         num = np.zeros(n, dtype=np.float64)
+        den = np.zeros(n, dtype=np.float64)
         for j, wt in enumerate(weights):
             if j >= n:
                 break
-            num[j:] += price[: n - j] * wt
-        # local index == global rn for block 0; for later blocks every
-        # EMITTED row has local index >= HALO so min(·, HALO) caps out —
-        # halo rows get wrong denominators but are dropped by `own`. The
-        # cap derives from the kernel length (HALO = len(weights)-1) so a
-        # kernel change cannot desync the denominator lookup.
-        den = np.array(prefix, dtype=np.float64)[np.minimum(np.arange(n), HALO)]
-        ewma = np.floor(num / den * 1e6 + 0.5) / 1e6  # stable_round(·, 6)
+            num[j:] += pz[: n - j] * wt
+            den[j:] += m[: n - j] * wt
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ewma = np.floor(num / den * 1e6 + 0.5) / 1e6  # stable_round(·, 6)
+        ewma[den == 0.0] = np.nan
+        out = pd.array(ewma[own], dtype="Float64")
+        out[np.isnan(ewma[own])] = pd.NA  # NaN -> NULL (oracle's 0/0)
         return pd.DataFrame(
             {
                 "ticker": pdf["ticker"].to_numpy()[own],
                 "seq": pdf["seq"].to_numpy()[own],
-                "ewma": ewma[own],
+                "ewma": out,
             }
         )
 
@@ -767,16 +783,22 @@ def q_validity_intervals(spark, sf_dir):
     "q_resample_weekly",
     _BARS_CTE
     + """
-    SELECT ticker, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-           round(arg_min(price, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                                || lpad(CAST(seq AS VARCHAR), 20, '0')), 6) AS open,
+    , ranked AS (
+        SELECT ticker, date_trunc('week', ts) AS week, price,
+               row_number() OVER (PARTITION BY ticker, date_trunc('week', ts)
+                                  ORDER BY ts, seq) AS rn_a,
+               row_number() OVER (PARTITION BY ticker, date_trunc('week', ts)
+                                  ORDER BY ts DESC, seq DESC) AS rn_d
+        FROM bars
+    )
+    SELECT ticker, strftime(week, '%Y-%m-%d') AS week,
+           round(max(CASE WHEN rn_a = 1 THEN price END), 6) AS open,
            round(max(price), 6) AS high,
            round(min(price), 6) AS low,
-           round(arg_max(price, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                                || lpad(CAST(seq AS VARCHAR), 20, '0')), 6) AS close,
+           round(max(CASE WHEN rn_d = 1 THEN price END), 6) AS close,
            count(*)::BIGINT AS n_bars
-    FROM bars
-    GROUP BY ticker, date_trunc('week', ts)
+    FROM ranked
+    GROUP BY ticker, week
     ORDER BY ticker, week
     """,
     doc="OHLC resampling to weekly candles (pandas resample('W').ohlc() "
@@ -784,10 +806,12 @@ def q_validity_intervals(spark, sf_dir):
     "ordering — the seq tiebreak keeps duplicate-timestamp ticks "
     "deterministic — so the WHOLE resample is one map-side-combined hash "
     "aggregate: no per-row window, no sort, one shuffle on "
-    "(ticker, week). The oracle mirrors the struct ordering with a "
-    "zero-padded epoch_us||seq string key (DuckDB's arg_min takes no "
-    "struct keys; both ts and seq are non-negative, so lexicographic == "
-    "numeric ordering).",
+    "(ticker, week). The oracle mirrors with the row_number-rank form "
+    "(q_daily_summary's idiom), NOT DuckDB's arg_min: arg_min SKIPS "
+    "null values while Spark's min_by keeps the first tick's price "
+    "even when that tick is unpriced — the repo-wide first-ROW "
+    "semantics (a candle that opens on a valueless tick has a NULL "
+    "open, it doesn't borrow a later price).",
 )
 def q_resample_weekly(spark, sf_dir):
     from ..operators.timeseries import resample_ohlc
@@ -810,11 +834,17 @@ def q_resample_weekly(spark, sf_dir):
 @register(
     "q_gapfill_daily",
     """
-    WITH daily AS (
-        SELECT user_id % 97 AS sid, CAST(ts AS DATE) AS day,
-               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close
-        FROM events GROUP BY 1, 2
+    WITH ranked AS (
+        SELECT user_id % 97 AS sid, CAST(ts AS DATE) AS day, value,
+               row_number() OVER (PARTITION BY user_id % 97, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    daily AS (
+        -- rank form, not arg_max: arg_max SKIPS null values while
+        -- Spark's max_by keeps the last row's value even when null
+        SELECT sid, day, max(CASE WHEN rn = 1 THEN value END) AS close
+        FROM ranked GROUP BY sid, day
     ),
     spans AS (SELECT sid, min(day) AS a, max(day) AS b FROM daily GROUP BY sid),
     cal AS (
@@ -822,7 +852,7 @@ def q_resample_weekly(spark, sf_dir):
         FROM spans
     ),
     j AS (
-        SELECT c.sid, c.day, d.close
+        SELECT c.sid, c.day, d.close, (d.sid IS NULL) AS synthesized
         FROM cal c LEFT JOIN daily d ON c.sid = d.sid AND c.day = d.day
     )
     SELECT sid, strftime(day, '%Y-%m-%d') AS day,
@@ -830,7 +860,7 @@ def q_resample_weekly(spark, sf_dir):
                PARTITION BY sid ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                AS close_filled,
-           (j.close IS NULL) AS is_filled
+           synthesized AS is_filled
     FROM j ORDER BY sid, day
     """,
     doc="Calendar gap-fill + forward-fill (pandas asfreq('D').ffill() "
@@ -1135,12 +1165,16 @@ def q_drawdown(spark, sf_dir):
 @register(
     "q_beta_daily",
     """
-    WITH daily AS (
-        SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
-               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
-                   AS close
-        FROM events GROUP BY 1, 2
+    WITH ranked AS (
+        SELECT event_type AS ticker, CAST(ts AS DATE) AS day, value,
+               row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    ),
+    daily AS (
+        -- rank form, not arg_max (null-keeping max_by mirror)
+        SELECT ticker, day, max(CASE WHEN rn_d = 1 THEN value END) AS close
+        FROM ranked GROUP BY 1, 2
     ),
     rets AS (
         SELECT ticker, day,
@@ -1341,12 +1375,18 @@ WITH vbars AS (
 """
 
 _DAILYBARS_CTE = """
-WITH dailybars AS (
-    SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
-           max(value) AS high, min(value) AS low,
-           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                          || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close
-    FROM events GROUP BY 1, 2
+WITH __db_ranked AS (
+    -- rank form, not arg_max: arg_max SKIPS null values while Spark's
+    -- max_by keeps the last tick's value even when that tick is
+    -- unpriced (repo-wide first/last-ROW semantics)
+    SELECT event_type AS ticker, CAST(ts AS DATE) AS day, value,
+           row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+), dailybars AS (
+    SELECT ticker, day, max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM __db_ranked GROUP BY ticker, day
 )
 """
 
@@ -1658,23 +1698,39 @@ def q_cci(spark, sf_dir):
 _ORDKEY = ("lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') "
            "|| lpad(CAST(event_id AS VARCHAR), 20, '0')")
 
-_DAILYOHLC_CTE = f"""
-WITH dailyohlc AS (
-    SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
-           arg_min(value, {_ORDKEY}) AS open,
+_DAILYOHLC_CTE = """
+WITH __do_ranked AS (
+    -- rank form, not arg_min/arg_max: those SKIP null values while
+    -- Spark's min_by/max_by keep the first/last tick's value even when
+    -- that tick is unpriced (repo-wide first/last-ROW semantics)
+    SELECT event_type AS ticker, CAST(ts AS DATE) AS day, value,
+           row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+), dailyohlc AS (
+    SELECT ticker, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
            max(value) AS high, min(value) AS low,
-           arg_max(value, {_ORDKEY}) AS close
-    FROM events GROUP BY 1, 2
+           max(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM __do_ranked GROUP BY ticker, day
 )
 """
 
-_DAILYVOL_CTE = f"""
-WITH dailyvol AS (
-    SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
-           max(value) AS high, min(value) AS low,
-           arg_max(value, {_ORDKEY}) AS close,
-           CAST(sum((user_id % 997) + 1) AS BIGINT) AS vol
-    FROM events GROUP BY 1, 2
+_DAILYVOL_CTE = """
+WITH __dv_ranked AS (
+    -- rank form, not arg_max (see _DAILYOHLC_CTE)
+    SELECT event_type AS ticker, CAST(ts AS DATE) AS day, value,
+           (user_id % 997) + 1 AS tick_vol,
+           row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+), dailyvol AS (
+    SELECT ticker, day, max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(sum(tick_vol) AS BIGINT) AS vol
+    FROM __dv_ranked GROUP BY ticker, day
 )
 """
 
@@ -2210,14 +2266,19 @@ def q_sharpe(spark, sf_dir):
     "q_amihud",
     _VBARS_CTE
     + """
-    , daily AS (
-        SELECT ticker, CAST(ts AS DATE) AS day,
-               arg_max(price, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(seq AS VARCHAR), 20, '0'))
-                   AS close,
+    , ranked AS (
+        SELECT ticker, CAST(ts AS DATE) AS day, price, vol,
+               row_number() OVER (PARTITION BY ticker, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, seq DESC) AS rn_d
+        FROM vbars
+    ), daily AS (
+        -- rank form, not arg_max: arg_max SKIPS null prices while
+        -- Spark's max_by keeps the last tick's value even when null
+        SELECT ticker, day,
+               max(CASE WHEN rn_d = 1 THEN price END) AS close,
                CAST(sum(CAST(price * vol AS DECIMAL(28,6))) AS DOUBLE)
                    AS dollar_vol
-        FROM vbars GROUP BY 1, 2
+        FROM ranked GROUP BY 1, 2
     ), r AS (
         SELECT ticker, day, dollar_vol,
                CASE WHEN lag(close) OVER w > 0
@@ -2491,14 +2552,18 @@ def q_intraday_profile(spark, sf_dir):
     ), acf AS (
         SELECT ticker, round({corr_value_sql('l1')}, 6) AS acf_1
         FROM acf_m
+    ), dvol_ranked AS (
+        SELECT event_type AS ticker, CAST(ts AS DATE) AS day, value, user_id,
+               row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
     ), dvol AS (
-        SELECT event_type AS ticker, CAST(ts AS DATE) AS day,
-               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(event_id AS VARCHAR), 20, '0'))
-                   AS close,
+        -- rank form, not arg_max (null-keeping max_by mirror)
+        SELECT ticker, day,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
                CAST(sum(CAST(value * ((user_id % 997) + 1) AS DECIMAL(28,6)))
                     AS DOUBLE) AS dollar_vol
-        FROM events GROUP BY 1, 2
+        FROM dvol_ranked GROUP BY 1, 2
     ), ar AS (
         SELECT ticker, day, dollar_vol,
                CASE WHEN lag(close) OVER w > 0
@@ -2899,12 +2964,15 @@ def q_seasonal_anomalies(spark, sf_dir):
     "q_portfolio_return",
     _VBARS_CTE
     + """
-    , daily AS (
-        SELECT ticker, CAST(ts AS DATE) AS day,
-               arg_max(price, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(seq AS VARCHAR), 20, '0'))
-                   AS close
-        FROM vbars GROUP BY 1, 2
+    , ranked AS (
+        SELECT ticker, CAST(ts AS DATE) AS day, price,
+               row_number() OVER (PARTITION BY ticker, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, seq DESC) AS rn_d
+        FROM vbars
+    ), daily AS (
+        -- rank form, not arg_max (null-keeping max_by mirror)
+        SELECT ticker, day, max(CASE WHEN rn_d = 1 THEN price END) AS close
+        FROM ranked GROUP BY 1, 2
     ), r AS (
         SELECT ticker, day,
                CASE WHEN lag(close) OVER w > 0
@@ -3589,7 +3657,14 @@ def q_theil_sen(spark, sf_dir):
     ), rolled AS (
         SELECT ticker, day, week, month,
                max(price) AS high, min(price) AS low,
-               arg_max(price, ok) AS close,
+               -- null-keeping last-by-ok without a per-grain rank pass:
+               -- pack price behind the fixed-width (40-char) order key,
+               -- take the max, strip the key. arg_max would SKIP null
+               -- prices; Spark's max_by keeps the last tick's value.
+               -- double<->varchar round-trips exactly (shortest repr).
+               CAST(nullif(substr(max(ok || ':'
+                                      || coalesce(CAST(price AS VARCHAR), '')),
+                                  42), '') AS DOUBLE) AS close,
                CAST(sum(vol) AS BIGINT) AS vol,
                count(*) AS n_ticks
         FROM g
@@ -3930,9 +4005,9 @@ def q_hurst(spark, sf_dir):
     ), ranked AS (
         SELECT ticker_a, ticker_b,
                row_number() OVER (PARTITION BY ticker_a, ticker_b
-                                  ORDER BY va, d) AS ra,
+                                  ORDER BY va NULLS LAST, d) AS ra,
                row_number() OVER (PARTITION BY ticker_a, ticker_b
-                                  ORDER BY vb, d) AS rb
+                                  ORDER BY vb NULLS LAST, d) AS rb
         FROM pairs
     )
     SELECT ticker_a, ticker_b,
@@ -3972,11 +4047,18 @@ def q_spearman(spark, sf_dir):
         b, (F.col("d") == F.col("d2")) & (F.col("ticker_a") < F.col("ticker_b"))
     ).select("ticker_a", "ticker_b", "d", "va", "vb")
     pw = Window.partitionBy("ticker_a", "ticker_b")
+    # NULLS LAST pinned explicitly: Spark's ASC default is NULLS FIRST
+    # while DuckDB's is NULLS LAST — an unpinned rank of a null-valued
+    # day silently flips the whole correlation's sign cross-engine
     ranked = pairs.select(
         "ticker_a",
         "ticker_b",
-        F.row_number().over(pw.orderBy("va", "d")).alias("ra"),
-        F.row_number().over(pw.orderBy("vb", "d")).alias("rb"),
+        F.row_number().over(
+            pw.orderBy(F.col("va").asc_nulls_last(), "d")
+        ).alias("ra"),
+        F.row_number().over(
+            pw.orderBy(F.col("vb").asc_nulls_last(), "d")
+        ).alias("rb"),
     )
     n = F.count(F.lit(1))
     num = n * F.sum(F.col("ra") * F.col("rb")).cast("double") - F.sum(
@@ -4010,8 +4092,8 @@ def q_spearman(spark, sf_dir):
            floor(v / CAST(sum(v) OVER (PARTITION BY ticker) AS DOUBLE)
                  * 1000000 + 0.5) / 1000000 AS share,
            CAST(row_number() OVER (PARTITION BY ticker
-                                   ORDER BY v DESC, bucket) = 1 AS INT)
-               AS is_poc
+                                   ORDER BY v DESC, bucket NULLS LAST) = 1
+                AS INT) AS is_poc
     FROM hist ORDER BY ticker, bucket
     """,
     doc="Volume profile (market profile): per ticker, traded volume "
@@ -4029,7 +4111,12 @@ def q_volume_profile(spark, sf_dir):
         F.floor(F.col("price") / F.lit(20.0)).cast("int").alias("bucket"),
     ).agg(F.sum("vol").cast("long").alias("v"))
     seg = Window.partitionBy("ticker")
-    poc = Window.partitionBy("ticker").orderBy(F.desc("v"), "bucket")
+    # NULLS LAST pinned (Spark ASC default is NULLS FIRST, DuckDB's is
+    # NULLS LAST): on a volume tie the unpriced-ticks bucket must never
+    # out-rank a real price bucket for point-of-control
+    poc = Window.partitionBy("ticker").orderBy(
+        F.desc("v"), F.col("bucket").asc_nulls_last()
+    )
     return hist.select(
         "ticker",
         "bucket",

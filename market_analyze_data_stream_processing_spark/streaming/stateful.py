@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -118,6 +119,13 @@ def _ewma_step(
     # would both advance the recursion. Keep the first per seq so
     # in-batch replays emit once, like cross-batch ones.
     pdf = pdf.drop_duplicates(subset=["seq"], keep="first")
+    # A valueless tick (null/NaN/inf price) has no place in the
+    # recursion e_t = (1-a)e + a*x — dropped here, exactly like the
+    # batch kernel's null-skipping weighted sums, instead of poisoning
+    # the state with NaN forever (the drift-monitor totality rule:
+    # streaming twins must be at least as robust as their batch forms).
+    fin = pd.to_numeric(pdf["value"], errors="coerce").astype(float)
+    pdf = pdf[np.isfinite(fin)]
     if pdf.empty:
         return None
     vals = pdf["value"].astype(float)
@@ -403,14 +411,26 @@ def _rsi_step(
     pdf = pdf.drop_duplicates(subset=["seq"], keep="first")
     if pdf.empty:
         return None, None
+    def cur():
+        if nd < n:
+            return None
+        if l == 0.0:
+            return 50.0 if g == 0.0 else 100.0
+        return 100.0 - 100.0 / (1.0 + g / l)
+
     out_rsi = []
     for x in pdf["value"].astype(float):
-        if last_price is None:
-            last_price = x
-            out_rsi.append(None)
+        prev, last_price = last_price, x
+        d = x - prev if prev is not None else float("nan")
+        # a non-finite delta — series head, null/NaN price on either
+        # side (batch: lag over NULL yields a NULL delta that __has
+        # skips) — advances nothing: the smoothed averages, the warmup
+        # count, and therefore the RSI are unchanged; the row still
+        # emits the current value. Totality: never count or accumulate
+        # NaN (the drift-monitor rule).
+        if not np.isfinite(d):
+            out_rsi.append(cur())
             continue
-        d = x - last_price
-        last_price = x
         gain = d if d > 0 else 0.0
         loss = -d if d < 0 else 0.0
         if nd < n:
@@ -423,12 +443,7 @@ def _rsi_step(
         else:
             g = (g * (n - 1) + gain) / n
             l = (l * (n - 1) + loss) / n
-        if nd < n:
-            out_rsi.append(None)
-        elif l == 0.0:
-            out_rsi.append(50.0 if g == 0.0 else 100.0)
-        else:
-            out_rsi.append(100.0 - 100.0 / (1.0 + g / l))
+        out_rsi.append(cur())
     out = pd.DataFrame(
         {
             "key": key0,
@@ -521,12 +536,18 @@ def _obv_step(
     out_obv = []
     prev = last_price
     acc = obv
-    for price, vol in zip(pdf["price"].astype(float), pdf["vol"].astype(int)):
+    # vol through float so a null survives as NaN instead of crashing
+    # astype(int); NaN-vs-NaN price comparisons are False, so a
+    # valueless tick moves OBV by nothing — the batch form's
+    # NULL-propagating sign term — and a non-finite vol contributes 0
+    # (batch: sum skips the NULL term). Totality, not silent coercion.
+    for price, vol in zip(pdf["price"].astype(float), pdf["vol"].astype(float)):
+        step = int(vol) if np.isfinite(vol) else 0
         if prev is not None:
             if price > prev:
-                acc += vol
+                acc += step
             elif price < prev:
-                acc -= vol
+                acc -= step
         prev = price
         out_obv.append(acc)
     return pd.DataFrame(
@@ -613,10 +634,15 @@ def _vwap_fn(
     if pdf.empty:
         return
     out_vwap = []
-    for price, vol in zip(pdf["price"].astype(float), pdf["vol"].astype(int)):
-        pv += price * vol
-        v += vol
-        out_vwap.append(pv / v)
+    # vol through float (null -> NaN, never an astype(int) crash); a
+    # row with a non-finite price or vol contributes nothing to either
+    # running sum — the batch operator's null-skipping DECIMAL sums —
+    # and vwap is NULL until the first priced trade (v == 0).
+    for price, vol in zip(pdf["price"].astype(float), pdf["vol"].astype(float)):
+        if np.isfinite(price) and np.isfinite(vol):
+            pv += price * vol
+            v += int(vol)
+        out_vwap.append(pv / v if v > 0 else None)
     state.update((int(pdf["seq"].iloc[-1]), float(pv), int(v)))
     yield pd.DataFrame(
         {
@@ -831,6 +857,10 @@ CUSUM_STATE_SCHEMA = StructType(
         StructField("min_up", LongType()),
         StructField("p_dn", LongType()),
         StructField("min_dn", LongType()),
+        # finite deviations accumulated so far: 0 distinguishes "no
+        # evidence yet" (batch: NULL prefix sums -> NULL cusum) from a
+        # genuine P == 0 state
+        StructField("n_acc", LongType()),
     ]
 )
 
@@ -885,8 +915,8 @@ def cusum_per_key_stateful(
     def fn(key, pdfs, state):
         import pandas as pd
 
-        last_seq, p_up, min_up, p_dn, min_dn = (
-            state.get if state.exists else (-1, 0, 0, 0, 0)
+        last_seq, p_up, min_up, p_dn, min_dn, n_acc = (
+            state.get if state.exists else (-1, 0, 0, 0, 0, 0)
         )
         tgt = targets.get(key[0])
         parts = [p for p in pdfs if not p.empty]
@@ -907,8 +937,26 @@ def cusum_per_key_stateful(
             mu, sigma = tgt
             k = k_sigma * sigma
             h = h_sigma * sigma
-            p_up += dec10(float(value) - mu - k)
-            p_dn += dec10(mu - k - float(value))
+            v = float(value)
+            if v != v or v in (float("inf"), float("-inf")):
+                # a valueless/non-finite tick accumulates NOTHING —
+                # the batch twin's NULL deviation is skipped by its
+                # window sums — and the row carries the current score
+                # forward (NULL while no evidence exists yet, exactly
+                # like the batch's NULL prefix). Totality: dec10(NaN)
+                # would raise InvalidOperation and kill the stream.
+                if n_acc == 0:
+                    rows.append((key[0], int(seq), None,
+                                 None, None, None, None))
+                else:
+                    cu = ((p_up - min(0, min_up)) + 5) // 10 / 1e9
+                    cd = ((p_dn - min(0, min_dn)) + 5) // 10 / 1e9
+                    rows.append((key[0], int(seq), None, cu, cd,
+                                 int(cu > h), int(cd > h)))
+                continue
+            p_up += dec10(v - mu - k)
+            p_dn += dec10(mu - k - v)
+            n_acc += 1
             min_up = min(min_up, p_up)
             min_dn = min(min_dn, p_dn)
             # Batch mirror, step 2: Spark types the final subtraction
@@ -923,7 +971,9 @@ def cusum_per_key_stateful(
                          int(cu > h), int(cd > h)))
         if not rows:
             return
-        state.update((int(pdf["seq"].iloc[-1]), p_up, min_up, p_dn, min_dn))
+        state.update(
+            (int(pdf["seq"].iloc[-1]), p_up, min_up, p_dn, min_dn, n_acc)
+        )
         yield pd.DataFrame(
             rows,
             columns=["key", "seq", "value", "cusum_up", "cusum_dn",

@@ -56,7 +56,9 @@ EXTRA_ROWS = """
       (900009, TIMESTAMP '2024-03-02 08:00:00', 49, 'zero_open', 3.0, ''),
       (900010, TIMESTAMP '2024-03-03 08:00:00', 50, 'zero_open', 4.0, ''),
       (900011, TIMESTAMP '2024-03-04 08:00:00', 51, 'null_tick', CAST(NULL AS DOUBLE), ''),
-      (900012, TIMESTAMP '2024-03-05 08:00:00', 52, 'null_tick', 2.5, '')
+      (900012, TIMESTAMP '2024-03-05 08:00:00', 52, 'null_tick', 2.5, ''),
+      (900013, TIMESTAMP '2024-03-06 08:00:00', 53, 'null_tick', 6.0, ''),
+      (900014, TIMESTAMP '2024-03-06 09:00:00', 54, 'null_tick', CAST(NULL AS DOUBLE), '')
 """
 
 
