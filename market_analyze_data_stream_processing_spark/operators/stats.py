@@ -11,10 +11,12 @@ q_ljung_box, q_lead_lag, q_risk_report, and q_stats_agg).
 This kernel lowers Pearson to moment sums over a FIXED quantization
 grid plus one fixed-order double expression, gated total:
 
-- inputs are quantized to a DECIMAL grid (Spark double→DECIMAL and
-  DuckDB CAST round the same way), so every cross-row sum is exact
-  integer arithmetic — order-independent (the STABILITY.md discipline)
-  and bit-identical across engines;
+- inputs are snapped to a DECIMAL grid through ``quantize`` —
+  stable_round in pure double arithmetic FIRST, then the cast (a bare
+  double→DECIMAL cast is knife-edge-prone: Spark rounds the double's
+  shortest round-trip string, DuckDB its exact binary expansion) — so
+  every cross-row sum is exact integer arithmetic: order-independent
+  (the STABILITY.md discipline) and bit-identical across engines;
 - cross products are one IEEE multiply of the two quantized doubles
   (bit-identical on both engines) re-quantized to the product grid;
 - the final correlation is emitted ONLY when n ≥ 2 and both variance
@@ -36,6 +38,26 @@ GRID = "decimal(28,12)"
 #: to 1e-12 identically on both engines; (38,12) leaves 1e26 headroom
 #: for the cross-partition sum
 PROD_GRID = "decimal(38,12)"
+
+
+def quantize(x: Column, digits: int = 12, grid: str = GRID) -> Column:
+    """stable_round-then-cast: ``floor(x·10^d + 0.5) / 10^d`` in pure
+    double arithmetic (bit-identical cross-engine) BEFORE the DECIMAL
+    cast. A plain ``CAST(double AS DECIMAL)`` is knife-edge-prone:
+    Spark rounds the double's shortest round-trip STRING while DuckDB
+    rounds its exact BINARY expansion, and the two can land on
+    different grid points when the true value sits between the string
+    and a grid boundary. Pre-snapping the double to (near) the grid
+    makes both casts resolve to the same point. Mirror:
+    ``quantize_sql``."""
+    p = float(10**digits)
+    return (F.floor(x * p + F.lit(0.5)) / F.lit(p)).cast(grid)
+
+
+def quantize_sql(expr: str, digits: int = 12, grid: str = "DECIMAL(28,12)") -> str:
+    """Oracle mirror of ``quantize`` (same double ops, same cast)."""
+    p = 10**digits
+    return f"CAST(floor(({expr}) * {p}.0 + 0.5) / {p}.0 AS {grid})"
 
 
 def corr_moment_aggs(

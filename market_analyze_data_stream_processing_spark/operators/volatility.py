@@ -95,13 +95,13 @@ def return_autocorr(
     on every engine. Pairs where either side is null (series head,
     zero-close gaps) drop out of that lag's correlation only.
     """
-    from .stats import GRID, corr_from_moments, corr_moment_aggs
+    from .stats import corr_from_moments, corr_moment_aggs, quantize
 
     base = Window.partitionBy(key).orderBy(day)
     prev = F.lag(close).over(base)
     r = F.when(
-        (F.col(close) > 0) & (prev > 0), F.log(F.col(close) / prev)
-    ).cast(GRID)
+        (F.col(close) > 0) & (prev > 0), quantize(F.log(F.col(close) / prev))
+    )
     with_r = daily.withColumn("__r", r)
     # the moments are aggregates, not window fns: materialize the
     # lagged columns first, then aggregate — one window pass + one agg.

@@ -288,7 +288,8 @@ def q_percentiles(spark, sf_dir):
     """
     WITH q AS (
         SELECT event_type, value,
-               CAST(value AS DECIMAL(18,6)) AS vq,
+               CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+                    AS DECIMAL(18,6)) AS vq,
                CAST(user_id AS DECIMAL(18,6)) AS uq
         FROM events
     ), m AS (
@@ -315,12 +316,14 @@ def q_percentiles(spark, sf_dir):
     "zero variance (e.g. a single-event key).",
 )
 def q_stats_agg(spark, sf_dir):
-    from ..operators.stats import corr_from_moments, corr_moment_aggs
+    from ..operators.stats import corr_from_moments, corr_moment_aggs, quantize
 
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
-        F.col("value").cast("decimal(18,6)").alias("__vq"),
+        # stable_round-then-cast (operators/stats.quantize): a plain
+        # double->DECIMAL cast is knife-edge-prone cross-engine
+        quantize(F.col("value"), 6, "decimal(18,6)").alias("__vq"),
         F.col("user_id").cast("decimal(18,6)").alias("__uq"),
     )
     m = e.groupBy("event_type").agg(

@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import stable_round
-from ..operators.stats import corr_moments_sql, corr_value_sql
+from ..operators.stats import corr_moments_sql, corr_value_sql, quantize_sql
 from ..operators.analytics import (
     daily_summary,
     keep_last,
@@ -1811,8 +1811,9 @@ def q_volatility_estimators(spark, sf_dir):
     , r AS (
         SELECT ticker, day,
                CASE WHEN close > 0 AND lag(close) OVER w > 0
-                    THEN CAST(ln(close / lag(close) OVER w)
-                              AS DECIMAL(28,12)) END AS r
+                    THEN """
+    + quantize_sql("ln(close / lag(close) OVER w)")
+    + """ END AS r
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), lagged AS (
@@ -2329,8 +2330,9 @@ def _daily_dollar_bars(spark, sf_dir):
     , r AS (
         SELECT ticker, day,
                CASE WHEN close > 0 AND lag(close) OVER w > 0
-                    THEN CAST(ln(close / lag(close) OVER w)
-                              AS DECIMAL(28,12)) END AS r
+                    THEN """
+    + quantize_sql("ln(close / lag(close) OVER w)")
+    + """ END AS r
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), rr AS (
@@ -2370,14 +2372,14 @@ def _daily_dollar_bars(spark, sf_dir):
     "series yield NULLs on every engine).",
 )
 def q_lead_lag(spark, sf_dir):
-    from ..operators.stats import GRID, corr_from_moments, corr_moment_aggs
+    from ..operators.stats import corr_from_moments, corr_moment_aggs, quantize
 
     base = Window.partitionBy("ticker").orderBy("day")
     d = _daily_bars(spark, sf_dir)
     prev = F.lag("close").over(base)
     r = F.when(
-        (F.col("close") > 0) & (prev > 0), F.log(F.col("close") / prev)
-    ).cast(GRID)
+        (F.col("close") > 0) & (prev > 0), quantize(F.log(F.col("close") / prev))
+    )
     rr = d.withColumn("__r", r).withColumn("__r_prev", F.lag("__r").over(base))
     a = rr.select(
         F.col("ticker").alias("ticker_a"),
@@ -2544,8 +2546,8 @@ def q_intraday_profile(spark, sf_dir):
                """
     + corr_moments_sql("rq", "rq1", "l1")
     + f"""
-        FROM (SELECT ticker, CAST(r AS DECIMAL(28,12)) AS rq,
-                     lag(CAST(r AS DECIMAL(28,12)))
+        FROM (SELECT ticker, """ + quantize_sql("r") + """ AS rq,
+                     lag(""" + quantize_sql("r") + f""")
                          OVER (PARTITION BY ticker ORDER BY day) AS rq1
               FROM r)
         GROUP BY ticker
@@ -4536,8 +4538,9 @@ def q_overnight_gaps(spark, sf_dir):
     , r AS (
         SELECT ticker, day,
                CASE WHEN close > 0 AND lag(close) OVER w > 0
-                    THEN CAST(ln(close / lag(close) OVER w)
-                              AS DECIMAL(28,12)) END AS r
+                    THEN """
+    + quantize_sql("ln(close / lag(close) OVER w)")
+    + """ END AS r
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), lagged AS (
