@@ -12,15 +12,18 @@ with P_t = Σ_{j≤t} y_j (the unclamped prefix sum),
 — a running sum and a running min, both plain window aggregates over
 ONE (key, ts) shuffle+sort. No recursion, no per-row Python, no halo
 blocks: the "sequential" control chart is embarrassingly windowable.
-Per-term deviations are quantized to DECIMAL before the prefix sums,
-so P and its running min are exact and the subtraction is the only
-float step — bit-reproducible cross-engine (the q_atr discipline).
+Per-term deviations are snapped to the 1e-10 grid with
+floor(y·1e10 + 0.5) in pure double arithmetic BEFORE the DECIMAL cast
+(the operators/stats.quantize discipline — a bare double→DECIMAL cast
+can resolve to different grid points on Spark vs DuckDB), so P and its
+running min are exact and the subtraction is the only float step —
+bit-reproducible cross-engine.
 
 The streaming twin (streaming/stateful.cusum_per_key_stateful) keeps
-exactly (P, min P) per key — O(1) state, as 1e-10-scaled integers on
-the SAME quantization grid as this operator's DECIMAL(28,10) cast
-(HALF_UP both sides) — and matches this operator bit for bit on the
-same data, pinned by tests/test_cusum.py's exact-parity assertion.
+exactly (P, min P) per key — O(1) state, as 1e-10-scaled integers
+computed with the IDENTICAL floor expression — and matches this
+operator bit for bit on the same data, pinned by tests/test_cusum.py's
+exact-parity assertion.
 """
 
 from __future__ import annotations
@@ -62,8 +65,20 @@ def with_cusum(
         key,
     )
     kk = F.lit(k_sigma) * F.col("__sigma")
-    y_up = (F.col(value) - F.col("__mu") - kk).cast("decimal(28,10)")
-    y_dn = (F.col("__mu") - kk - F.col(value)).cast("decimal(28,10)")
+
+    # snap-then-cast (operators/stats.quantize discipline): the floor
+    # form is pure double arithmetic — identical on every engine — so
+    # the DECIMAL cast that follows resolves to the same 1e-10 grid
+    # point everywhere. A bare double->DECIMAL cast is knife-edge-prone
+    # cross-engine (Spark rounds the shortest round-trip string, DuckDB
+    # the exact binary expansion).
+    def q10(x):
+        return (F.floor(x * F.lit(1e10) + F.lit(0.5)) / F.lit(1e10)).cast(
+            "decimal(28,10)"
+        )
+
+    y_up = q10(F.col(value) - F.col("__mu") - kk)
+    y_dn = q10(F.col("__mu") - kk - F.col(value))
     w = Window.partitionBy(key).orderBy(order)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     zero = F.lit(0).cast("decimal(38,10)")

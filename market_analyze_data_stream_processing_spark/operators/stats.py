@@ -72,7 +72,9 @@ def corr_moment_aggs(
     xd, yd = xq.cast("double"), yq.cast("double")
 
     def prod(a: Column, b: Column) -> Column:
-        return F.when(m, (a * b).cast(prod_grid))
+        # snap-then-cast: the double product of two grid values is an
+        # arbitrary double — pre-snapping pins the grid point
+        return F.when(m, quantize(a * b, grid=prod_grid))
 
     return [
         F.sum(m.cast("long")).alias(f"{prefix}_n"),
@@ -110,13 +112,17 @@ def corr_moments_sql(
     inputs (evaluated once per moment — keep them simple columns)."""
     m = f"{x} IS NOT NULL AND {y} IS NOT NULL"
     xd, yd = f"CAST({x} AS DOUBLE)", f"CAST({y} AS DOUBLE)"
+
+    def prod(a: str, b: str) -> str:
+        return quantize_sql(f"{a} * {b}", grid=prod_grid)
+
     return (
         f"sum(CASE WHEN {m} THEN 1 ELSE 0 END) AS {prefix}_n,\n"
         f"sum(CASE WHEN {m} THEN {x} END) AS {prefix}_sx,\n"
         f"sum(CASE WHEN {m} THEN {y} END) AS {prefix}_sy,\n"
-        f"sum(CASE WHEN {m} THEN CAST({xd} * {yd} AS {prod_grid}) END) AS {prefix}_sxy,\n"
-        f"sum(CASE WHEN {m} THEN CAST({xd} * {xd} AS {prod_grid}) END) AS {prefix}_sxx,\n"
-        f"sum(CASE WHEN {m} THEN CAST({yd} * {yd} AS {prod_grid}) END) AS {prefix}_syy"
+        f"sum(CASE WHEN {m} THEN {prod(xd, yd)} END) AS {prefix}_sxy,\n"
+        f"sum(CASE WHEN {m} THEN {prod(xd, xd)} END) AS {prefix}_sxx,\n"
+        f"sum(CASE WHEN {m} THEN {prod(yd, yd)} END) AS {prefix}_syy"
     )
 
 

@@ -15,7 +15,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import stable_round
-from ..operators.stats import corr_moments_sql, corr_value_sql, quantize_sql
+from ..operators.stats import (
+    corr_moments_sql,
+    corr_value_sql,
+    quantize,
+    quantize_sql,
+)
 from ..operators.analytics import (
     daily_summary,
     keep_last,
@@ -3399,9 +3404,11 @@ def q_candlestick(spark, sf_dir):
         FROM stats
     ), y AS (
         SELECT d.ticker, d.day, t.sigma,
-               CAST(d.close - t.mu - 0.5::DOUBLE * t.sigma
+               CAST(floor((d.close - t.mu - 0.5::DOUBLE * t.sigma)
+                          * 10000000000.0 + 0.5) / 10000000000.0
                     AS DECIMAL(28,10)) AS yu,
-               CAST(t.mu - 0.5::DOUBLE * t.sigma - d.close
+               CAST(floor((t.mu - 0.5::DOUBLE * t.sigma - d.close)
+                          * 10000000000.0 + 0.5) / 10000000000.0
                     AS DECIMAL(28,10)) AS yd
         FROM dailybars d JOIN tgt t USING (ticker)
     ), p AS (
@@ -3467,13 +3474,15 @@ def q_cusum(spark, sf_dir):
     ), spread AS (
         SELECT a.ticker AS ticker_a, b.ticker AS ticker_b, a.d,
                CASE WHEN a.v > 0 AND b.v > 0
-                    THEN CAST(ln(CAST(a.v AS DOUBLE) / CAST(b.v AS DOUBLE))
-                              AS DECIMAL(28,12)) END AS s
+                    THEN """
+    + quantize_sql("ln(CAST(a.v AS DOUBLE) / CAST(b.v AS DOUBLE))")
+    + """ END AS s
         FROM daily a JOIN daily b ON a.d = b.d AND a.ticker < b.ticker
     ), runs AS (
         SELECT ticker_a, ticker_b, d, s,
                sum(s) OVER run AS ss,
-               sum(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              * 1000000000000.0 + 0.5) / 1000000000000.0
                         AS DECIMAL(38,12))) OVER run AS ss2,
                count(s) OVER run AS c
         FROM spread
@@ -3522,13 +3531,17 @@ def q_pairs_spread(spark, sf_dir):
             "ticker_b",
             "d",
             # a non-positive daily value leaves the log-ratio undefined:
-            # NULL (the row still exists; the rolling moments skip it)
+            # NULL (the row still exists; the rolling moments skip it).
+            # snap-then-cast (stats.quantize) pins the grid point
+            # identically cross-engine.
             F.when(
                 (F.col("va") > 0) & (F.col("vb") > 0),
-                F.log(F.col("va").cast("double") / F.col("vb").cast("double")),
-            )
-            .cast("decimal(28,12)")
-            .alias("s"),
+                quantize(
+                    F.log(
+                        F.col("va").cast("double") / F.col("vb").cast("double")
+                    )
+                ),
+            ).alias("s"),
         )
     )
     w = Window.partitionBy("ticker_a", "ticker_b").orderBy("d")
@@ -3540,8 +3553,9 @@ def q_pairs_spread(spark, sf_dir):
         "s",
         F.sum("s").over(run).alias("ss"),
         F.sum(
-            (F.col("s").cast("double") * F.col("s").cast("double")).cast(
-                "decimal(38,12)"
+            quantize(
+                F.col("s").cast("double") * F.col("s").cast("double"),
+                grid="decimal(38,12)",
             )
         )
         .over(run)
@@ -3822,7 +3836,9 @@ def q_roll_spread(spark, sf_dir):
     + """
     , r AS (
         SELECT ticker, day,
-               CAST(ln(close / lag(close) OVER w) AS DECIMAL(28,12)) AS r
+               """
+    + quantize_sql("ln(close / lag(close) OVER w)")
+    + """ AS r
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
         QUALIFY close > 0 AND lag(close) OVER w > 0
@@ -3839,7 +3855,8 @@ def q_roll_spread(spark, sf_dir):
             SELECT ticker, m, blk, r, idx,
                    count(*) OVER wb AS cnt,
                    sum(r) OVER wb AS s_r,
-                   sum(CAST(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+                   sum(CAST(floor(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+                                  * 1000000000000.0 + 0.5) / 1000000000000.0
                             AS DECIMAL(38,12))) OVER wb AS s_r2,
                    sum(r) OVER (PARTITION BY ticker, m, blk ORDER BY idx
                                 ROWS BETWEEN UNBOUNDED PRECEDING
@@ -3907,9 +3924,7 @@ def q_hurst(spark, sf_dir):
         .select(
             "ticker",
             "day",
-            F.log(F.col("close") / F.col("__prev"))
-            .cast("decimal(28,12)")
-            .alias("r"),
+            quantize(F.log(F.col("close") / F.col("__prev"))).alias("r"),
         )
     )
     idxed = r.select(
@@ -3928,8 +3943,9 @@ def q_hurst(spark, sf_dir):
         F.count(F.lit(1)).over(wb).alias("cnt"),
         F.sum("r").over(wb).alias("s_r"),
         F.sum(
-            (F.col("r").cast("double") * F.col("r").cast("double")).cast(
-                "decimal(38,12)"
+            quantize(
+                F.col("r").cast("double") * F.col("r").cast("double"),
+                grid="decimal(38,12)",
             )
         )
         .over(wb)

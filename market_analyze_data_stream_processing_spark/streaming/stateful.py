@@ -893,24 +893,21 @@ def cusum_per_key_stateful(
     absent from ``targets`` pass through with null scores (an uncharted
     series can't alarm — surface it via the drift monitor instead).
 
-    Exactness: each deviation is quantized to the 1e-10 grid with the
-    HALF_UP rounding of Spark's double→DECIMAL(28,10) cast. Spark's
-    ``Decimal.set(double)`` goes through Scala ``BigDecimal(double)`` =
-    ``Double.toString`` — the SHORTEST round-trip decimal string, not
-    the exact binary expansion — so the matching Python construction is
-    ``Decimal(repr(y))`` (Python repr is the same shortest-round-trip
-    algorithm), NOT ``Decimal(y)``. With that, (P, min P) accumulate as
-    scaled integers and this twin reproduces
+    Exactness: each deviation is snapped to the 1e-10 grid with the
+    SAME floor(y·1e10 + 0.5) double expression the batch operator (and
+    its oracle) evaluate before their DECIMAL(28,10) casts — Python
+    floats are IEEE doubles, so the three sides compute the identical
+    grid index. (The earlier construction replicated Spark's
+    shortest-string cast via ``Decimal(repr(y))``; the snap-then-cast
+    form supersedes it because a bare double→DECIMAL cast can resolve
+    to DIFFERENT grid points on Spark vs DuckDB.) With that, (P, min P)
+    accumulate as scaled integers and this twin reproduces
     ``operators.changepoint.with_cusum`` bit-for-bit, pinned by
     tests/test_cusum.py's exact-parity assertion."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q10 = Decimal("1e-10")
+    import math
 
     def dec10(y: float) -> int:
-        return int(
-            Decimal(repr(y)).quantize(q10, rounding=ROUND_HALF_UP).scaleb(10)
-        )
+        return int(math.floor(y * 1e10 + 0.5))
 
     def fn(key, pdfs, state):
         import pandas as pd
