@@ -60,6 +60,17 @@ def gram_partials(emb: DataFrame, col: str, dim: int) -> DataFrame:
             if len(pdf) == 0:
                 continue
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[col]])
+            # Non-finite policy: REFUSE, loudly. floor(NaN·1e8+0.5)
+            # .astype(int64) is undefined (INT64_MIN in practice) and
+            # would silently poison every accumulated cell, while the
+            # oracle's CAST errors — a silent cross-engine divergence.
+            # NULL components arrive here as NaN and hit the same gate.
+            if not np.isfinite(X).all():
+                raise ValueError(
+                    "gram_partials: non-finite (NaN/±inf) or NULL "
+                    f"component in '{col}' — clean or filter the "
+                    "embedding column before the covariance/Gram pass"
+                )
             for lo in range(0, len(X), _CHUNK):
                 C = X[lo : lo + _CHUNK]
                 P = C[:, :, None] * C[:, None, :]

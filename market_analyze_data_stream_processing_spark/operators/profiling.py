@@ -76,10 +76,25 @@ def psi_drift(
     never produce log(0). Each bucket's (p−q)·ln(p/q) term is quantized
     to DECIMAL(28,12) before the per-group sum — order-insensitive.
     Two hash aggregates total; output is O(groups)."""
-    b = F.least(
-        F.floor(F.col(value) / F.lit(bucket_width)).cast("int"), F.lit(n_buckets)
+    # Total bucket expression, matching bucket_index for EVERY double:
+    # NULL/NaN → overflow slot, ±inf → edge slots (a bare
+    # floor(v/width).cast('int') saturates floor(±inf) at Long.MaxValue
+    # and then ERRORS on the LONG→INT cast under ANSI); the clamp runs
+    # on the LONG floor BEFORE the int cast so huge finite values can't
+    # overflow it either.
+    v = F.col(value)
+    b = (
+        F.when(v.isNull() | F.isnan(v), F.lit(n_buckets))
+        .when(v == float("inf"), F.lit(n_buckets))
+        .when(v == float("-inf"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.greatest(F.floor(v / F.lit(bucket_width)), F.lit(0)),
+                F.lit(n_buckets),
+            )
+        )
+        .cast("int")
     )
-    b = F.greatest(b, F.lit(0))
     hist = (
         tagged.withColumn("__b", b)
         .groupBy(group, "__b")
@@ -233,12 +248,13 @@ def psi_from_counts(
 
 def bucket_index(v, bucket_width: float, n_buckets: int) -> int:
     """Total fixed-breakpoint bucketing: floor(v/width) clamped to
-    [0, n_buckets], defined for EVERY input. None/NaN route to the
-    overflow slot n_buckets — the same slot the batch psi_drift sends
-    NULLs to (``F.least(NULL, n)`` skips the null, then the clamp
-    lands on n_buckets); a pandas float column can't distinguish NULL
-    from NaN, so NaN follows the same path. ±inf clamp to the
-    respective edge slots instead of raising OverflowError."""
+    [0, n_buckets], defined for EVERY input, in exact parity with the
+    batch psi_drift bucket expression (which gates NULL/NaN to the
+    overflow slot n_buckets and ±inf to the edge slots with the same
+    CASE — a bare floor(v/width).cast('int') would send Spark NaN to
+    slot 0 and ERROR on ±inf under ANSI, so the gates live in BOTH
+    lowerings). A pandas float column can't distinguish NULL from NaN,
+    so both route to the overflow slot here."""
     if v is None or v != v:
         return n_buckets
     if v == float("inf"):

@@ -32,11 +32,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: default input grid: 1e-12 quantization, |x| up to 1e16
+#: default input grid: 1e-12 quantization. DOMAIN BOUND: cross-engine
+#: exact only for |x| < 2^53/10^12 ≈ 9006 (see quantize); sized for
+#: log returns and other O(1) inputs, NOT raw ids/volumes — pick a
+#: coarser ``digits`` for large-magnitude inputs.
 GRID = "decimal(28,12)"
-#: default product grid: the double product of two grid values rounds
-#: to 1e-12 identically on both engines; (38,12) leaves 1e26 headroom
-#: for the cross-partition sum
+#: default product grid for products of two GRID values; same
+#: |x·y| < 2^53/10^12 bound applies to the PRODUCT. (38,12) leaves
+#: 1e26 headroom for the cross-partition sum, which is exact decimal
+#: arithmetic and has no double bound.
 PROD_GRID = "decimal(38,12)"
 
 
@@ -49,7 +53,23 @@ def quantize(x: Column, digits: int = 12, grid: str = GRID) -> Column:
     different grid points when the true value sits between the string
     and a grid boundary. Pre-snapping the double to (near) the grid
     makes both casts resolve to the same point. Mirror:
-    ``quantize_sql``."""
+    ``quantize_sql``.
+
+    DOMAIN BOUND — callers must keep ``|x| · 10^digits < 2^53`` (≈
+    9.0e15): within it the snapped grid integer is an exact double and
+    its /10^d quotient round-trips through Spark's shortest-string
+    decimal cast and DuckDB's binary-expansion cast to the SAME grid
+    point. Past 2^53 the grid integer itself is no longer exactly
+    representable (snap becomes lossy and the two casts can part);
+    past 2^63 Spark's ``floor(double)`` — which is LONG-typed —
+    silently SATURATES at Long.MaxValue while DuckDB's floor stays a
+    double, a hard divergence (verified: floor(4000²·1e12 + 0.5)
+    → 9.2e6 grid value on Spark vs 1.6e7 on DuckDB). At the default
+    digits=12 that means |x| < ~9006: fine for log returns, wrong for
+    raw ids/volumes — pass a coarser ``digits`` (see q_stats_agg's
+    digits=6 product grid) for large-magnitude inputs. NaN/±inf inputs
+    are also out of contract (Spark floor(NaN)=0, floor(inf)=
+    Long.MaxValue vs DuckDB NaN/inf) — gate them to NULL first."""
     p = float(10**digits)
     return (F.floor(x * p + F.lit(0.5)) / F.lit(p)).cast(grid)
 
@@ -61,20 +81,27 @@ def quantize_sql(expr: str, digits: int = 12, grid: str = "DECIMAL(28,12)") -> s
 
 
 def corr_moment_aggs(
-    xq: Column, yq: Column, prefix: str, prod_grid: str = PROD_GRID
+    xq: Column,
+    yq: Column,
+    prefix: str,
+    prod_grid: str = PROD_GRID,
+    prod_digits: int = 12,
 ) -> list[Column]:
     """Aggregate columns for the exact Pearson moments of the pair
     (xq, yq) — both must already be DECIMAL-quantized columns (nullable;
     a null on either side drops the PAIR from every moment, the
     complete-pairs semantics shared with SQL ``corr``). Emits
-    ``{prefix}_n/sx/sy/sxy/sxx/syy``."""
+    ``{prefix}_n/sx/sy/sxy/sxx/syy``. ``prod_digits``/``prod_grid``
+    size the product grid — keep |x·y| · 10^prod_digits < 2^53 (the
+    quantize domain bound), so large-magnitude inputs need a coarser
+    product grid than the 12-digit default."""
     m = xq.isNotNull() & yq.isNotNull()
     xd, yd = xq.cast("double"), yq.cast("double")
 
     def prod(a: Column, b: Column) -> Column:
         # snap-then-cast: the double product of two grid values is an
         # arbitrary double — pre-snapping pins the grid point
-        return F.when(m, quantize(a * b, grid=prod_grid))
+        return F.when(m, quantize(a * b, prod_digits, prod_grid))
 
     return [
         F.sum(m.cast("long")).alias(f"{prefix}_n"),
@@ -105,7 +132,11 @@ def corr_from_moments(prefix: str) -> Column:
 
 
 def corr_moments_sql(
-    x: str, y: str, prefix: str, prod_grid: str = "DECIMAL(38,12)"
+    x: str,
+    y: str,
+    prefix: str,
+    prod_grid: str = "DECIMAL(38,12)",
+    prod_digits: int = 12,
 ) -> str:
     """Oracle select-list snippet mirroring ``corr_moment_aggs``.
     ``x``/``y`` are SQL expressions for the ALREADY-quantized decimal
@@ -114,7 +145,7 @@ def corr_moments_sql(
     xd, yd = f"CAST({x} AS DOUBLE)", f"CAST({y} AS DOUBLE)"
 
     def prod(a: str, b: str) -> str:
-        return quantize_sql(f"{a} * {b}", grid=prod_grid)
+        return quantize_sql(f"{a} * {b}", prod_digits, prod_grid)
 
     return (
         f"sum(CASE WHEN {m} THEN 1 ELSE 0 END) AS {prefix}_n,\n"

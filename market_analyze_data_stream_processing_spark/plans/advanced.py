@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import stable_round
+from ..functions.scalars import stable_round, stable_round_sql
 from ..operators.stats import corr_moments_sql, corr_value_sql
 from ..sources.tables import load_table, load_tables
 from .registry import register
@@ -294,17 +294,17 @@ def q_percentiles(spark, sf_dir):
         FROM events
     ), m AS (
         SELECT event_type,
-               round(stddev_samp(value), 4) AS sd,
-               round(var_samp(value), 4) AS var,
-               round(min(value), 4) AS vmin,
-               round(max(value), 4) AS vmax,
+               floor(stddev_samp(value) * 10000 + 0.5) / 10000 AS sd,
+               floor(var_samp(value) * 10000 + 0.5) / 10000 AS var,
+               floor(min(value) * 10000 + 0.5) / 10000 AS vmin,
+               floor(max(value) * 10000 + 0.5) / 10000 AS vmax,
                """
-    + corr_moments_sql("vq", "uq", "cu")
+    + corr_moments_sql("vq", "uq", "cu", "DECIMAL(38,6)", 6)
     + f"""
         FROM q GROUP BY event_type
     )
     SELECT event_type, sd, var,
-           round({corr_value_sql('cu')}, 4) AS corr_uid,
+           {stable_round_sql(corr_value_sql('cu'), 4)} AS corr_uid,
            vmin, vmax
     FROM m ORDER BY event_type
     """,
@@ -327,17 +327,22 @@ def q_stats_agg(spark, sf_dir):
         F.col("user_id").cast("decimal(18,6)").alias("__uq"),
     )
     m = e.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 4).alias("sd"),
-        F.round(F.var_samp("value"), 4).alias("var"),
-        F.round(F.min("value"), 4).alias("vmin"),
-        F.round(F.max("value"), 4).alias("vmax"),
-        *corr_moment_aggs(F.col("__vq"), F.col("__uq"), "cu"),
+        stable_round(F.stddev_samp("value"), 4).alias("sd"),
+        stable_round(F.var_samp("value"), 4).alias("var"),
+        stable_round(F.min("value"), 4).alias("vmin"),
+        stable_round(F.max("value"), 4).alias("vmax"),
+        # 6-digit product grid: uq is a RAW id, so the 12-digit default
+        # would cross the |x·y|·10^d < 2^53 quantize domain bound at
+        # user_id ≈ 3e3; digits=6 holds exactness to user_id ≈ 9.5e4.
+        *corr_moment_aggs(
+            F.col("__vq"), F.col("__uq"), "cu", "decimal(38,6)", 6
+        ),
     )
     return m.select(
         "event_type",
         "sd",
         "var",
-        F.round(corr_from_moments("cu"), 4).alias("corr_uid"),
+        stable_round(corr_from_moments("cu"), 4).alias("corr_uid"),
         "vmin",
         "vmax",
     ).orderBy("event_type")
@@ -1177,8 +1182,8 @@ def q_sentence_explode(spark, sf_dir):
     "q_rank_distribution_family",
     """
     SELECT c_mktsegment, c_custkey,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
            dense_rank() OVER w AS dr,
            row_number() OVER w AS rn
     FROM customer
@@ -1201,8 +1206,11 @@ def q_rank_distribution_family(spark, sf_dir):
         c.select(
             "c_mktsegment",
             "c_custkey",
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            # integer-ratio values (r/(n-1), r/n) land EXACTLY on round
+            # half-boundaries once partitions are large — floor-form
+            # round, not engine-native (see functions/scalars.py)
+            stable_round(F.percent_rank().over(w), 6).alias("pr"),
+            stable_round(F.cume_dist().over(w), 6).alias("cd"),
             F.dense_rank().over(w).alias("dr"),
             F.row_number().over(w).alias("rn"),
         )
@@ -1272,7 +1280,6 @@ def q_zorder_values(spark, sf_dir):
     )
 
 
-from ..functions.scalars import stable_round_sql  # noqa: E402
 from ..operators.asof import asof_join  # noqa: E402
 
 
@@ -2013,9 +2020,14 @@ def q_pagerank(spark, sf_dir):
     )
     SELECT CAST(decile AS BIGINT) AS decile,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(spend), 2) AS total_spend,
-           round(sum(spend) / count(*), 2) AS avg_spend,
-           floor(sum(spend) / (SELECT sum(spend) FROM spend)
+           -- per-decile rollups re-enter DECIMAL: each spend is a grid
+           -- value, so the cast is exact and the sums are order-free
+           CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           floor(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) * 100 + 0.5) / 100 AS avg_spend,
+           floor(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE)
+                 / (SELECT CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE)
+                    FROM spend)
                  * 1000000 + 0.5) / 1000000 AS revenue_share
     FROM assigned GROUP BY decile ORDER BY decile
     """,
@@ -2047,14 +2059,18 @@ def q_customer_deciles(spark, sf_dir):
     assigned = spend.crossJoin(F.broadcast(bounds)).select(
         "custkey", "spend", decile.cast("long").alias("decile")
     )
-    total = spend.agg(F.sum("spend").alias("grand"))
+    # Rollups re-enter DECIMAL: each spend double IS a 0.01-grid value,
+    # so the cast back is exact and the sums are order-free (a double
+    # re-sum would be engine-order-dependent before the final rounds).
+    dsum = F.sum(F.col("spend").cast("decimal(18,2)")).cast("double")
+    total = spend.agg(dsum.alias("grand"))
     return (
         assigned.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("spend"), 2).alias("total_spend"),
-            F.round(F.sum("spend") / F.count(F.lit(1)), 2).alias("avg_spend"),
-            F.sum("spend").alias("__sum"),
+            dsum.alias("total_spend"),
+            stable_round(dsum / F.count(F.lit(1)), 2).alias("avg_spend"),
+            dsum.alias("__sum"),
         )
         .crossJoin(F.broadcast(total))
         .select(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import stable_round
+from ..functions.scalars import stable_round, stable_round_sql
 from ..operators.stats import (
     corr_moments_sql,
     corr_value_sql,
@@ -594,9 +594,10 @@ def q_chart_frame(spark, sf_dir):
     )
     SELECT ticker_a, ticker_b, n,
            CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN round((n * sxy - sx * sy)
+                THEN floor((n * sxy - sx * sy)
                            / (sqrt(n * sxx - sx * sx)
-                              * sqrt(n * syy - sy * sy)), 6) END AS r
+                              * sqrt(n * syy - sy * sy))
+                           * 1000000 + 0.5) / 1000000 END AS r
     FROM pairs
     ORDER BY ticker_a, ticker_b
     """,
@@ -637,7 +638,7 @@ def q_series_correlation(spark, sf_dir):
     # undefined: explicit NULL, never an ANSI /0 crash
     r = F.when((vx > 0) & (vy > 0), (n * F.col("sxy") - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)))
     return pairs.select(
-        "ticker_a", "ticker_b", "n", F.round(r, 6).alias("r")
+        "ticker_a", "ticker_b", "n", stable_round(r, 6).alias("r")
     ).orderBy("ticker_a", "ticker_b")
 
 
@@ -1840,9 +1841,9 @@ def q_volatility_estimators(spark, sf_dir):
         FROM lagged GROUP BY ticker
     )
     SELECT ticker, CAST(n_returns AS BIGINT) AS n_returns,
-           round({corr_value_sql('l1')}, 6) AS acf_1,
-           round({corr_value_sql('l2')}, 6) AS acf_2,
-           round({corr_value_sql('l5')}, 6) AS acf_5
+           {stable_round_sql(corr_value_sql('l1'), 6)} AS acf_1,
+           {stable_round_sql(corr_value_sql('l2'), 6)} AS acf_2,
+           {stable_round_sql(corr_value_sql('l5'), 6)} AS acf_5
     FROM m ORDER BY ticker
     """,
     doc="Autocorrelation of daily log returns at lags 1/2/5 per ticker "
@@ -1862,9 +1863,9 @@ def q_autocorr(spark, sf_dir):
     return out.select(
         "ticker",
         "n_returns",
-        F.round("acf_1", 6).alias("acf_1"),
-        F.round("acf_2", 6).alias("acf_2"),
-        F.round("acf_5", 6).alias("acf_5"),
+        stable_round(F.col("acf_1"), 6).alias("acf_1"),
+        stable_round(F.col("acf_2"), 6).alias("acf_2"),
+        stable_round(F.col("acf_5"), 6).alias("acf_5"),
     ).orderBy("ticker")
 
 
@@ -2088,7 +2089,7 @@ def q_keltner(spark, sf_dir):
         FROM r
     )
     SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
-           round(exp(CAST(sum(lr) OVER run AS DOUBLE)), 6) AS growth
+           CAST(sum(lr) OVER run AS DOUBLE) AS log_growth
     FROM lr
     WINDOW run AS (PARTITION BY ticker ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2097,12 +2098,16 @@ def q_keltner(spark, sf_dir):
     doc="Winsorized growth-of-$1 index per ticker: daily close returns "
     "clamped to +/-5% (so the compounding does NOT telescope to a "
     "price ratio — the cap is the point: robust compounding that a "
-    "single bad print can't dominate), then cumulative product via "
-    "exp(running sum of log1p terms). The log terms are quantized to "
-    "DECIMAL(28,12) BEFORE the running sum, making the accumulation "
-    "exact and order-independent (a plain double running sum is "
-    "engine-implementation-dependent — segment-tree vs sequential); "
-    "the one exp at the end rounds at 6. One (ticker, day) window "
+    "single bad print can't dominate), reported in LOG space: the "
+    "DECIMAL(28,12) running sum of the log1p terms itself (growth = "
+    "exp(log_growth), a presentation step left to the consumer). The "
+    "log terms are quantized to DECIMAL(28,12) BEFORE the running "
+    "sum, making the accumulation exact and order-independent (a "
+    "plain double running sum is engine-implementation-dependent — "
+    "segment-tree vs sequential); a final exp() would be a libm call "
+    "whose 1-ULP JVM-vs-DuckDB divergence survives fixed-decimal "
+    "rounding once the index grows large (the reproduced "
+    "q_portfolio_return failure class). One (ticker, day) window "
     "pass.",
 )
 def q_capped_growth(spark, sf_dir):
@@ -2122,7 +2127,7 @@ def q_capped_growth(spark, sf_dir):
     return staged.select(
         "ticker",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.round(F.exp(F.sum("__lr").over(run).cast("double")), 6).alias("growth"),
+        F.sum("__lr").over(run).cast("double").alias("log_growth"),
     ).orderBy("ticker", "day")
 
 
@@ -2293,7 +2298,8 @@ def q_sharpe(spark, sf_dir):
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     )
     SELECT ticker, CAST(count(abs_r) AS BIGINT) AS n_days,
-           round(avg(abs_r / dollar_vol * 1000000.0), 8) AS amihud_x1e6
+           floor(avg(abs_r / dollar_vol * 1000000.0) * 100000000 + 0.5)
+               / 100000000 AS amihud_x1e6
     FROM r WHERE dollar_vol > 0
     GROUP BY ticker ORDER BY ticker
     """,
@@ -2312,7 +2318,7 @@ def q_amihud(spark, sf_dir):
     return out.select(
         "ticker",
         "n_days",
-        F.round("amihud_x1e6", 8).alias("amihud_x1e6"),
+        stable_round(F.col("amihud_x1e6"), 8).alias("amihud_x1e6"),
     ).orderBy("ticker")
 
 
@@ -2360,9 +2366,9 @@ def _daily_dollar_bars(spark, sf_dir):
         GROUP BY a.ticker, b.ticker
     )
     SELECT ticker_a, ticker_b,
-           round({corr_value_sql('c')}, 6) AS contemp,
-           round({corr_value_sql('ba')}, 6) AS b_leads_a,
-           round({corr_value_sql('ab')}, 6) AS a_leads_b
+           {stable_round_sql(corr_value_sql('c'), 6)} AS contemp,
+           {stable_round_sql(corr_value_sql('ba'), 6)} AS b_leads_a,
+           {stable_round_sql(corr_value_sql('ab'), 6)} AS a_leads_b
     FROM m ORDER BY ticker_a, ticker_b
     """,
     doc="Lead-lag structure between every ticker pair: contemporaneous "
@@ -2411,9 +2417,9 @@ def q_lead_lag(spark, sf_dir):
     return m.select(
         "ticker_a",
         "ticker_b",
-        F.round(corr_from_moments("c"), 6).alias("contemp"),
-        F.round(corr_from_moments("ba"), 6).alias("b_leads_a"),
-        F.round(corr_from_moments("ab"), 6).alias("a_leads_b"),
+        stable_round(corr_from_moments("c"), 6).alias("contemp"),
+        stable_round(corr_from_moments("ba"), 6).alias("b_leads_a"),
+        stable_round(corr_from_moments("ab"), 6).alias("a_leads_b"),
     ).orderBy("ticker_a", "ticker_b")
 
 
@@ -2557,7 +2563,7 @@ def q_intraday_profile(spark, sf_dir):
               FROM r)
         GROUP BY ticker
     ), acf AS (
-        SELECT ticker, round({corr_value_sql('l1')}, 6) AS acf_1
+        SELECT ticker, {stable_round_sql(corr_value_sql('l1'), 6)} AS acf_1
         FROM acf_m
     ), dvol_ranked AS (
         SELECT event_type AS ticker, CAST(ts AS DATE) AS day, value, user_id,
@@ -2578,8 +2584,9 @@ def q_intraday_profile(spark, sf_dir):
         FROM dvol
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), ami AS (
-        SELECT ticker, round(avg(abs_r / dollar_vol * 1000000.0), 8)
-                   AS amihud_x1e6
+        SELECT ticker,
+               floor(avg(abs_r / dollar_vol * 1000000.0) * 100000000 + 0.5)
+                   / 100000000 AS amihud_x1e6
         FROM ar WHERE dollar_vol > 0 GROUP BY ticker
     ), dd AS (
         SELECT ticker,
@@ -2633,10 +2640,10 @@ def q_risk_report(spark, sf_dir):
         "ticker", F.round("sharpe_ann", 6).alias("sharpe_ann")
     )
     ac = return_autocorr(daily, lags=(1,)).select(
-        "ticker", F.round("acf_1", 6).alias("acf_1")
+        "ticker", stable_round(F.col("acf_1"), 6).alias("acf_1")
     )
     ami = amihud_illiquidity(_daily_dollar_bars(spark, sf_dir)).select(
-        "ticker", F.round("amihud_x1e6", 8).alias("amihud_x1e6")
+        "ticker", stable_round(F.col("amihud_x1e6"), 8).alias("amihud_x1e6")
     )
     dd = max_drawdown(_bars(spark, sf_dir)).select(
         "ticker", stable_round(F.col("max_drawdown"), 6).alias("max_drawdown")
@@ -2715,14 +2722,15 @@ def q_var_cvar(spark, sf_dir):
                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ), s AS (
         SELECT ticker, day, phase, close, trend,
-               round(avg(close - trend)
-                         OVER (PARTITION BY ticker, phase), 6) AS seasonal
+               floor(avg(close - trend)
+                         OVER (PARTITION BY ticker, phase)
+                     * 1000000 + 0.5) / 1000000 AS seasonal
         FROM t
     )
     SELECT ticker, strftime(day, '%Y-%m-%d') AS day, phase, close,
            floor(trend * 10000 + 0.5) / 10000 AS trend,
            seasonal,
-           round(close - trend - seasonal, 6) AS resid
+           floor((close - trend - seasonal) * 1000000 + 0.5) / 1000000 AS resid
     FROM s ORDER BY ticker, day
     """,
     doc="Classical additive seasonal decomposition (STL-lite) of each "
@@ -2748,9 +2756,10 @@ def q_seasonal_decompose(spark, sf_dir):
         "phase",
         "close",
         stable_round(F.col("trend"), 4).alias("trend"),
-        F.round("seasonal", 6).alias("seasonal"),
-        F.round(
-            F.col("close") - F.col("trend") - F.round("seasonal", 6), 6
+        stable_round(F.col("seasonal"), 6).alias("seasonal"),
+        stable_round(
+            F.col("close") - F.col("trend") - stable_round(F.col("seasonal"), 6),
+            6,
         ).alias("resid"),
     ).orderBy("ticker", "day")
 
@@ -2883,12 +2892,14 @@ def q_forecast_eval(spark, sf_dir):
                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ), s AS (
         SELECT ticker, day, close, trend,
-               round(avg(close - trend)
-                         OVER (PARTITION BY ticker, phase), 6) AS seasonal
+               floor(avg(close - trend)
+                         OVER (PARTITION BY ticker, phase)
+                     * 1000000 + 0.5) / 1000000 AS seasonal
         FROM t
     ), r AS (
         SELECT ticker, day, close,
-               round(close - trend - seasonal, 6) AS resid
+               floor((close - trend - seasonal) * 1000000 + 0.5) / 1000000
+                   AS resid
         FROM s WHERE trend IS NOT NULL
     ), med AS (
         SELECT ticker, quantile_cont(resid, 0.5) AS med FROM r
@@ -2902,9 +2913,9 @@ def q_forecast_eval(spark, sf_dir):
         GROUP BY ticker
     )
     SELECT d.ticker, strftime(d.day, '%Y-%m-%d') AS day, d.close, d.resid,
-           round(CASE WHEN m.mad > 0
-                      THEN (d.resid - d.med) / (1.4826 * m.mad) END, 4)
-               AS robust_z,
+           floor(CASE WHEN m.mad > 0
+                      THEN (d.resid - d.med) / (1.4826 * m.mad) END
+                 * 10000 + 0.5) / 10000 AS robust_z,
            CAST(CASE WHEN m.mad > 0
                      AND abs((d.resid - d.med) / (1.4826 * m.mad)) > 3.0
                      THEN 1 ELSE 0 END AS INT) AS is_anomaly
@@ -2934,8 +2945,9 @@ def q_seasonal_anomalies(spark, sf_dir):
         "ticker",
         "day",
         "close",
-        F.round(
-            F.col("close") - F.col("trend") - F.round("seasonal", 6), 6
+        stable_round(
+            F.col("close") - F.col("trend") - stable_round(F.col("seasonal"), 6),
+            6,
         ).alias("resid"),
     )
     med = r.groupBy("ticker").agg(
@@ -2958,7 +2970,7 @@ def q_seasonal_anomalies(spark, sf_dir):
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "close",
             "resid",
-            F.round(z, 4).alias("robust_z"),
+            stable_round(z, 4).alias("robust_z"),
             F.when(F.abs(z) > 3.0, 1).otherwise(0).cast("int").alias(
                 "is_anomaly"
             ),
@@ -3002,12 +3014,12 @@ def q_seasonal_anomalies(spark, sf_dir):
         GROUP BY r.day
     )
     SELECT strftime(day, '%Y-%m-%d') AS day, n_components, port_r,
-           round(exp(CAST(sum(coalesce(
+           CAST(sum(coalesce(
                      CAST(CASE WHEN port_r > -1.0
                                THEN ln(1.0 + port_r) END
                           AS DECIMAL(28,12)),
-                     CAST(0 AS DECIMAL(28,12)))) OVER run AS DOUBLE)), 6)
-               AS growth
+                     CAST(0 AS DECIMAL(28,12)))) OVER run AS DOUBLE)
+               AS log_growth
     FROM port
     WINDOW run AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
     ORDER BY day
@@ -3018,8 +3030,16 @@ def q_seasonal_anomalies(spark, sf_dir):
     "DECIMAL-exact dollar-volume sums (division in double — fixed "
     "order), each day's portfolio return is the sum of w*r terms "
     "QUANTIZED to DECIMAL(28,12) (order-free — a plain float sum over "
-    "components is engine-order-dependent), and the growth index "
-    "compounds via the q_capped_growth log1p running-sum pattern. The "
+    "components is engine-order-dependent), and the growth index is "
+    "reported in LOG space: the DECIMAL(28,12) running sum of "
+    "ln(1+port_r) itself (growth-of-$1 = exp(log_growth), a "
+    "presentation step left to the consumer). Emitting the log sum "
+    "keeps the contract engine-exact end to end — the quantized ln "
+    "terms are identical on both engines (12 decimal places sit far "
+    "below libm's ~16-significant-digit ULP position for |ln| < 1), "
+    "whereas a final exp() is a libm call whose 1-ULP JVM-vs-DuckDB "
+    "divergence survives any fixed-decimal round once growth exceeds "
+    "~1e9 (reproduced: 0/1/4 diff rows at sf0.001/0.01/0.1). The "
     "1-row corpus-total aggregate broadcasts (scalar-subquery form, "
     "the PLANLINT-allowlisted pattern); tickers missing a return that "
     "day contribute zero (fixed weights, no renormalization — the "
@@ -3062,9 +3082,7 @@ def q_portfolio_return(spark, sf_dir):
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n_components",
             "port_r",
-            F.round(F.exp(F.sum("__lr").over(run).cast("double")), 6).alias(
-                "growth"
-            ),
+            F.sum("__lr").over(run).cast("double").alias("log_growth"),
         )
         .orderBy("day")
     )
@@ -4182,12 +4200,11 @@ def q_volume_profile(spark, sf_dir):
            CAST(n_long AS BIGINT) AS n_long,
            CAST(n_short AS BIGINT) AS n_short,
            floor(ls * 1000000 + 0.5) / 1000000 AS ls_return,
-           floor(exp(CAST(sum(CAST(CASE WHEN ls > -1.0 THEN ln(1.0 + ls)
-                                        ELSE 0.0 END AS DECIMAL(28,12)))
-                          OVER (ORDER BY day
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS DOUBLE))
-                 * 1000000 + 0.5) / 1000000 AS growth
+           CAST(sum(CAST(CASE WHEN ls > -1.0 THEN ln(1.0 + ls)
+                              ELSE 0.0 END AS DECIMAL(28,12)))
+                    OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE) AS log_growth
     FROM daily_ls ORDER BY day
     """,
     doc="Cross-sectional momentum factor backtest (winner−loser "
@@ -4195,11 +4212,14 @@ def q_volume_profile(spark, sf_dir):
     "(ticker tiebreak), go long the top 2 / short the bottom 2, score "
     "with each leg's NEXT-day return (no look-ahead: the signal uses "
     "closes through t, the payoff is t→t+1), and compound the "
-    "long-short spread into a growth index via the DECIMAL-quantized "
-    "log1p running sum (order-independent — the q_portfolio_return "
-    "discipline). The per-day rank window runs on the O(tickers) daily "
-    "frame; leg sums are DECIMAL-exact; days without both full legs "
-    "are dropped.",
+    "long-short spread into a LOG-space growth index: the "
+    "DECIMAL-quantized log1p running sum itself (order-independent — "
+    "the q_portfolio_return discipline; growth = exp(log_growth) is a "
+    "consumer-side presentation step, because a final exp() is a libm "
+    "call whose 1-ULP cross-engine divergence survives fixed-decimal "
+    "rounding once the index grows large). The per-day rank window "
+    "runs on the O(tickers) daily frame; leg sums are DECIMAL-exact; "
+    "days without both full legs are dropped.",
 )
 def q_cross_momentum(spark, sf_dir):
     d = _daily_bars(spark, sf_dir)
@@ -4247,9 +4267,7 @@ def q_cross_momentum(spark, sf_dir):
             F.col("n_long").cast("long").alias("n_long"),
             F.col("n_short").cast("long").alias("n_short"),
             stable_round(F.col("ls"), 6).alias("ls_return"),
-            stable_round(
-                F.exp(F.sum("__lr").over(run).cast("double")), 6
-            ).alias("growth"),
+            F.sum("__lr").over(run).cast("double").alias("log_growth"),
         )
         .orderBy("day")
     )
@@ -4576,11 +4594,11 @@ def q_overnight_gaps(spark, sf_dir):
         FROM lagged GROUP BY ticker
     ), acf AS (
         SELECT ticker, n,
-               round({corr_value_sql('l1')}, 6) AS p1,
-               round({corr_value_sql('l2')}, 6) AS p2,
-               round({corr_value_sql('l3')}, 6) AS p3,
-               round({corr_value_sql('l4')}, 6) AS p4,
-               round({corr_value_sql('l5')}, 6) AS p5
+               {stable_round_sql(corr_value_sql('l1'), 6)} AS p1,
+               {stable_round_sql(corr_value_sql('l2'), 6)} AS p2,
+               {stable_round_sql(corr_value_sql('l3'), 6)} AS p3,
+               {stable_round_sql(corr_value_sql('l4'), 6)} AS p4,
+               {stable_round_sql(corr_value_sql('l5'), 6)} AS p5
         FROM m
     )
     SELECT ticker, CAST(n AS BIGINT) AS n_returns,
@@ -4610,7 +4628,7 @@ def q_ljung_box(spark, sf_dir):
     lags = (1, 2, 3, 4, 5)
     out = return_autocorr(_daily_bars(spark, sf_dir), lags=lags)
     n = F.col("n_returns")
-    ps = [F.round(F.col(f"acf_{k}"), 6) for k in lags]
+    ps = [stable_round(F.col(f"acf_{k}"), 6) for k in lags]
     q = (
         n
         * (n + F.lit(2.0))
@@ -4643,15 +4661,18 @@ def q_ljung_box(spark, sf_dir):
                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ), s AS (
         SELECT ticker, day, close, trend,
-               round(avg(close - trend)
-                         OVER (PARTITION BY ticker, phase), 6) AS seasonal
+               floor(avg(close - trend)
+                         OVER (PARTITION BY ticker, phase)
+                     * 1000000 + 0.5) / 1000000 AS seasonal
         FROM t
     ), comp AS (
         SELECT ticker,
-               CAST(round(close - trend - seasonal, 6)
-                    AS DECIMAL(28,6)) AS r,
-               CAST(round(close - trend, 6) AS DECIMAL(28,6)) AS sr,
-               CAST(round(close - seasonal, 6) AS DECIMAL(28,6)) AS tr,
+               CAST(floor((close - trend - seasonal) * 1000000 + 0.5)
+                    / 1000000 AS DECIMAL(28,6)) AS r,
+               CAST(floor((close - trend) * 1000000 + 0.5) / 1000000
+                    AS DECIMAL(28,6)) AS sr,
+               CAST(floor((close - seasonal) * 1000000 + 0.5) / 1000000
+                    AS DECIMAL(28,6)) AS tr,
                CAST(floor((close - trend - seasonal)
                           * (close - trend - seasonal)
                           * 1000000000000 + 0.5) / 1000000000000
@@ -4698,10 +4719,10 @@ def q_seasonality_strength(spark, sf_dir):
     from ..operators.timeseries import seasonal_decompose
 
     out = seasonal_decompose(_daily_bars(spark, sf_dir), period=7)
-    seasonal6 = F.round("seasonal", 6)
-    r = F.round(F.col("close") - F.col("trend") - seasonal6, 6)
-    sr = F.round(F.col("close") - F.col("trend"), 6)
-    tr = F.round(F.col("close") - seasonal6, 6)
+    seasonal6 = stable_round(F.col("seasonal"), 6)
+    r = stable_round(F.col("close") - F.col("trend") - seasonal6, 6)
+    sr = stable_round(F.col("close") - F.col("trend"), 6)
+    tr = stable_round(F.col("close") - seasonal6, 6)
 
     def sq(x):
         return stable_round(x * x, 12).cast("decimal(38,12)")

@@ -79,8 +79,16 @@ def q_column_profile(spark, sf_dir):
     _TAGGED_CTE
     + """
     , hist AS (
+        -- total bucket mirror of operators/profiling.psi_drift:
+        -- NULL/NaN -> overflow slot, +/-inf -> edge slots, clamp on
+        -- the un-cast floor (DuckDB CAST(floor(inf) AS INT) errors
+        -- just like Spark's ANSI LONG->INT saturation cast)
         SELECT grp,
-               greatest(least(CAST(floor(value / 25.0) AS INT), 20), 0) AS b,
+               CAST(CASE WHEN value IS NULL OR isnan(value) THEN 20
+                         WHEN value = 'Infinity'::DOUBLE THEN 20
+                         WHEN value = '-Infinity'::DOUBLE THEN 0
+                         ELSE greatest(least(floor(value / 25.0), 20), 0)
+                    END AS INT) AS b,
                sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS c_ref,
                sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS c_cur
         FROM tagged GROUP BY 1, 2

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import stable_round
 from ..functions.vectors import as_double, cosine_sim, lit_vector
 from ..operators.similarity import ann_ivf, ann_lsh, knn_exact
 from ..sources.tables import load_table
@@ -474,13 +475,14 @@ def q_kmeans_clusters(spark, sf_dir):
         FROM embeddings
     )
     SELECT vec_id, label,
-           round(s, 9) AS scale,
+           floor(s * 1000000000 + 0.5) / 1000000000 AS scale,
            CAST(list_sum(list_transform(e,
                 x -> CASE WHEN floor(x / s + 0.5) <> 0 THEN 1 ELSE 0 END)) AS BIGINT)
                AS n_nonzero,
-           round(sqrt(list_sum(list_transform(
+           floor(sqrt(list_sum(list_transform(
                          list_transform(e, x -> x - floor(x / s + 0.5) * s),
-                         y -> y * y)) / len(e)), 9) AS rmse
+                         y -> y * y)) / len(e)) * 1000000000 + 0.5)
+               / 1000000000 AS rmse
     FROM q
     """,
     doc="Int8 symmetric scalar quantization of the embedding column (the "
@@ -526,9 +528,9 @@ def q_quantize_embeddings(spark, sf_dir):
     return scaled.select(
         "vec_id",
         "label",
-        F.round(s, 9).alias("scale"),
+        stable_round(s, 9).alias("scale"),
         nnz.alias("n_nonzero"),
-        F.round(rmse, 9).alias("rmse"),
+        stable_round(rmse, 9).alias("rmse"),
     )
 
 
@@ -555,8 +557,15 @@ def q_quantize_embeddings(spark, sf_dir):
         SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
     )
     SELECT g.i, g.j, CAST((SELECT n FROM nn) AS BIGINT) AS n,
-           round((g.g - si.s * sj.s / (SELECT n FROM nn))
-                 / ((SELECT n FROM nn) - 1.0), 6) AS cov
+           -- stable_round_sql(…, 6): engine-portable floor-form round.
+           -- Engine-native round() on a DOUBLE is the one step that can
+           -- still diverge after a bit-exact pipeline (Spark HALF_UP on
+           -- the shortest decimal repr vs DuckDB binary expansion —
+           -- functions/scalars.py:14-26), so the presentation round
+           -- must use the floor form too.
+           floor((g.g - si.s * sj.s / (SELECT n FROM nn))
+                 / ((SELECT n FROM nn) - 1.0) * 1000000 + 0.5)
+               / 1000000 AS cov
     FROM g JOIN s si ON g.i = si.i JOIN s sj ON g.j = sj.i
     ORDER BY g.i, g.j
     """,
@@ -570,7 +579,11 @@ def q_quantize_embeddings(spark, sf_dir):
     "BEFORE summation (exact, partition-order-independent; the oracle "
     "CTE applies the identical floor(p*1e8+0.5)); column sums are one "
     "DECIMAL-exact posexplode aggregate and n is a 1-row broadcast. "
-    "operators/linalg.py.",
+    "The presentation round is stable_round (floor form) on BOTH "
+    "engines — engine-native round() on a double was the one "
+    "remaining divergent step (Spark HALF_UP on shortest decimal "
+    "repr vs DuckDB binary expansion) after the Gram math went "
+    "bit-exact. operators/linalg.py.",
 )
 def q_embedding_covariance(spark, sf_dir):
     from ..operators.linalg import covariance_matrix
@@ -578,7 +591,7 @@ def q_embedding_covariance(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = covariance_matrix(emb, "embedding", dim=64)
     return out.select(
-        "i", "j", "n", F.round("cov", 6).alias("cov")
+        "i", "j", "n", stable_round(F.col("cov"), 6).alias("cov")
     ).orderBy("i", "j")
 
 

@@ -70,3 +70,26 @@ def test_pca_matches_numpy_and_projects_jvm_side(spark):
     assert np.allclose(got, proj, atol=1e-6)
     # score variance along pc1 ~ top eigenvalue (sanity of the pipeline)
     assert abs(np.var(got[:, 0], ddof=1) - ev[0]) / ev[0] < 1e-3
+
+
+def test_covariance_refuses_non_finite_components(spark):
+    """Non-finite policy (round-9 ADVICE): floor(NaN*1e8+0.5).astype
+    (int64) is undefined and would silently poison the whole matrix
+    while the DuckDB oracle errors — the kernel must refuse loudly
+    instead. NULL components arrive as NaN and hit the same gate."""
+    import pytest
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [float("nan"), 0.5, 0.5]),
+        (2, [0.1, 0.2, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="non-finite"):
+        covariance_matrix(df, "embedding", dim=3).collect()
+    rows_null = [(0, [1.0, None, 3.0]), (1, [0.1, 0.2, 0.3])]
+    df_null = spark.createDataFrame(
+        rows_null, "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        covariance_matrix(df_null, "embedding", dim=3).collect()

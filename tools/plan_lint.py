@@ -11,6 +11,23 @@ Rules
 - GLOBAL_WIN — Exchange SinglePartition feeding a Window: the whole
                input serializes through one task (the q_decay_score
                class of bug, fixed in round 2).
+- ROUND_NATIVE — engine-native Round/BRound (half-case semantics
+               differ Spark↔DuckDB: shortest-decimal-repr HALF_UP vs
+               binary-expansion) applied to a value with DECIMAL-
+               quantized lineage. Decimal-exact pipelines land on
+               round half-boundaries SYSTEMATICALLY (the
+               q_embedding_covariance / q_portfolio_return driver-red
+               class, rounds 8–9), so a native round is only safe
+               when the pre-round value provably lives on a grid no
+               finer than the round scale (SAFE_COARSE: round-at-d of
+               a decimal(p,s≤d)-derived value is an identity on both
+               engines), or when the lineage carries no quantization
+               at all (NOISY: boundary events have measure ~0 in an
+               IEEE double). Everything else must use
+               stable_round / floor(x*10^d+0.5)/10^d on BOTH sides
+               (functions/scalars.py). Lints the ANALYZED Catalyst
+               tree via toJSON — the physical-plan string erases
+               expression types.
 
 `Exchange SinglePartition` by itself is NOT flagged: a global (no-key)
 aggregate or limit legitimately reduces to one partition AFTER partial
@@ -21,6 +38,7 @@ Usage: python tools/plan_lint.py
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import sys
@@ -149,6 +167,181 @@ ALLOW: dict[str, dict[str, str]] = {
 }
 
 
+# --------------------------------------------------------------------------
+# ROUND_NATIVE: Catalyst-tree lint for engine-native rounds over
+# decimal-quantized lineage. See the rule doc in the module docstring.
+# --------------------------------------------------------------------------
+
+#: expression classes that PRESERVE a decimal grid (a sum/extreme/shift
+#: of scale-s grid values is still on the scale-s grid, and a double
+#: re-accumulation of grid values stays >> half-a-grid-step away from
+#: round boundaries), so a native round at scale >= s stays an identity.
+_GRID_PRESERVING = {
+    "Alias", "Cast", "Coalesce", "CaseWhen", "If", "Add", "Subtract",
+    "UnaryMinus", "Abs", "Greatest", "Least", "Sum", "Min", "Max",
+    "First", "Last", "Lag", "Lead", "Lit", "KnownNotNull",
+    "AggregateExpression", "WindowExpression", "NthValue",
+    "KnownFloatingPointNormalized", "NormalizeNaNAndZero",
+}
+
+#: leaf/stop classes whose subtree never feeds the VALUE of the
+#: expression being classified (sort keys, frame bounds, partition keys)
+_NON_VALUE_SUBTREES = {"WindowSpecDefinition", "SortOrder"}
+
+
+def _expr_forests(obj):
+    """Yield every flat (preorder, num-children) expression list embedded
+    in a plan-node JSON dict."""
+    if isinstance(obj, list):
+        if obj and all(isinstance(x, dict) and "class" in x for x in obj):
+            yield obj
+        else:
+            for x in obj:
+                yield from _expr_forests(x)
+    elif isinstance(obj, dict):
+        for k, v in obj.items():
+            if k not in ("class", "_children"):
+                yield from _expr_forests(v)
+
+
+def _parse_forest(flat):
+    trees, pos = [], 0
+
+    def rec():
+        nonlocal pos
+        node = dict(flat[pos])
+        pos += 1
+        node["_children"] = [rec() for _ in range(node.get("num-children", 0))]
+        return node
+
+    while pos < len(flat):
+        trees.append(rec())
+    return trees
+
+
+def _cls(node) -> str:
+    return node.get("class", "").rsplit(".", 1)[-1]
+
+
+def _decimal_scale(dt: str) -> int | None:
+    m = re.match(r"decimal\((\d+),(-?\d+)\)", dt)
+    return int(m.group(2)) if m else None
+
+
+def _has_quantized_lineage(node, alias_map, seen) -> bool:
+    """True if any value-feeding descendant (through attribute refs)
+    quantizes: a decimal cast/type or a Floor grid snap."""
+    c = _cls(node)
+    if c in _NON_VALUE_SUBTREES:
+        return False
+    dt = str(node.get("dataType", ""))
+    # a decimal LITERAL is a constant parameter (e.g. percentile(x, 0.5)
+    # — SQL fractions parse as DECIMAL), not a quantization of data
+    if c == "Floor" or (dt.startswith("decimal") and c != "Literal"):
+        return True
+    if c == "AttributeReference":
+        eid = node.get("exprId", {}).get("id")
+        if eid in alias_map and eid not in seen:
+            seen.add(eid)
+            if _has_quantized_lineage(alias_map[eid], alias_map, seen):
+                return True
+    return any(
+        _has_quantized_lineage(ch, alias_map, seen)
+        for ch in node.get("_children", [])
+    )
+
+
+def _coarse_scale(node, alias_map, seen) -> int | None:
+    """Strict SAFE_COARSE walk: the max decimal scale reachable from
+    ``node`` through grid-preserving ops only, or None when the proof
+    fails (a grid-breaking op — multiply/divide/sqrt/… — or an opaque
+    leaf sits between the round and its decimal sources)."""
+    c = _cls(node)
+    if c in _NON_VALUE_SUBTREES:
+        return 0
+    dt = str(node.get("dataType", ""))
+    s = _decimal_scale(dt)
+    if c == "Cast":
+        if s is not None:
+            return s  # snap point: don't care what's below it
+        return _coarse_scale(node["_children"][0], alias_map, seen)
+    if c == "AttributeReference":
+        if s is not None:
+            return s
+        eid = node.get("exprId", {}).get("id")
+        if eid in alias_map and eid not in seen:
+            seen.add(eid)
+            return _coarse_scale(alias_map[eid], alias_map, seen)
+        if dt in ("integer", "long", "short", "byte", "boolean"):
+            return 0
+        return None  # raw double column: unknown grid
+    if c == "Literal":
+        if s is not None:
+            return s
+        if dt in ("integer", "long", "short", "byte", "boolean", "null"):
+            return 0
+        m = re.match(r"^-?\d+(?:\.(\d+))?$", str(node.get("value", "")))
+        if m:
+            return len(m.group(1) or "")
+        return None
+    if c == "Count":
+        return 0
+    if c not in _GRID_PRESERVING:
+        return None
+    scales = [
+        _coarse_scale(ch, alias_map, seen) for ch in node.get("_children", [])
+    ]
+    if any(x is None for x in scales):
+        return None
+    return max(scales, default=0)
+
+
+def lint_rounds(analyzed_json: str) -> list[str]:
+    """Return one description per ROUND_NATIVE violation in the analyzed
+    plan: a Round/BRound whose input has quantized lineage and is not
+    provably coarse-grid-safe."""
+    plan = json.loads(analyzed_json)
+    alias_map: dict[int, dict] = {}
+    rounds: list[dict] = []
+    for pnode in plan:
+        for flat in _expr_forests(pnode):
+            for tree in _parse_forest(flat):
+                stack = [tree]
+                while stack:
+                    n = stack.pop()
+                    c = _cls(n)
+                    if c == "Alias" and n["_children"]:
+                        eid = n.get("exprId", {}).get("id")
+                        if eid is not None:
+                            alias_map[eid] = n["_children"][0]
+                    if c in ("Round", "BRound"):
+                        rounds.append(n)
+                    stack.extend(n.get("_children", []))
+    hits = []
+    for r in rounds:
+        child = r["_children"][0] if r["_children"] else None
+        if child is None:
+            continue
+        digits = None
+        if len(r["_children"]) > 1 and _cls(r["_children"][1]) == "Literal":
+            try:
+                digits = int(r["_children"][1].get("value"))
+            except (TypeError, ValueError):
+                pass
+        if _decimal_scale(str(child.get("dataType", ""))) is not None:
+            continue  # round ON a decimal: decimal round is exact
+        if not _has_quantized_lineage(child, alias_map, set()):
+            continue  # NOISY lineage: boundary measure ~0
+        scale = _coarse_scale(child, alias_map, set())
+        if scale is not None and digits is not None and scale <= digits:
+            continue  # SAFE_COARSE: identity on the source grid
+        hits.append(
+            f"round({digits}) over quantized lineage "
+            f"(coarse-proof {'failed' if scale is None else f'scale={scale}'})"
+        )
+    return hits
+
+
 def lint_one(plan: str) -> dict[str, int]:
     hits: dict[str, int] = {}
     if "CartesianProduct" in plan:
@@ -186,15 +379,19 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
     for name, q in QUERIES.items():
         try:
             df = q.fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString(
+            qe = df._jdf.queryExecution()
+            plan = qe.explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
             )
+            round_hits = lint_rounds(qe.analyzed().toJSON())
         except Exception as e:  # lint must cover everything it can
             errors[name] = str(e)[:200]
             continue
         hits = lint_one(plan)
+        if round_hits:
+            hits["ROUND_NATIVE"] = len(round_hits)
         if hits:
             results[name] = hits
     violations = {
@@ -211,9 +408,15 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
         out = ["# PLANLINT — physical-plan scale audit", ""]
         out.append(
             f"{len(QUERIES)} queries linted at sf0.01; rules: CartesianProduct, "
-            "BroadcastNestedLoopJoin, single-partition Window input. "
-            "Generated by `tools/plan_lint.py`; enforced by "
-            "`tests/test_plan_lint.py`."
+            "BroadcastNestedLoopJoin, single-partition Window input, and "
+            "ROUND_NATIVE (engine-native round over DECIMAL-quantized "
+            "lineage — the systematic half-boundary class behind the "
+            "round-8/9 q_embedding_covariance / q_portfolio_return driver "
+            "reds; safe only when the lineage is noise-injected, "
+            "measure-zero boundaries, or provably on a grid no finer than "
+            "the round scale — everything else uses stable_round / "
+            "floor-form on BOTH engines). Generated by "
+            "`tools/plan_lint.py`; enforced by `tests/test_plan_lint.py`."
         )
         out.append("")
         if violations:
