@@ -11,6 +11,19 @@ Rules
 - GLOBAL_WIN — Exchange SinglePartition feeding a Window: the whole
                input serializes through one task (the q_decay_score
                class of bug, fixed in round 2).
+- LIBM_UNSNAPPED — a non-correctly-rounded libm call (Exp/Expm1/Log/
+               Log1p/Pow — IEEE-754 only mandates correct rounding for
+               sqrt, so JVM and DuckDB libm can differ by 1 ULP) whose
+               input lineage is DECIMAL-quantized and whose own result
+               is NOT re-snapped to a grid before leaving the plan.
+               The quantize discipline masks libm ULP noise only when
+               the call is followed by a snap whose grid sits far
+               above the ULP position (ln of O(1) values at a 12dp
+               grid); a BARE exp over an exact running sum is the
+               reproduced q_portfolio_return driver-red class — the
+               ULP survives every fixed-decimal round once the value
+               outgrows the grid. Fix: emit the exact sum itself (the
+               log_growth contracts) or snap the libm result.
 - ROUND_NATIVE — engine-native Round/BRound (half-case semantics
                differ Spark↔DuckDB: shortest-decimal-repr HALF_UP vs
                binary-expansion) applied to a value with DECIMAL-
@@ -296,27 +309,63 @@ def _coarse_scale(node, alias_map, seen) -> int | None:
     return max(scales, default=0)
 
 
-def lint_rounds(analyzed_json: str) -> list[str]:
-    """Return one description per ROUND_NATIVE violation in the analyzed
-    plan: a Round/BRound whose input has quantized lineage and is not
-    provably coarse-grid-safe."""
+#: libm calls IEEE-754 does NOT require to be correctly rounded (sqrt
+#: IS required, so it never diverges and is exempt)
+_LIBM_LOOSE = {"Exp", "Expm1", "Log", "Log1p", "Log2", "Log10", "Pow"}
+
+
+def lint_rounds(analyzed_json: str) -> tuple[list[str], list[str]]:
+    """Return (ROUND_NATIVE, LIBM_UNSNAPPED) violation descriptions for
+    the analyzed plan: engine-native rounds over quantized lineage that
+    are not provably coarse-grid-safe, and loose-libm calls over
+    quantized lineage whose results leave the plan un-snapped."""
     plan = json.loads(analyzed_json)
     alias_map: dict[int, dict] = {}
     rounds: list[dict] = []
+    libm_bare: list[tuple[dict, int | None]] = []
+    snapped_attrs: set[int] = set()  # attr ids consumed under a snap
     for pnode in plan:
         for flat in _expr_forests(pnode):
             for tree in _parse_forest(flat):
-                stack = [tree]
+                # walk with an "under a snap" flag: a libm call whose
+                # result feeds a decimal cast or a floor-form snap is
+                # the sanctioned quantize-after pattern, not a hazard.
+                # Snaps can live in a DOWNSTREAM plan node (alias
+                # computed in one Project, cast in the next), so track
+                # which attribute ids are consumed under snaps and
+                # resolve bare libm nodes by their enclosing alias.
+                stack = [(tree, False, None)]
                 while stack:
-                    n = stack.pop()
+                    n, snapped, alias_id = stack.pop()
                     c = _cls(n)
+                    eid = n.get("exprId", {}).get("id")
                     if c == "Alias" and n["_children"]:
-                        eid = n.get("exprId", {}).get("id")
                         if eid is not None:
                             alias_map[eid] = n["_children"][0]
+                            alias_id = eid
+                    if c == "AttributeReference" and snapped and eid is not None:
+                        snapped_attrs.add(eid)
                     if c in ("Round", "BRound"):
                         rounds.append(n)
-                    stack.extend(n.get("_children", []))
+                    if c in _LIBM_LOOSE and not snapped:
+                        libm_bare.append((n, alias_id))
+                    under = snapped or c == "Floor" or (
+                        c == "Cast"
+                        and _decimal_scale(str(n.get("dataType", "")))
+                        is not None
+                    )
+                    stack.extend(
+                        (ch, under, alias_id) for ch in n.get("_children", [])
+                    )
+    libm_hits = []
+    for node, alias_id in libm_bare:
+        if alias_id is not None and alias_id in snapped_attrs:
+            continue  # the enclosing alias is re-snapped downstream
+        if any(
+            _has_quantized_lineage(ch, alias_map, set())
+            for ch in node.get("_children", [])
+        ):
+            libm_hits.append(f"bare {_cls(node)} over quantized lineage")
     hits = []
     for r in rounds:
         child = r["_children"][0] if r["_children"] else None
@@ -339,7 +388,7 @@ def lint_rounds(analyzed_json: str) -> list[str]:
             f"round({digits}) over quantized lineage "
             f"(coarse-proof {'failed' if scale is None else f'scale={scale}'})"
         )
-    return hits
+    return hits, libm_hits
 
 
 def lint_one(plan: str) -> dict[str, int]:
@@ -385,13 +434,15 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
                     "formatted"
                 )
             )
-            round_hits = lint_rounds(qe.analyzed().toJSON())
+            round_hits, libm_hits = lint_rounds(qe.analyzed().toJSON())
         except Exception as e:  # lint must cover everything it can
             errors[name] = str(e)[:200]
             continue
         hits = lint_one(plan)
         if round_hits:
             hits["ROUND_NATIVE"] = len(round_hits)
+        if libm_hits:
+            hits["LIBM_UNSNAPPED"] = len(libm_hits)
         if hits:
             results[name] = hits
     violations = {
@@ -415,8 +466,13 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             "reds; safe only when the lineage is noise-injected, "
             "measure-zero boundaries, or provably on a grid no finer than "
             "the round scale — everything else uses stable_round / "
-            "floor-form on BOTH engines). Generated by "
-            "`tools/plan_lint.py`; enforced by `tests/test_plan_lint.py`."
+            "floor-form on BOTH engines), plus LIBM_UNSNAPPED (a bare "
+            "exp/log/pow — libm calls IEEE does not require correctly "
+            "rounded, unlike sqrt — over decimal-quantized lineage whose "
+            "result is never re-snapped: the reproduced "
+            "q_portfolio_return exp-ULP class; the sanctioned pattern is "
+            "quantize-after or emitting the exact sum itself). Generated "
+            "by `tools/plan_lint.py`; enforced by `tests/test_plan_lint.py`."
         )
         out.append("")
         if violations:
