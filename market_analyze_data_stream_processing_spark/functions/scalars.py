@@ -21,6 +21,16 @@ def stable_round(col: Column, digits: int) -> Column:
     This form is a pure double computation: identical inputs → identical
     outputs on any IEEE-754 engine. Use it whenever the pre-rounding
     value is bit-identical across engines.
+
+    DOMAIN BOUND (same as operators/stats.quantize): keep
+    ``|x|·10^digits < 2^53`` and inputs finite. Spark's
+    ``floor(double)`` is LONG-typed — it saturates at 2^63 while
+    DuckDB's floor stays a double, and Spark maps NaN→0 / +inf→
+    Long.MaxValue where DuckDB keeps NaN/inf — so out-of-domain or
+    non-finite inputs silently diverge cross-engine. Presentation
+    rounds at 2–9 digits over O(1..1e6)-magnitude values sit far
+    inside the bound; gate NaN/±inf to NULL first where they can
+    occur.
     """
     p = float(10**digits)
     return F.floor(col * p + F.lit(0.5)) / F.lit(p)

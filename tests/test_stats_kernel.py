@@ -97,3 +97,53 @@ def test_sql_snippets_mirror_spark(spark):
     # byte-identical double, not merely close — the whole point of the
     # quantized-moment lowering
     assert duck_out["g1"] == spark_out["g1"]
+
+
+def test_coarse_product_grid_holds_at_large_magnitudes(spark):
+    """The round-9 ADVICE bound: at the default 12-digit product grid,
+    floor(x*y*1e12 + 0.5) crosses 2^53 (grid exactness lost) once
+    |x*y| > ~9e3 and SATURATES Spark's LONG floor at 2^63 past ~9.2e6 —
+    so raw-id-sized inputs (q_stats_agg's user_id, here up to 9e4) must
+    run a 6-digit product grid, which keeps |x*y|*1e6 < 2^53 up to
+    |x*y| ~ 9e9. Pin that the 6-digit kernel (a) matches numpy and
+    (b) stays BYTE-identical to the DuckDB mirror at these magnitudes,
+    where the 12-digit default would silently diverge."""
+    import duckdb
+
+    rng = np.random.RandomState(17)
+    ys = rng.randint(0, 95000, size=60)  # user_id-like magnitudes
+    xs = rng.randn(60) * 3.0 + ys * 1e-4  # correlated small doubles
+    rows = [("g", float(x), float(y)) for x, y in zip(xs, ys)]
+
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    m = df.groupBy("g").agg(
+        *corr_moment_aggs(
+            quantize(F.col("x"), 6, "decimal(18,6)"),
+            quantize(F.col("y"), 6, "decimal(18,6)"),
+            "c",
+            "decimal(38,6)",
+            6,
+        )
+    )
+    spark_r = m.select(corr_from_moments("c").alias("r")).collect()[0]["r"]
+    ref = np.corrcoef(xs.astype(np.float64), ys.astype(np.float64))[0, 1]
+    assert abs(spark_r - ref) < 1e-6  # 1e-6 input grid, y*y ~ 9e9
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{g}', {x!r}, {y!r})" for g, x, y in rows)
+        + ") v(g, x, y)"
+    )
+    sql = f"""
+    WITH q AS (
+        SELECT g, {quantize_sql('x', 6, 'DECIMAL(18,6)')} AS xq,
+               {quantize_sql('y', 6, 'DECIMAL(18,6)')} AS yq FROM t
+    ), m AS (
+        SELECT g, {corr_moments_sql('xq', 'yq', 'c', 'DECIMAL(38,6)', 6)}
+        FROM q GROUP BY g
+    )
+    SELECT {corr_value_sql('c')} AS r FROM m
+    """
+    duck_r = con.execute(sql).fetchall()[0][0]
+    assert duck_r == spark_r  # byte-identical at raw-id magnitudes

@@ -21,7 +21,13 @@ whole registry is TOTAL on them, not merely lucky about the data:
   text, and an exact-duplicate pair (curation paths must treat all of
   them as data);
 - embeddings: an all-zero vector (zero norm — cosine undefined) and an
-  exact duplicate of an existing vector (distance ties).
+  exact duplicate of an existing vector (distance ties). A NaN-component
+  vector is deliberately NOT injected here: the covariance/Gram kernel's
+  policy for non-finite input is a loud REFUSAL (operators/linalg.py
+  gram_partials raises; DuckDB's oracle cast errors its own way), so the
+  edge is pinned by tests/test_linalg.py::
+  test_covariance_refuses_non_finite_components instead of by this
+  differential, which must stay 229/229 green.
 
 Round-9 result: the injected edges crashed 9 registry queries
 (q_autocorr, q_ljung_box, q_sharpe, q_risk_report, q_pairs_spread,
