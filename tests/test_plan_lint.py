@@ -28,3 +28,70 @@ def test_no_unallowlisted_plan_violations(spark):
     )
     assert violations == {}, f"un-allowlisted plan anti-patterns: {violations}"
     assert errors == {}, f"queries whose plan could not be built: {errors}"
+
+
+def _lint_df(df):
+    from tools.plan_lint import lint_rounds
+
+    return lint_rounds(df._jdf.queryExecution().analyzed().toJSON())
+
+
+def test_round_native_rule_fires_and_clears(spark):
+    """The ROUND_NATIVE detector must flag engine-native round over
+    decimal-quantized lineage, pass the coarse-grid identity case, pass
+    noisy lineage, and pass the floor-form (stable_round) rewrite —
+    otherwise the registry guard above is vacuous."""
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        stable_round,
+    )
+
+    base = spark.range(5).select(
+        (F.col("id") * 1.7).alias("x"),
+        F.col("id").cast("decimal(18,8)").alias("d8"),
+        F.col("id").cast("decimal(18,2)").alias("d2"),
+    )
+    # fine-grid decimal -> double -> native round: the driver-red class
+    bad = base.select(F.round(F.col("d8").cast("double") / 3.0, 6).alias("v"))
+    rounds, _ = _lint_df(bad)
+    assert rounds, "fine-grid native round not flagged"
+    # coarse grid at round scale: identity on both engines -> clean
+    ok_coarse = base.select(
+        F.round(F.sum(F.col("d2")).cast("double"), 2).alias("v")
+    )
+    assert _lint_df(ok_coarse)[0] == []
+    # noisy lineage (no quantization anywhere) -> clean
+    ok_noisy = base.select(F.round(F.sqrt(F.col("x")), 6).alias("v"))
+    assert _lint_df(ok_noisy)[0] == []
+    # the prescribed rewrite -> clean (floor-form emits no Round node)
+    fixed = base.select(
+        stable_round(F.col("d8").cast("double") / 3.0, 6).alias("v")
+    )
+    assert _lint_df(fixed)[0] == []
+
+
+def test_libm_unsnapped_rule_fires_and_clears(spark):
+    """LIBM_UNSNAPPED must flag a bare exp over decimal lineage (the
+    q_portfolio_return exp-ULP class), and clear when the libm result
+    is re-snapped — including when the snap lives in a DOWNSTREAM plan
+    node reached through an attribute reference."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(5).select(
+        F.col("id").cast("decimal(28,12)").alias("d")
+    )
+    bare = base.select(F.exp(F.col("d").cast("double")).alias("g"))
+    assert _lint_df(bare)[1], "bare exp over decimal lineage not flagged"
+    # quantize-after in the same expression -> clean
+    snapped = base.select(
+        F.exp(F.col("d").cast("double")).cast("decimal(28,12)").alias("g")
+    )
+    assert _lint_df(snapped)[1] == []
+    # snap in a downstream node (cross-node alias resolution) -> clean
+    staged = base.select(F.exp(F.col("d").cast("double")).alias("g"))
+    downstream = staged.select(F.col("g").cast("decimal(28,12)").alias("gq"))
+    assert _lint_df(downstream)[1] == []
+    # sqrt is correctly rounded per IEEE-754: never flagged
+    s = base.select(F.sqrt(F.col("d").cast("double")).alias("v"))
+    assert _lint_df(s)[1] == []
