@@ -50,6 +50,8 @@ LAYOUTS = {
 
 
 def norm_cell(v):
+    # full-precision (shortest round-trip repr) — byte-stability means
+    # bit-stability, same bar as the driver hash and verify_local
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -57,7 +59,7 @@ def norm_cell(v):
             return "NaN"
         if v == 0:
             v = 0.0
-        return f"{v:.9g}"
+        return repr(v)
     return str(v)
 
 

@@ -25,6 +25,15 @@ TABLES = (
 
 
 def norm_cell(v):
+    """FULL-precision float normalization (shortest round-trip repr).
+
+    The external driver hash-compares raw values, so a 1-ULP
+    cross-engine divergence at the 16th significant digit is a driver
+    RED — the round-9 q_portfolio_return exp-ULP failure sat exactly
+    there while this replica's former %.9g normalization masked it for
+    two rounds. Local green must predict driver green, so this gate is
+    now bit-exact too (repr of a double is its shortest exact
+    round-trip: equal strings <=> equal doubles)."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -32,7 +41,7 @@ def norm_cell(v):
             return "NaN"
         if v == 0:
             v = 0.0
-        return f"{v:.9g}"
+        return repr(v)
     return str(v)
 
 
