@@ -426,11 +426,24 @@ def q_decay_score(spark, sf_dir):
     "q_humanize_fmt",
     """
     SELECT event_id,
+           -- the scaled quotient snaps to the 2-decimal grid (floor
+           -- form) BEFORE formatting: Java's %.2f HALF_UPs the
+           -- double's shortest decimal repr while C printf rounds its
+           -- binary expansion, so un-snapped data-level half-cases
+           -- (x.xx5) format differently — found by the x100
+           -- magnitude-stress differential
            CASE WHEN value IS NULL THEN NULL
-                WHEN value * 1000000 >= 1000000000 THEN printf('%.2fB', value * 1000000 / 1000000000)
-                WHEN value * 1000000 >= 1000000    THEN printf('%.2fM', value * 1000000 / 1000000)
-                WHEN value * 1000000 >= 1000       THEN printf('%.2fK', value * 1000000 / 1000)
-                ELSE printf('%.2f', value * 1000000) END AS human,
+                WHEN value * 1000000 >= 1000000000
+                     THEN printf('%.2fB', floor(value * 1000000 / 1000000000
+                                                * 100 + 0.5) / 100)
+                WHEN value * 1000000 >= 1000000
+                     THEN printf('%.2fM', floor(value * 1000000 / 1000000
+                                                * 100 + 0.5) / 100)
+                WHEN value * 1000000 >= 1000
+                     THEN printf('%.2fK', floor(value * 1000000 / 1000
+                                                * 100 + 0.5) / 100)
+                ELSE printf('%.2f', floor(value * 1000000 * 100 + 0.5) / 100)
+           END AS human,
            CASE WHEN value < 5 THEN 'small' WHEN value < 15 THEN 'medium'
                 WHEN value >= 15 THEN 'large' END AS bucket
     FROM events
@@ -444,11 +457,13 @@ def q_decay_score(spark, sf_dir):
 def q_humanize_fmt(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     v = F.col("value") * 1e6
+    # snap-before-format (mirrors the oracle's floor form): Java %.2f
+    # HALF_UPs the shortest repr, C printf rounds the binary expansion
     human = (
-        F.when(v >= 1e9, F.format_string("%.2fB", v / 1e9))
-        .when(v >= 1e6, F.format_string("%.2fM", v / 1e6))
-        .when(v >= 1e3, F.format_string("%.2fK", v / 1e3))
-        .when(v.isNotNull(), F.format_string("%.2f", v))
+        F.when(v >= 1e9, F.format_string("%.2fB", stable_round(v / 1e9, 2)))
+        .when(v >= 1e6, F.format_string("%.2fM", stable_round(v / 1e6, 2)))
+        .when(v >= 1e3, F.format_string("%.2fK", stable_round(v / 1e3, 2)))
+        .when(v.isNotNull(), F.format_string("%.2f", stable_round(v, 2)))
     )
     bucket = (
         F.when(F.col("value") < 5, "small")
@@ -4673,16 +4688,22 @@ def q_ljung_box(spark, sf_dir):
                     AS DECIMAL(28,6)) AS sr,
                CAST(floor((close - seasonal) * 1000000 + 0.5) / 1000000
                     AS DECIMAL(28,6)) AS tr,
+               -- 6-digit square grid: squared deviations scale with
+               -- price^2, so the 12-digit grid crosses the 2^53
+               -- exactness bound (and at 2^63 Spark's LONG floor
+               -- saturates) once |dev| > ~3e3 — found by the x100
+               -- magnitude-stress differential; 1e-6 holds to |dev|
+               -- ~ 9.5e4 and the strengths round at 6dp anyway
                CAST(floor((close - trend - seasonal)
                           * (close - trend - seasonal)
-                          * 1000000000000 + 0.5) / 1000000000000
-                    AS DECIMAL(38,12)) AS r2,
+                          * 1000000 + 0.5) / 1000000
+                    AS DECIMAL(38,6)) AS r2,
                CAST(floor((close - trend) * (close - trend)
-                          * 1000000000000 + 0.5) / 1000000000000
-                    AS DECIMAL(38,12)) AS sr2,
+                          * 1000000 + 0.5) / 1000000
+                    AS DECIMAL(38,6)) AS sr2,
                CAST(floor((close - seasonal) * (close - seasonal)
-                          * 1000000000000 + 0.5) / 1000000000000
-                    AS DECIMAL(38,12)) AS tr2
+                          * 1000000 + 0.5) / 1000000
+                    AS DECIMAL(38,6)) AS tr2
         FROM s WHERE trend IS NOT NULL
     ), m AS (
         SELECT ticker, count(*) AS n,
@@ -4725,7 +4746,10 @@ def q_seasonality_strength(spark, sf_dir):
     tr = stable_round(F.col("close") - seasonal6, 6)
 
     def sq(x):
-        return stable_round(x * x, 12).cast("decimal(38,12)")
+        # 6-digit square grid — price^2-scaled values cross the 12-digit
+        # grid's 2^53 exactness bound past |dev| ~ 3e3 (magnitude-stress
+        # finding); see the oracle comment
+        return stable_round(x * x, 6).cast("decimal(38,6)")
 
     comp = out.where(F.col("trend").isNotNull()).select(
         "ticker",
