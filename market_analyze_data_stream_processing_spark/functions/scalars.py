@@ -42,6 +42,39 @@ def stable_round_sql(expr: str, digits: int) -> str:
     return f"floor(({expr}) * {p} + 0.5) / {p}"
 
 
+def decimal_to_double_split(col: Column) -> Column:
+    """Engine-portable DECIMAL→DOUBLE cast for WIDE decimals.
+
+    DuckDB's wide-decimal→double cast DOUBLE-ROUNDS: it converts the
+    backing int128 to a double (one rounding) and then divides by
+    10^scale (a second rounding), so it can be 1 ULP off the correctly
+    rounded value once ``|value|·10^scale > 2^53`` — while Spark's
+    BigDecimal cast is correctly rounded (probed: DECIMAL(38,12)
+    -210142323400 → -210142323400.00003 on DuckDB vs exact on Spark,
+    the round-10 ×1000 magnitude-stress q_roll_spread red).
+
+    The portable form splits the value with EXACT decimal arithmetic:
+    integral part (``v - v % 1``, rescaled to scale 0 — exact on both
+    engines because it is integral; Spark HALF_UP vs DuckDB truncation
+    never disagree on integral values) and sub-1 fraction, casts each
+    exactly (|int| < 2^53 and |frac|·10^scale < 2^53 by construction
+    for scale ≤ 12), and adds once — identical IEEE ops on identical
+    operands on both engines. Mirror: ``decimal_to_double_split_sql``.
+
+    Preconditions: decimal scale ≤ 12 and |value| < 2^53 (≈9.0e15);
+    ``%`` has dividend-sign semantics on both engines."""
+    t = (col - (col % 1)).cast("decimal(19,0)")
+    return t.cast("double") + (col % 1).cast("double")
+
+
+def decimal_to_double_split_sql(expr: str) -> str:
+    """DuckDB mirror of decimal_to_double_split."""
+    return (
+        f"(CAST(CAST(({expr}) - (({expr}) % 1) AS DECIMAL(19,0)) AS DOUBLE)"
+        f" + CAST(({expr}) % 1 AS DOUBLE))"
+    )
+
+
 def pct_change(cur: Column, prev: Column) -> Column:
     """``(cur - prev) / prev * 100`` with the reference's zero/NULL guard
     (0.0 when prev is 0 or missing).

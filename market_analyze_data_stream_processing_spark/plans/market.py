@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import stable_round, stable_round_sql
+from ..functions.scalars import (
+    decimal_to_double_split,
+    decimal_to_double_split_sql,
+    stable_round,
+    stable_round_sql,
+)
 from ..operators.stats import (
     corr_moments_sql,
     corr_value_sql,
@@ -3785,31 +3790,45 @@ def q_multi_rollup(spark, sf_dir):
 @register(
     "q_roll_spread",
     _DAILYBARS_CTE
-    + """
+    + f"""
     , d AS (
+        -- snap-then-cast deltas (quantize discipline), then the cross
+        -- product stays in PURE DECIMAL arithmetic: (18,6)x(18,6) is
+        -- exact at scale 12 with no double round-trip, so there is no
+        -- product-grid domain bound at all — the x1000 magnitude
+        -- stress caught the old double-product bare cast diverging
+        -- once |d1*d0| outgrew the 12-digit grid's ulp
+        -- (19,6): multiplication widens to exactly the 38-digit cap on
+        -- both engines (DuckDB keeps w1+w2 and errors past 38; Spark
+        -- caps at 38 keeping scale 12) — same-width 18s overflow
+        -- DuckDB's int64-backed multiply
         SELECT ticker, day,
-               CAST(close - lag(close) OVER w AS DECIMAL(18,6)) AS d1,
-               CAST(lag(close) OVER w - lag(close, 2) OVER w
-                    AS DECIMAL(18,6)) AS d0
+               CAST(floor((close - lag(close) OVER w) * 1000000 + 0.5)
+                    / 1000000 AS DECIMAL(19,6)) AS d1,
+               CAST(floor((lag(close) OVER w - lag(close, 2) OVER w)
+                          * 1000000 + 0.5) / 1000000
+                    AS DECIMAL(19,6)) AS d0
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), m AS (
         SELECT ticker,
                count(*) AS n,
-               sum(CAST(CAST(d1 AS DOUBLE) * CAST(d0 AS DOUBLE)
-                        AS DECIMAL(38,12))) AS sxy,
+               sum(d1 * d0) AS sxy,
                sum(d1) AS sx, sum(d0) AS sy
         FROM d WHERE d1 IS NOT NULL AND d0 IS NOT NULL
         GROUP BY ticker
     )
     SELECT ticker, CAST(n AS BIGINT) AS n,
-           floor((CAST(sxy AS DOUBLE)
+           -- split-cast: DuckDB's wide-decimal->double cast
+           -- double-rounds past 2^53 (functions/scalars.py
+           -- decimal_to_double_split) — the x1000 stress caught it
+           floor(({decimal_to_double_split_sql('sxy')}
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
                  / (n - 1) * 1000000 + 0.5) / 1000000 AS autocov,
-           CASE WHEN (CAST(sxy AS DOUBLE)
+           CASE WHEN ({decimal_to_double_split_sql('sxy')}
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
                      / (n - 1) < 0
-                THEN floor(2.0 * sqrt(-((CAST(sxy AS DOUBLE)
+                THEN floor(2.0 * sqrt(-(({decimal_to_double_split_sql('sxy')}
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
                      / (n - 1))) * 1000000 + 0.5) / 1000000
            END AS roll_spread
@@ -3828,8 +3847,15 @@ def q_multi_rollup(spark, sf_dir):
 def q_roll_spread(spark, sf_dir):
     d = _daily_bars(spark, sf_dir)
     w = Window.partitionBy("ticker").orderBy("day")
-    d1 = (F.col("close") - F.lag("close").over(w)).cast("decimal(18,6)")
-    d0 = (F.lag("close").over(w) - F.lag("close", 2).over(w)).cast("decimal(18,6)")
+    # snap-then-cast deltas; the cross product then stays in PURE
+    # DECIMAL arithmetic ((18,6)x(18,6) -> exact at scale 12, no double
+    # round-trip, hence no product-grid domain bound) — see the oracle
+    d1 = stable_round(F.col("close") - F.lag("close").over(w), 6).cast(
+        "decimal(19,6)"
+    )
+    d0 = stable_round(
+        F.lag("close").over(w) - F.lag("close", 2).over(w), 6
+    ).cast("decimal(19,6)")
     pairs = (
         d.withColumn("d1", d1)
         .withColumn("d0", d0)
@@ -3837,16 +3863,14 @@ def q_roll_spread(spark, sf_dir):
     )
     m = pairs.groupBy("ticker").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(
-            (F.col("d1").cast("double") * F.col("d0").cast("double")).cast(
-                "decimal(38,12)"
-            )
-        ).alias("sxy"),
+        F.sum(F.col("d1") * F.col("d0")).alias("sxy"),
         F.sum("d1").alias("sx"),
         F.sum("d0").alias("sy"),
     )
+    # split-cast sxy (wide fine-scale decimal): DuckDB's direct cast
+    # double-rounds past 2^53 — functions/scalars.decimal_to_double_split
     cov = (
-        F.col("sxy").cast("double")
+        decimal_to_double_split(F.col("sxy"))
         - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
     ) / (F.col("n") - 1)
     return (

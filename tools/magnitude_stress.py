@@ -11,14 +11,19 @@ documented bound) and run the bit-exact oracle differential — anything
 that reds has a grid sized to the data instead of to the documented
 domain, which is a future driver red waiting for bigger numbers.
 
-Round-10 findings at ×100 (both fixed):
-- q_seasonality_strength: 12-digit grid on SQUARED price deviations
-  crossed 2^53 (then saturated Spark's LONG floor at 2^63) → 6-digit
-  square grid, good to |dev| ~ 9.5e4.
-- q_humanize_fmt: un-snapped %.2f formatting — Java HALF_UPs the
-  shortest repr, C printf rounds the binary expansion — diverged on
-  data-level half-cases once the ÷1e9 branch engaged → snap-before-
-  format on both sides.
+Round-10 findings (all fixed; STABILITY.md has the full analysis):
+- ×100 — q_seasonality_strength: 12-digit grid on SQUARED price
+  deviations crossed 2^53 (then saturated Spark's LONG floor at 2^63)
+  → 6-digit square grid, good to |dev| ~ 9.5e4.
+- ×100 — q_humanize_fmt: un-snapped %.2f formatting — Java HALF_UPs
+  the shortest repr, C printf rounds the binary expansion — diverged
+  on data-level half-cases once the ÷1e9 branch engaged →
+  snap-before-format on both sides.
+- ×1000 — q_roll_spread: DuckDB's wide-decimal→double cast
+  double-rounds (int128→double, then ÷10^scale) past 2^53 → pure
+  DECIMAL cross-products + the split-cast idiom
+  (functions/scalars.decimal_to_double_split).
+Post-fix the full differential is bit-exact at ×1, ×100 AND ×1000.
 
 Usage:
     python tools/magnitude_stress.py [src_sf_dir] [dst_dir] [scale]
