@@ -25,8 +25,13 @@ Round-10 findings (all fixed; STABILITY.md has the full analysis):
   (functions/scalars.decimal_to_double_split).
 Post-fix the full differential is bit-exact at ×1, ×100 AND ×1000.
 
+A SHIFT gives the sign axis: ``scale=1 shift=-250`` makes ~half the
+event values negative, exercising every log/sqrt/ratio gate's
+negative branch (round-10 run: 229/229 bit-exact — the positivity
+gates null identically on both engines).
+
 Usage:
-    python tools/magnitude_stress.py [src_sf_dir] [dst_dir] [scale]
+    python tools/magnitude_stress.py [src_sf_dir] [dst_dir] [scale] [shift]
     python tools/verify_local.py /tmp/sf_mag100
 """
 
@@ -40,7 +45,7 @@ import sys
 import duckdb
 
 
-def build(src: str, dst: str, scale: float = 100.0) -> None:
+def build(src: str, dst: str, scale: float = 100.0, shift: float = 0.0) -> None:
     os.makedirs(dst, exist_ok=True)
     for p in glob.glob(os.path.join(src, "*.parquet")):
         if os.path.basename(p) != "events.parquet":
@@ -50,19 +55,25 @@ def build(src: str, dst: str, scale: float = 100.0) -> None:
         f"""
 COPY (
   SELECT event_id, ts, user_id, event_type,
-         value * {scale!r} AS value, props
+         value * {scale!r} + {shift!r} AS value, props
   FROM '{src}/events.parquet'
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """
     )
-    hi, lo = con.execute(
-        f"SELECT max(value), min(value) FROM '{dst}/events.parquet'"
+    hi, lo, neg = con.execute(
+        f"""SELECT max(value), min(value),
+                   sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+            FROM '{dst}/events.parquet'"""
     ).fetchone()
-    print(f"built {dst}: values scaled x{scale}, range [{lo}, {hi}]")
+    print(
+        f"built {dst}: x{scale} + {shift}, range [{lo}, {hi}], "
+        f"{neg} negative rows"
+    )
 
 
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_mag100"
     scale = float(sys.argv[3]) if len(sys.argv) > 3 else 100.0
-    build(src, dst, scale)
+    shift = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    build(src, dst, scale, shift)
