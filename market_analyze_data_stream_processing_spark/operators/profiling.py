@@ -200,9 +200,16 @@ def chi2_mix(
     row_tot = F.col("o_ref") + F.col("o_cur")
     e_ref = row_tot * F.col("t_ref") / grand
     e_cur = row_tot * F.col("t_cur") / grand
-    contrib = (F.col("o_ref") - e_ref) * (F.col("o_ref") - e_ref) / e_ref + (
-        F.col("o_cur") - e_cur
-    ) * (F.col("o_cur") - e_cur) / e_cur
+    # Degenerate-table gate: with an EMPTY period (zero column total —
+    # e.g. every row lands on one side of the split) the expected
+    # counts are 0 and the statistic is undefined — explicit NULL,
+    # never an ANSI DIVIDE_BY_ZERO (found by the +30y time-shift
+    # differential; DuckDB yields NaN on the same input).
+    contrib = F.when(
+        (F.col("t_ref") > 0) & (F.col("t_cur") > 0),
+        (F.col("o_ref") - e_ref) * (F.col("o_ref") - e_ref) / e_ref
+        + (F.col("o_cur") - e_cur) * (F.col("o_cur") - e_cur) / e_cur,
+    )
     return j.select(
         group,
         "o_ref",

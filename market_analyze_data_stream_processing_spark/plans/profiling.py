@@ -198,13 +198,17 @@ def q_ks_drift(spark, sf_dir):
     SELECT grp,
            CAST(o_ref AS BIGINT) AS o_ref,
            CAST(o_cur AS BIGINT) AS o_cur,
+           -- degenerate-table gate: an EMPTY period (zero column
+           -- total) leaves the statistic undefined -> NULL on both
+           -- engines (found by the +30y time-shift differential)
+           CASE WHEN t_ref > 0 AND t_cur > 0 THEN
            floor(((o_ref - (o_ref + o_cur) * t_ref / CAST(t_ref + t_cur AS DOUBLE))
                   * (o_ref - (o_ref + o_cur) * t_ref / CAST(t_ref + t_cur AS DOUBLE))
                   / ((o_ref + o_cur) * t_ref / CAST(t_ref + t_cur AS DOUBLE))
                   + (o_cur - (o_ref + o_cur) * t_cur / CAST(t_ref + t_cur AS DOUBLE))
                   * (o_cur - (o_ref + o_cur) * t_cur / CAST(t_ref + t_cur AS DOUBLE))
                   / ((o_ref + o_cur) * t_cur / CAST(t_ref + t_cur AS DOUBLE)))
-                 * 1000000000 + 0.5) / 1000000000 AS chi2_contrib
+                 * 1000000000 + 0.5) / 1000000000 END AS chi2_contrib
     FROM cells, tot
     """,
     doc="Chi-squared mix drift: the event-type composition of the two "
@@ -213,7 +217,10 @@ def q_ks_drift(spark, sf_dir):
     "Counts come from ONE hash aggregate; the 1-row totals frame is "
     "broadcast back (an allowlisted 1-row contract scalar). Each "
     "category's statistic is one fixed-order double expression — no "
-    "cross-row float accumulation anywhere.",
+    "cross-row float accumulation anywhere. An EMPTY period (zero "
+    "column total — all data on one side of the split) degenerates "
+    "the 2xK table: NULL statistic on both engines, never an ANSI "
+    "DIVIDE_BY_ZERO (+30y time-shift differential finding).",
 )
 def q_chi2_mix(spark, sf_dir):
     out = chi2_mix(_tagged(spark, sf_dir))
