@@ -118,7 +118,9 @@ def with_lag_variation(
     prev = F.lag(value_col, 1).over(_series_window(key, order))
     var = pct_change(F.col(value_col), prev)
     if round_to is not None:
-        var = F.round(var, round_to)
+        # floor-form: a ratio of grid prices lands on round
+        # half-boundaries systematically (fractional-stress finding)
+        var = stable_round(var, round_to)
     return df.withColumn("prev_value", prev).withColumn(out_col, var)
 
 
@@ -144,7 +146,7 @@ def with_momentum_lags(
         price = F.round(lagged, round_to) if round_to is not None else lagged
         var = pct_change(F.col(value_col), lagged)
         if round_to is not None:
-            var = F.round(var, round_to)
+            var = stable_round(var, round_to)  # floor-form: grid-ratio class
         out = out.withColumn(f"price_{label}_ago", price).withColumn(f"var_{label}", var)
     return out
 
@@ -204,8 +206,12 @@ def daily_summary(
         .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
     )
     # Variation % close vs open, reference zero-guard semantics (A2).
+    # floor-form: close/open are ALREADY round_to-grid values, so their
+    # pct ratio lands on round half-boundaries systematically
+    # (fractional-stress finding)
     return out.withColumn(
-        "variation_pct", F.round(pct_change(F.col("close_px"), F.col("open_px")), round_to)
+        "variation_pct",
+        stable_round(pct_change(F.col("close_px"), F.col("open_px")), round_to),
     )
 
 

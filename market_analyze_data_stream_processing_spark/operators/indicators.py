@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .stats import quantize
+
 
 def _running(base_w, col: Column, dtype: str) -> Column:
     run = base_w.rowsBetween(Window.unboundedPreceding, 0)
@@ -197,7 +199,10 @@ def with_vwap_anchored(
     with_day = bars.withColumn("__day", F.to_date(F.col(ts)))
     base = Window.partitionBy(key, "__day").orderBy(ts, seq)
     run = base.rowsBetween(Window.unboundedPreceding, 0)
-    pv = F.sum((F.col(price) * F.col(vol)).cast("decimal(28,6)")).over(run)
+    # snap-then-cast: a bare product cast knife-edges cross-engine at
+    # price*vol magnitudes (ulp/grid ~ 6e-5 per value on full-mantissa
+    # prices — fractional-stress finding)
+    pv = F.sum(quantize(F.col(price) * F.col(vol), 6, "decimal(28,6)")).over(run)
     v = F.sum(F.col(vol).cast("long")).over(run)
     return (
         with_day.withColumn("vwap", pv.cast("double") / v)
@@ -399,7 +404,7 @@ def with_mfi(
     base = Window.partitionBy(key).orderBy(day)
     tp3 = F.col(high) + F.col(low) + F.col(close)
     delta = tp3 - F.lag(tp3).over(base)
-    mf = (tp3 * F.col(vol)).cast("decimal(28,6)")
+    mf = quantize(tp3 * F.col(vol), 6, "decimal(28,6)")  # snap-then-cast
     staged = daily.withColumns(
         {
             "__pos": F.when(delta > 0, mf).otherwise(F.lit(0).cast("decimal(28,6)")),

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import stable_round, stable_round_sql
+from ..functions.scalars import (
+    decimal_to_double_split,
+    decimal_to_double_split_sql,
+    stable_round,
+    stable_round_sql,
+)
 from ..operators.stats import corr_moments_sql, corr_value_sql
 from ..sources.tables import load_table, load_tables
 from .registry import register
@@ -1996,7 +2001,7 @@ def q_pagerank(spark, sf_dir):
 
 @register(
     "q_customer_deciles",
-    """
+    f"""
     WITH spend AS (
         SELECT o_custkey AS custkey,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -2020,13 +2025,17 @@ def q_pagerank(spark, sf_dir):
     )
     SELECT CAST(decile AS BIGINT) AS decile,
            CAST(count(*) AS BIGINT) AS n_customers,
-           -- per-decile rollups re-enter DECIMAL: each spend is a grid
-           -- value, so the cast is exact and the sums are order-free
-           CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
-           floor(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE)
+           -- per-decile rollups re-enter DECIMAL (each spend is a grid
+           -- value: exact cast, order-free sums); the decimal->double
+           -- casts use the split idiom — DuckDB's direct wide-decimal
+           -- cast double-rounds past 2^53 (functions/scalars.py
+           -- decimal_to_double_split, self-review catch)
+           {decimal_to_double_split_sql('sum(CAST(spend AS DECIMAL(18,2)))')}
+               AS total_spend,
+           floor({decimal_to_double_split_sql('sum(CAST(spend AS DECIMAL(18,2)))')}
                  / count(*) * 100 + 0.5) / 100 AS avg_spend,
-           floor(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE)
-                 / (SELECT CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE)
+           floor({decimal_to_double_split_sql('sum(CAST(spend AS DECIMAL(18,2)))')}
+                 / (SELECT {decimal_to_double_split_sql('sum(CAST(spend AS DECIMAL(18,2)))')}
                     FROM spend)
                  * 1000000 + 0.5) / 1000000 AS revenue_share
     FROM assigned GROUP BY decile ORDER BY decile
@@ -2061,8 +2070,10 @@ def q_customer_deciles(spark, sf_dir):
     )
     # Rollups re-enter DECIMAL: each spend double IS a 0.01-grid value,
     # so the cast back is exact and the sums are order-free (a double
-    # re-sum would be engine-order-dependent before the final rounds).
-    dsum = F.sum(F.col("spend").cast("decimal(18,2)")).cast("double")
+    # re-sum would be engine-order-dependent before the final rounds);
+    # the decimal->double cast uses the split idiom (DuckDB's direct
+    # wide-decimal cast double-rounds past 2^53).
+    dsum = decimal_to_double_split(F.sum(F.col("spend").cast("decimal(18,2)")))
     total = spend.agg(dsum.alias("grand"))
     return (
         assigned.groupBy("decile")

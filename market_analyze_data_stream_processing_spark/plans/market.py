@@ -124,8 +124,9 @@ def q_ma_rolling(spark, sf_dir):
     + """
     SELECT ticker, seq, round(price, 6) AS price,
            round(coalesce(lag(price) OVER w, 0.0), 6) AS prev_price,
-           round(CASE WHEN lag(price) OVER w IS NULL OR lag(price) OVER w = 0 THEN 0.0
-                      ELSE (price - lag(price) OVER w) / lag(price) OVER w * 100 END, 6) AS variation_pct
+           floor(CASE WHEN lag(price) OVER w IS NULL OR lag(price) OVER w = 0 THEN 0.0
+                      ELSE (price - lag(price) OVER w) / lag(price) OVER w * 100 END
+                 * 1000000 + 0.5) / 1000000 AS variation_pct
     FROM bars
     WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq)
     """,
@@ -155,9 +156,9 @@ def q_lag_variation(spark, sf_dir):
            round(coalesce(lag(price, 12) OVER w, 0.0), 6) AS price_1h_ago,
            round(coalesce(lag(price, 36) OVER w, 0.0), 6) AS price_3h_ago,
            round(coalesce(lag(price, 72) OVER w, 0.0), 6) AS price_6h_ago,
-           round(CASE WHEN coalesce(lag(price, 12) OVER w, 0.0) = 0 THEN 0.0
+           floor(CASE WHEN coalesce(lag(price, 12) OVER w, 0.0) = 0 THEN 0.0
                       ELSE (price - lag(price, 12) OVER w) / lag(price, 12) OVER w * 100
-                 END, 6) AS var_1h
+                 END * 1000000 + 0.5) / 1000000 AS var_1h
     FROM bars
     WINDOW w AS (PARTITION BY ticker ORDER BY ts, seq)
     """,
@@ -229,11 +230,12 @@ def q_trend_classify(spark, sf_dir):
            round(max(price), 6) AS high_px,
            round(min(price), 6) AS low_px,
            count(*) AS n_bars,
-           round(CASE WHEN max(CASE WHEN rn_a = 1 THEN price END) IS NULL
-                      OR max(CASE WHEN rn_a = 1 THEN price END) = 0 THEN 0.0
-                      ELSE (max(CASE WHEN rn_d = 1 THEN price END)
-                            - max(CASE WHEN rn_a = 1 THEN price END))
-                           / max(CASE WHEN rn_a = 1 THEN price END) * 100 END, 6) AS variation_pct
+           floor(CASE WHEN round(max(CASE WHEN rn_a = 1 THEN price END), 6) IS NULL
+                      OR round(max(CASE WHEN rn_a = 1 THEN price END), 6) = 0 THEN 0.0
+                      ELSE (round(max(CASE WHEN rn_d = 1 THEN price END), 6)
+                            - round(max(CASE WHEN rn_a = 1 THEN price END), 6))
+                           / round(max(CASE WHEN rn_a = 1 THEN price END), 6) * 100 END
+                 * 1000000 + 0.5) / 1000000 AS variation_pct
     FROM ranked
     GROUP BY ticker, day
     """,
@@ -1532,7 +1534,7 @@ def q_atr(spark, sf_dir):
     + """
     SELECT ticker, seq,
            strftime(CAST(ts AS DATE), '%Y-%m-%d') AS session,
-           floor(CAST(sum(CAST(price * vol AS DECIMAL(28,6))) OVER run
+           floor(CAST(sum(CAST(floor(price * vol * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) OVER run
                       AS DOUBLE)
                  / sum(vol) OVER run * 10000 + 0.5) / 10000 AS vwap
     FROM vbars
@@ -1904,7 +1906,8 @@ def q_autocorr(spark, sf_dir):
         SELECT ticker, day, close, hh, ll, cw,
                (high + low + close)
                    - lag(high + low + close) OVER b AS delta,
-               CAST((high + low + close) * vol AS DECIMAL(28,6)) AS mf
+               CAST(floor((high + low + close) * vol * 1000000.0 + 0.5)
+                    / 1000000.0 AS DECIMAL(28,6)) AS mf
         FROM w
         WINDOW b AS (PARTITION BY ticker ORDER BY day)
     ), s AS (
@@ -2103,8 +2106,11 @@ def q_keltner(spark, sf_dir):
         FROM dailybars
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), lr AS (
+        -- snap-then-cast (quantize discipline): a bare double->DECIMAL
+        -- cast is knife-edge-prone cross-engine on full-mantissa input
         SELECT ticker, day,
-               coalesce(CAST(ln(1.0 + rc) AS DECIMAL(28,12)),
+               coalesce(CAST(floor(ln(1.0 + rc) * 1000000000000.0 + 0.5)
+                             / 1000000000000.0 AS DECIMAL(28,12)),
                         CAST(0 AS DECIMAL(28,12))) AS lr
         FROM r
     )
@@ -2138,8 +2144,9 @@ def q_capped_growth(spark, sf_dir):
         prev > 0,
         F.least(F.greatest(F.col("close") / prev - 1.0, F.lit(-0.05)), F.lit(0.05)),
     )
+    # snap-then-cast (quantize): bare double->DECIMAL is knife-edge-prone
     lr = F.coalesce(
-        F.log(F.lit(1.0) + rc).cast("decimal(28,12)"),
+        quantize(F.log(F.lit(1.0) + rc)),
         F.lit(0).cast("decimal(28,12)"),
     )
     staged = d.withColumn("__lr", lr)
@@ -2163,7 +2170,7 @@ def q_capped_growth(spark, sf_dir):
     )
     SELECT ticker, strftime(day, '%Y-%m-%d') AS day,
            CASE WHEN sum(dt) > 0
-                THEN floor(CAST(sum(CAST(price * dt AS DECIMAL(28,4))) AS DOUBLE)
+                THEN floor(CAST(sum(CAST(floor(price * dt + 0.5) AS DECIMAL(28,4))) AS DOUBLE)
                            / sum(dt) * 10000 + 0.5) / 10000 END AS twap,
            CAST(count(dt) AS BIGINT) AS n_intervals
     FROM t WHERE dt IS NOT NULL
@@ -2191,7 +2198,12 @@ def q_twap(spark, sf_dir):
             stable_round(
                 F.when(
                     F.sum("dt") > 0,
-                    F.sum((F.col("price") * F.col("dt")).cast("decimal(28,4)"))
+                    F.sum(# INTEGER-grid snap: dt is in MICROSECONDS, so price*dt reaches
+                    # ~1e14 at stressed magnitudes — a 4-digit grid would cross
+                    # the 2^53 exactness bound and saturate the LONG floor at
+                    # 2^63 on gap rows; grid 1 keeps exactness to 9e15 with
+                    # relative error ~1e-14, far below the 4dp output round
+                    quantize(F.col("price") * F.col("dt"), 0, "decimal(28,4)"))
                     .cast("double")
                     / F.sum("dt"),
                 ),
@@ -2307,7 +2319,7 @@ def q_sharpe(spark, sf_dir):
         -- Spark's max_by keeps the last tick's value even when null
         SELECT ticker, day,
                max(CASE WHEN rn_d = 1 THEN price END) AS close,
-               CAST(sum(CAST(price * vol AS DECIMAL(28,6))) AS DOUBLE)
+               CAST(sum(CAST(floor(price * vol * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
                    AS dollar_vol
         FROM ranked GROUP BY 1, 2
     ), r AS (
@@ -2348,7 +2360,7 @@ def _daily_dollar_bars(spark, sf_dir):
     order = F.struct(F.col("ts"), F.col("seq"))
     return v.groupBy("ticker", F.col("ts").cast("date").alias("day")).agg(
         F.max_by(F.col("price"), order).alias("close"),
-        F.sum((F.col("price") * F.col("vol")).cast("decimal(28,6)"))
+        F.sum(quantize(F.col("price") * F.col("vol"), 6, "decimal(28,6)"))
         .cast("double")
         .alias("dollar_vol"),
     )
@@ -2594,7 +2606,7 @@ def q_intraday_profile(spark, sf_dir):
         -- rank form, not arg_max (null-keeping max_by mirror)
         SELECT ticker, day,
                max(CASE WHEN rn_d = 1 THEN value END) AS close,
-               CAST(sum(CAST(value * ((user_id % 997) + 1) AS DECIMAL(28,6)))
+               CAST(sum(CAST(floor(value * ((user_id % 997) + 1) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)))
                     AS DOUBLE) AS dollar_vol
         FROM dvol_ranked GROUP BY 1, 2
     ), ar AS (
@@ -3020,14 +3032,18 @@ def q_seasonal_anomalies(spark, sf_dir):
         WINDOW w AS (PARTITION BY ticker ORDER BY day)
     ), w AS (
         SELECT ticker,
-               CAST(sum(CAST(price * vol AS DECIMAL(28,6))) AS DOUBLE) AS dv
+               CAST(sum(CAST(floor(price * vol * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS dv
         FROM vbars GROUP BY ticker
     ), t AS (
-        SELECT CAST(sum(CAST(price * vol AS DECIMAL(28,6))) AS DOUBLE) AS t
+        SELECT CAST(sum(CAST(floor(price * vol * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) AS t
         FROM vbars
     ), port AS (
+        -- snap-then-cast on the w*r terms and log terms (quantize
+        -- discipline): bare double->DECIMAL casts knife-edge on
+        -- full-mantissa input (fractional-stress finding)
         SELECT r.day, CAST(count(*) AS BIGINT) AS n_components,
-               CAST(sum(CAST(w.dv / t.t * r.r AS DECIMAL(28,12)))
+               CAST(sum(CAST(floor(w.dv / t.t * r.r * 1000000000000.0 + 0.5)
+                             / 1000000000000.0 AS DECIMAL(28,12)))
                     AS DOUBLE) AS port_r
         FROM r JOIN w USING (ticker) CROSS JOIN t
         WHERE r.r IS NOT NULL
@@ -3036,7 +3052,9 @@ def q_seasonal_anomalies(spark, sf_dir):
     SELECT strftime(day, '%Y-%m-%d') AS day, n_components, port_r,
            CAST(sum(coalesce(
                      CAST(CASE WHEN port_r > -1.0
-                               THEN ln(1.0 + port_r) END
+                               THEN floor(ln(1.0 + port_r)
+                                          * 1000000000000.0 + 0.5)
+                                    / 1000000000000.0 END
                           AS DECIMAL(28,12)),
                      CAST(0 AS DECIMAL(28,12)))) OVER run AS DOUBLE)
                AS log_growth
@@ -3069,7 +3087,7 @@ def q_seasonal_anomalies(spark, sf_dir):
 )
 def q_portfolio_return(spark, sf_dir):
     v = _vbars(spark, sf_dir)
-    pv = (F.col("price") * F.col("vol")).cast("decimal(28,6)")
+    pv = quantize(F.col("price") * F.col("vol"), 6, "decimal(28,6)")
     w = v.groupBy("ticker").agg(F.sum(pv).cast("double").alias("dv"))
     t = v.agg(F.sum(pv).cast("double").alias("t"))
     d = _daily_dollar_bars(spark, sf_dir).select("ticker", "day", "close")
@@ -3080,7 +3098,8 @@ def q_portfolio_return(spark, sf_dir):
         .where(F.col("r").isNotNull())
         .select("ticker", "day", "r")
     )
-    term = (F.col("dv") / F.col("t") * F.col("r")).cast("decimal(28,12)")
+    # snap-then-cast (quantize): bare double->DECIMAL is knife-edge-prone
+    term = quantize(F.col("dv") / F.col("t") * F.col("r"))
     port = (
         r.join(F.broadcast(w), "ticker")
         .crossJoin(F.broadcast(t))
@@ -3091,8 +3110,10 @@ def q_portfolio_return(spark, sf_dir):
         )
     )
     lr = F.coalesce(
-        F.when(F.col("port_r") > -1.0, F.log(F.lit(1.0) + F.col("port_r")))
-        .cast("decimal(28,12)"),
+        F.when(
+            F.col("port_r") > -1.0,
+            quantize(F.log(F.lit(1.0) + F.col("port_r"))),
+        ),
         F.lit(0).cast("decimal(28,12)"),
     )
     run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
@@ -3793,15 +3814,15 @@ def q_multi_rollup(spark, sf_dir):
     + f"""
     , d AS (
         -- snap-then-cast deltas (quantize discipline), then the cross
-        -- product stays in PURE DECIMAL arithmetic: (18,6)x(18,6) is
-        -- exact at scale 12 with no double round-trip, so there is no
-        -- product-grid domain bound at all — the x1000 magnitude
-        -- stress caught the old double-product bare cast diverging
-        -- once |d1*d0| outgrew the 12-digit grid's ulp
-        -- (19,6): multiplication widens to exactly the 38-digit cap on
-        -- both engines (DuckDB keeps w1+w2 and errors past 38; Spark
-        -- caps at 38 keeping scale 12) — same-width 18s overflow
-        -- DuckDB's int64-backed multiply
+        -- product stays in PURE DECIMAL arithmetic — exact at scale
+        -- 12, no double round-trip (the x1000 magnitude stress caught
+        -- the old double-product bare cast diverging once |d1*d0|
+        -- outgrew the 12-digit grid's ulp). (19,6) HERE because
+        -- DuckDB widens the product to w1+w2 (exactly the 38 cap;
+        -- same-width 18s overflow its int64 multiply); the Spark side
+        -- uses (18,6) operands because ITS (19,6) product would type
+        -- as (38,11) under allowPrecisionLoss and HALF_UP every
+        -- product at 1e-11. Same values, same exact scale-12 result.
         SELECT ticker, day,
                CAST(floor((close - lag(close) OVER w) * 1000000 + 0.5)
                     / 1000000 AS DECIMAL(19,6)) AS d1,
@@ -3848,14 +3869,19 @@ def q_roll_spread(spark, sf_dir):
     d = _daily_bars(spark, sf_dir)
     w = Window.partitionBy("ticker").orderBy("day")
     # snap-then-cast deltas; the cross product then stays in PURE
-    # DECIMAL arithmetic ((18,6)x(18,6) -> exact at scale 12, no double
-    # round-trip, hence no product-grid domain bound) — see the oracle
+    # DECIMAL arithmetic with engine-appropriate operand widths: Spark
+    # needs (18,6) so the product types as (37,12) — EXACT; (19,6)
+    # operands would type as (38,11) under allowPrecisionLoss and
+    # HALF_UP every product at 1e-11 (self-review catch). The oracle
+    # uses (19,6) because DuckDB's same-width-18 multiply overflows
+    # int64 and its product widens to exactly the 38 cap. Same
+    # values, same scale-12 products, different declared widths.
     d1 = stable_round(F.col("close") - F.lag("close").over(w), 6).cast(
-        "decimal(19,6)"
+        "decimal(18,6)"
     )
     d0 = stable_round(
         F.lag("close").over(w) - F.lag("close", 2).over(w), 6
-    ).cast("decimal(19,6)")
+    ).cast("decimal(18,6)")
     pairs = (
         d.withColumn("d1", d1)
         .withColumn("d0", d0)
@@ -3935,18 +3961,25 @@ def q_roll_spread(spark, sf_dir):
                     / m) AS s
         FROM z GROUP BY ticker, m, blk
     ), mean_rs AS (
+        -- snap-then-cast on every fine-grid cast (quantize discipline)
         SELECT ticker, m,
-               ln(CAST(sum(CAST(rng / s AS DECIMAL(28,12))) AS DOUBLE)
+               ln(CAST(sum(CAST(floor(rng / s * 1000000000000.0 + 0.5)
+                                / 1000000000000.0 AS DECIMAL(28,12)))
+                       AS DOUBLE)
                   / count(*)) AS y,
                ln(CAST(m AS DOUBLE)) AS x
         FROM rs WHERE s > 0 GROUP BY ticker, m
     ), fit AS (
         SELECT ticker,
                count(*) AS np,
-               sum(CAST(x AS DECIMAL(28,12))) AS sx,
-               sum(CAST(y AS DECIMAL(28,12))) AS sy,
-               sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
-               sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+               sum(CAST(floor(x * 1000000000000.0 + 0.5)
+                        / 1000000000000.0 AS DECIMAL(28,12))) AS sx,
+               sum(CAST(floor(y * 1000000000000.0 + 0.5)
+                        / 1000000000000.0 AS DECIMAL(28,12))) AS sy,
+               sum(CAST(floor(x * y * 1000000000000.0 + 0.5)
+                        / 1000000000000.0 AS DECIMAL(38,12))) AS sxy,
+               sum(CAST(floor(x * x * 1000000000000.0 + 0.5)
+                        / 1000000000000.0 AS DECIMAL(38,12))) AS sxx
         FROM mean_rs GROUP BY ticker
     )
     SELECT ticker, CAST(np AS BIGINT) AS n_sizes,
@@ -4027,14 +4060,14 @@ def q_hurst(spark, sf_dir):
             / F.col("m")
         ).alias("s"),
     )
+    # snap-then-cast (quantize) on every fine-grid cast below — bare
+    # double->DECIMAL casts knife-edge cross-engine on arbitrary doubles
     mean_rs = (
         rs.where(F.col("s") > 0)
         .groupBy("ticker", "m")
         .agg(
             F.log(
-                F.sum((F.col("rng") / F.col("s")).cast("decimal(28,12)")).cast(
-                    "double"
-                )
+                F.sum(quantize(F.col("rng") / F.col("s"))).cast("double")
                 / F.count(F.lit(1))
             ).alias("y")
         )
@@ -4042,10 +4075,10 @@ def q_hurst(spark, sf_dir):
     )
     fit = mean_rs.groupBy("ticker").agg(
         F.count(F.lit(1)).alias("np"),
-        F.sum(F.col("x").cast("decimal(28,12)")).alias("sx"),
-        F.sum(F.col("y").cast("decimal(28,12)")).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+        F.sum(quantize(F.col("x"))).alias("sx"),
+        F.sum(quantize(F.col("y"))).alias("sy"),
+        F.sum(quantize(F.col("x") * F.col("y"), grid="decimal(38,12)")).alias("sxy"),
+        F.sum(quantize(F.col("x") * F.col("x"), grid="decimal(38,12)")).alias("sxx"),
     )
     hurst = (
         F.col("np") * F.col("sxy").cast("double")
@@ -4220,11 +4253,16 @@ def q_volume_profile(spark, sf_dir):
                count(*) OVER (PARTITION BY day) AS k
         FROM r WHERE r5 IS NOT NULL AND r1_next IS NOT NULL
     ), legs AS (
+        -- snap-then-cast (quantize discipline) on the leg terms
         SELECT day,
                sum(CASE WHEN rk <= 2
-                        THEN CAST(r1_next AS DECIMAL(28,12)) END) AS s_long,
+                        THEN CAST(floor(r1_next * 1000000000000.0 + 0.5)
+                                  / 1000000000000.0
+                             AS DECIMAL(28,12)) END) AS s_long,
                sum(CASE WHEN rk > k - 2
-                        THEN CAST(r1_next AS DECIMAL(28,12)) END) AS s_short,
+                        THEN CAST(floor(r1_next * 1000000000000.0 + 0.5)
+                                  / 1000000000000.0
+                             AS DECIMAL(28,12)) END) AS s_short,
                sum(CASE WHEN rk <= 2 THEN 1 ELSE 0 END) AS n_long,
                sum(CASE WHEN rk > k - 2 THEN 1 ELSE 0 END) AS n_short,
                max(k) AS k
@@ -4239,8 +4277,9 @@ def q_volume_profile(spark, sf_dir):
            CAST(n_long AS BIGINT) AS n_long,
            CAST(n_short AS BIGINT) AS n_short,
            floor(ls * 1000000 + 0.5) / 1000000 AS ls_return,
-           CAST(sum(CAST(CASE WHEN ls > -1.0 THEN ln(1.0 + ls)
-                              ELSE 0.0 END AS DECIMAL(28,12)))
+           CAST(sum(CAST(floor(CASE WHEN ls > -1.0 THEN ln(1.0 + ls)
+                                    ELSE 0.0 END * 1000000000000.0 + 0.5)
+                         / 1000000000000.0 AS DECIMAL(28,12)))
                     OVER (ORDER BY day
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW) AS DOUBLE) AS log_growth
@@ -4276,7 +4315,7 @@ def q_cross_momentum(spark, sf_dir):
         F.row_number().over(dw.orderBy(F.desc("r5"), "ticker")).alias("rk"),
         F.count(F.lit(1)).over(dw).alias("k"),
     )
-    dec = lambda c: c.cast("decimal(28,12)")
+    dec = quantize  # snap-then-cast — bare casts knife-edge cross-engine
     legs = ranked.groupBy("day").agg(
         F.sum(F.when(F.col("rk") <= 2, dec(F.col("r1_next")))).alias("s_long"),
         F.sum(
@@ -4295,9 +4334,11 @@ def q_cross_momentum(spark, sf_dir):
     daily_ls = legs.where(
         (F.col("k") >= 4) & (F.col("n_long") == 2) & (F.col("n_short") == 2)
     ).select("day", "n_long", "n_short", ls.alias("ls"))
-    lr = F.when(F.col("ls") > -1.0, F.log(F.lit(1.0) + F.col("ls"))).otherwise(
-        F.lit(0.0)
-    ).cast("decimal(28,12)")
+    lr = quantize(
+        F.when(F.col("ls") > -1.0, F.log(F.lit(1.0) + F.col("ls"))).otherwise(
+            F.lit(0.0)
+        )
+    )
     run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         daily_ls.withColumn("__lr", lr)
