@@ -30,6 +30,14 @@ event values negative, exercising every log/sqrt/ratio gate's
 negative branch (round-10 run: 229/229 bit-exact — the positivity
 gates null identically on both engines).
 
+Recommended per-round axes (all 229/229 bit-exact as of round 10):
+    scale=100            magnitude (inside every documented bound)
+    scale=1000           magnitude frontier (bounds engage at x10000)
+    scale=1.0000001      FRACTIONAL: full 16-digit mantissas — the
+                         highest-yield axis; generated values sit
+                         exactly on every grid and mask bare casts
+    scale=1 shift=-250   sign axis (negative-branch gates)
+
 Usage:
     python tools/magnitude_stress.py [src_sf_dir] [dst_dir] [scale] [shift]
     python tools/verify_local.py /tmp/sf_mag100
