@@ -925,7 +925,7 @@ def q_gapfill_daily(spark, sf_dir):
     _BARS_CTE
     + """
     , runs AS (
-        SELECT ticker, seq,
+        SELECT ticker, ts, seq,
                sum(CAST(price AS DECIMAL(18,4))) OVER run AS sx,
                sum(CAST(price * price AS DECIMAL(28,8))) OVER run AS sx2,
                count(price) OVER run AS c
@@ -938,7 +938,7 @@ def q_gapfill_daily(spark, sf_dir):
                sx2 - coalesce(lag(sx2, 20) OVER base, 0) AS sx2_n,
                c   - coalesce(lag(c,   20) OVER base, 0) AS c_n
         FROM runs
-        WINDOW base AS (PARTITION BY ticker ORDER BY seq)
+        WINDOW base AS (PARTITION BY ticker ORDER BY ts, seq)
     ), bands AS (
         SELECT ticker, seq, c_n,
                CAST(sx_n AS DOUBLE) / c_n AS mean,
@@ -963,11 +963,11 @@ def q_gapfill_daily(spark, sf_dir):
     "the exact differences in an expression order the oracle mirrors "
     "term by term. Bands null until the window holds ≥2 rows; near-zero "
     "variance float residue clamped at 0. One shuffle+sort serves all "
-    "three output columns. Oracle note: bars ts values are unique, so "
-    "the frame-diff CTE may ORDER BY seq alone where Spark orders by "
-    "(ts, seq) — DuckDB named windows can't nest over windowed CTE "
-    "columns with the original ts carried, and seq is a deterministic "
-    "total order here.",
+    "three output columns. The frame-diff CTE carries ts and orders "
+    "by (ts, seq) exactly like the Spark side — ordering by seq alone "
+    "relied on seq/ts co-monotonicity, which replayed-offset "
+    "duplicates (new ids, old timestamps) break (replay-axis "
+    "finding).",
 )
 def q_bollinger(spark, sf_dir):
     from ..functions.scalars import stable_round
@@ -999,7 +999,7 @@ def q_bollinger(spark, sf_dir):
                CASE WHEN delta IS NOT NULL THEN 1 ELSE 0 END AS has
         FROM d
     ), runs AS (
-        SELECT ticker, seq,
+        SELECT ticker, ts, seq,
                sum(CAST(gain AS DECIMAL(18,4))) OVER run AS sg,
                sum(CAST(loss AS DECIMAL(18,4))) OVER run AS sl,
                sum(has) OVER run AS sh
@@ -1012,7 +1012,7 @@ def q_bollinger(spark, sf_dir):
                CAST(sl - coalesce(lag(sl, 14) OVER base, 0) AS DOUBLE) AS l_n,
                sh - coalesce(lag(sh, 14) OVER base, 0) AS h_n
         FROM runs
-        WINDOW base AS (PARTITION BY ticker ORDER BY seq)
+        WINDOW base AS (PARTITION BY ticker ORDER BY ts, seq)
     )
     SELECT ticker, seq,
            CASE WHEN h_n < 14 THEN NULL
@@ -1330,7 +1330,7 @@ def q_beta_daily(spark, sf_dir):
         SELECT ticker, ts, seq, CAST(pk_raw AS DECIMAL(10,6)) AS pk
         FROM k
     ), runs AS (
-        SELECT ticker, seq, pk,
+        SELECT ticker, ts, seq, pk,
                sum(pk) OVER run AS s,
                count(pk) OVER run AS c
         FROM q
@@ -1343,7 +1343,7 @@ def q_beta_daily(spark, sf_dir):
                 THEN floor(CAST(s - coalesce(lag(s, 3) OVER base, 0) AS DOUBLE)
                            / 3.0 * 10000 + 0.5) / 10000 END AS pct_d
     FROM runs
-    WINDOW base AS (PARTITION BY ticker ORDER BY seq)
+    WINDOW base AS (PARTITION BY ticker ORDER BY ts, seq)
     """,
     doc="Stochastic oscillator %K/%D (14, 3): %K positions the close "
     "inside the rolling 14-bar [min, max] range — window EXTREMES are "
@@ -1354,9 +1354,9 @@ def q_beta_daily(spark, sf_dir):
     "lowering; a plain float window avg would be "
     "accumulation-order-dependent across engines), emitted only when 3 "
     "non-null %K values fill the frame. One shuffle+sort serves the "
-    "range window, the running sums, and the lag pass. Oracle note: ts "
-    "values are unique per ticker, so the lag CTE may order by seq "
-    "alone (same convention as q_bollinger).",
+    "range window, the running sums, and the lag pass; every window "
+    "orders by (ts, seq) on both sides — seq-only ordering relied on "
+    "seq/ts co-monotonicity, which replayed offsets break.",
 )
 def q_stochastic(spark, sf_dir):
     bars = _bars(spark, sf_dir)
@@ -1584,7 +1584,7 @@ def q_vwap(spark, sf_dir):
            CASE WHEN lag(c) OVER base >= 20
                 THEN price < lag(lo) OVER base END AS breakout_down
     FROM ch
-    WINDOW base AS (PARTITION BY ticker ORDER BY seq)
+    WINDOW base AS (PARTITION BY ticker ORDER BY ts, seq)
     """,
     doc="Donchian channel (20): rolling high/low/mid plus breakout flags "
     "— price strictly beyond the PREVIOUS row's completed channel "
@@ -1593,8 +1593,9 @@ def q_vwap(spark, sf_dir):
     "data values (no float accumulation); channel and flags null-gate "
     "until the window (respectively the previous row's window) is "
     "full. Two stacked Window operators share one (ticker, ts, seq) "
-    "shuffle+sort. Oracle note: ts values are unique per ticker, so "
-    "the lag CTE orders by seq alone (q_bollinger convention).",
+    "shuffle+sort; every window orders by (ts, seq) on both sides — "
+    "seq-only ordering relied on seq/ts co-monotonicity, which "
+    "replayed offsets break.",
 )
 def q_donchian(spark, sf_dir):
     from ..operators.indicators import with_donchian
