@@ -22,6 +22,14 @@ def stable_round(col: Column, digits: int) -> Column:
     outputs on any IEEE-754 engine. Use it whenever the pre-rounding
     value is bit-identical across engines.
 
+    HALF-CASE SEMANTICS: the floor form rounds halves toward +infinity
+    (HALF_UP for non-negative values ONLY). A NEGATIVE half rounds up
+    toward zero: -0.125 at 2 digits gives -0.12, where Java/Spark
+    HALF_UP would give -0.13. Cross-engine determinism is unaffected
+    (both engines compute the identical floor form), but callers
+    comparing against an external HALF_UP implementation should expect
+    the divergence on negative half-boundaries.
+
     DOMAIN BOUND (same as operators/stats.quantize): keep
     ``|x|·10^digits < 2^53`` and inputs finite. Spark's
     ``floor(double)`` is LONG-typed — it saturates at 2^63 while

@@ -459,7 +459,14 @@ def q_decay_score(spark, sf_dir):
     "when-ladder. NULL-total: a valueless row humanizes AND buckets to "
     "NULL — an otherwise('large') branch mislabels null rows, and "
     "Spark's format_string renders a NULL %.2f as the garbage string "
-    "'nu' where DuckDB printf yields NULL.",
+    "'nu' where DuckDB printf yields NULL. UNIT-BOUNDARY RENDERING "
+    "(accepted, documented): the unit branch is picked on the UN-"
+    "snapped value and the mantissa is snapped AFTER the division, so "
+    "a value just under a boundary (v/1e6 = 999.999999996) renders as "
+    "'1000.00M' rather than rolling over to '1.00B'. Both engines "
+    "compute the identical branch + snap, so the cross-engine contract "
+    "holds; snapping before the branch would double-round the mantissa "
+    "for no parity gain.",
 )
 def q_humanize_fmt(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")

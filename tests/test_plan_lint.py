@@ -95,3 +95,53 @@ def test_libm_unsnapped_rule_fires_and_clears(spark):
     # sqrt is correctly rounded per IEEE-754: never flagged
     s = base.select(F.sqrt(F.col("d").cast("double")).alias("v"))
     assert _lint_df(s)[1] == []
+
+
+def test_libm_per_consumer_accounting(spark):
+    """Round-11 tightening: a snap in ONE consumer must not exonerate an
+    alias that ANOTHER value-position consumer reads raw; passthrough
+    projections (bare reference in a non-root node) stay exempt."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(5).select(
+        F.col("id").cast("decimal(28,12)").alias("d")
+    )
+    staged = base.select(F.exp(F.col("d").cast("double")).alias("g"))
+    # snapped in one output column, emitted RAW in another (plan root)
+    dual = staged.select(
+        F.col("g").cast("decimal(28,12)").alias("gq"), F.col("g")
+    )
+    assert _lint_df(dual)[1], (
+        "alias snapped in one consumer but emitted raw at plan root "
+        "must be flagged"
+    )
+    # passthrough Project between the libm alias and its snap -> clean
+    passthrough = staged.select("g", F.lit(1).alias("z")).select(
+        F.col("g").cast("decimal(28,12)").alias("gq")
+    )
+    assert _lint_df(passthrough)[1] == []
+    # boolean-predicate consumption is exempt (measure-zero boundary)
+    pred = staged.select(
+        F.col("g").cast("decimal(28,12)").alias("gq"),
+        (F.col("g") > 1.0).alias("big"),
+    )
+    assert _lint_df(pred)[1] == []
+
+
+def test_round_native_double_sum_breaks_coarse_proof(spark):
+    """Round-11 tightening: a DOUBLE-typed Sum between the round and its
+    decimal sources must FAIL the SAFE_COARSE proof (accumulated error
+    ~n*ulp(sum) can reach a half-boundary); a DECIMAL Sum still passes."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(5).select(F.col("id").cast("decimal(18,2)").alias("d2"))
+    # double re-accumulation of grid values -> proof fails -> flagged
+    bad = base.select(
+        F.round(F.sum(F.col("d2").cast("double")), 2).alias("v")
+    )
+    assert _lint_df(bad)[0], "native round over double Sum not flagged"
+    # exact decimal Sum keeps the scale-2 grid -> round(2) is identity
+    ok = base.select(
+        F.round(F.sum(F.col("d2")).cast("double"), 2).alias("v")
+    )
+    assert _lint_df(ok)[0] == []

@@ -24,6 +24,15 @@ Rules
                ULP survives every fixed-decimal round once the value
                outgrows the grid. Fix: emit the exact sum itself (the
                log_growth contracts) or snap the libm result.
+               Exoneration is PER-CONSUMER (round 11): a snap in one
+               downstream projection clears the enclosing alias only
+               if NO other value-position consumer reads it raw.
+               Passthrough references (whole-expression bare
+               AttributeReference in a non-root node — Project
+               passthrough, grouping key), sort keys / window frames,
+               and boolean predicates are exempt; a bare reference in
+               the plan ROOT is plan output and counts as an
+               unsnapped escape.
 - ROUND_NATIVE — engine-native Round/BRound (half-case semantics
                differ Spark↔DuckDB: shortest-decimal-repr HALF_UP vs
                binary-expansion) applied to a value with DECIMAL-
@@ -34,7 +43,10 @@ Rules
                when the pre-round value provably lives on a grid no
                finer than the round scale (SAFE_COARSE: round-at-d of
                a decimal(p,s≤d)-derived value is an identity on both
-               engines), or when the lineage carries no quantization
+               engines; since round 11 a DOUBLE-typed Sum BREAKS the
+               proof — re-accumulating grid values in double drifts
+               ~n*ulp(sum) off the grid, only exact DECIMAL sums
+               preserve it), or when the lineage carries no quantization
                at all (NOISY: boundary events have measure ~0 in an
                IEEE double). Everything else must use
                stable_round / floor(x*10^d+0.5)/10^d on BOTH sides
@@ -185,13 +197,15 @@ ALLOW: dict[str, dict[str, str]] = {
 # decimal-quantized lineage. See the rule doc in the module docstring.
 # --------------------------------------------------------------------------
 
-#: expression classes that PRESERVE a decimal grid (a sum/extreme/shift
-#: of scale-s grid values is still on the scale-s grid, and a double
-#: re-accumulation of grid values stays >> half-a-grid-step away from
-#: round boundaries), so a native round at scale >= s stays an identity.
+#: expression classes that PRESERVE a decimal grid (an extreme/shift/
+#: selection of scale-s grid values is still on the scale-s grid), so a
+#: native round at scale >= s stays an identity. Sum is handled
+#: explicitly in _coarse_scale: only DECIMAL-typed sums are exact —
+#: a double re-accumulation drifts off the grid by ~n·ulp(sum) and can
+#: approach a half-boundary at scale, so it FAILS the coarse proof.
 _GRID_PRESERVING = {
     "Alias", "Cast", "Coalesce", "CaseWhen", "If", "Add", "Subtract",
-    "UnaryMinus", "Abs", "Greatest", "Least", "Sum", "Min", "Max",
+    "UnaryMinus", "Abs", "Greatest", "Least", "Min", "Max",
     "First", "Last", "Lag", "Lead", "Lit", "KnownNotNull",
     "AggregateExpression", "WindowExpression", "NthValue",
     "KnownFloatingPointNormalized", "NormalizeNaNAndZero",
@@ -200,6 +214,16 @@ _GRID_PRESERVING = {
 #: leaf/stop classes whose subtree never feeds the VALUE of the
 #: expression being classified (sort keys, frame bounds, partition keys)
 _NON_VALUE_SUBTREES = {"WindowSpecDefinition", "SortOrder"}
+
+#: boolean-valued consumers: a reference under one of these feeds only a
+#: predicate, not an emitted value — for LIBM per-consumer accounting a
+#: ULP wobble here has the same measure-zero boundary as before, so it
+#: does not count as a raw (un-snapped) value consumption.
+_BOOLEAN_CONSUMERS = {
+    "GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual",
+    "EqualTo", "EqualNullSafe", "IsNull", "IsNotNull", "IsNaN",
+    "Not", "And", "Or", "In", "InSet",
+}
 
 
 def _expr_forests(obj):
@@ -264,6 +288,24 @@ def _has_quantized_lineage(node, alias_map, seen) -> bool:
     )
 
 
+def _decimal_typed_scale(node) -> int | None:
+    """Decimal scale of the expression's OWN type, or None when the
+    type is not provably decimal. Unlike _coarse_scale this does NOT
+    look through a double cast — it answers 'is the arithmetic at this
+    node exact decimal arithmetic', so uncertainty fails conservatively.
+    Only transparent single-child wrappers are unwrapped."""
+    dt = str(node.get("dataType", ""))
+    if dt:
+        return _decimal_scale(dt)
+    if _cls(node) in (
+        "Alias", "AggregateExpression", "KnownNotNull",
+        "KnownFloatingPointNormalized", "NormalizeNaNAndZero",
+    ):
+        ch = node.get("_children", [])
+        return _decimal_typed_scale(ch[0]) if ch else None
+    return None
+
+
 def _coarse_scale(node, alias_map, seen) -> int | None:
     """Strict SAFE_COARSE walk: the max decimal scale reachable from
     ``node`` through grid-preserving ops only, or None when the proof
@@ -299,6 +341,17 @@ def _coarse_scale(node, alias_map, seen) -> int | None:
         return None
     if c == "Count":
         return 0
+    if c == "Sum":
+        # A DOUBLE re-accumulation of grid values is NOT grid-preserving:
+        # each grid value is only near k/10^s in binary, and the
+        # accumulated error (~n·ulp(sum)) can approach a round
+        # half-boundary at scale. Only an exact DECIMAL sum provably
+        # stays on its scale grid (Spark sum(decimal(p,s)) is
+        # decimal(p+10,s) — scale preserved). The Sum JSON node carries
+        # no dataType, so prove decimal-ness from the summed child's
+        # explicit type; unknown/double → proof fails.
+        ch = node.get("_children", [])
+        return _decimal_typed_scale(ch[0]) if ch else None
     if c not in _GRID_PRESERVING:
         return None
     scales = [
@@ -324,7 +377,9 @@ def lint_rounds(analyzed_json: str) -> tuple[list[str], list[str]]:
     rounds: list[dict] = []
     libm_bare: list[tuple[dict, int | None]] = []
     snapped_attrs: set[int] = set()  # attr ids consumed under a snap
-    for pnode in plan:
+    raw_attrs: set[int] = set()  # attr ids ALSO consumed un-snapped
+    for node_idx, pnode in enumerate(plan):
+        is_root = node_idx == 0  # toJSON is preorder: node 0 = plan root
         for flat in _expr_forests(pnode):
             for tree in _parse_forest(flat):
                 # walk with an "under a snap" flag: a libm call whose
@@ -334,17 +389,31 @@ def lint_rounds(analyzed_json: str) -> tuple[list[str], list[str]]:
                 # computed in one Project, cast in the next), so track
                 # which attribute ids are consumed under snaps and
                 # resolve bare libm nodes by their enclosing alias.
-                stack = [(tree, False, None)]
+                # PER-CONSUMER accounting (round-11): a snap in ONE
+                # consumer no longer exonerates the alias if ANOTHER
+                # value-position consumer reads it raw. Exempt:
+                # references in non-value subtrees (sort keys / window
+                # frames), boolean predicates (ULP-boundary measure is
+                # the same zero as before), and PASSTHROUGH references
+                # — a whole-expression bare AttributeReference in a
+                # non-root node (Project passthrough / grouping key)
+                # is identity plumbing under the same exprId, and the
+                # eventual value consumer decides its fate. A bare
+                # reference in the ROOT node is plan output → raw.
+                stack = [(tree, False, None, False, True)]
                 while stack:
-                    n, snapped, alias_id = stack.pop()
+                    n, snapped, alias_id, exempt, at_top = stack.pop()
                     c = _cls(n)
                     eid = n.get("exprId", {}).get("id")
                     if c == "Alias" and n["_children"]:
                         if eid is not None:
                             alias_map[eid] = n["_children"][0]
                             alias_id = eid
-                    if c == "AttributeReference" and snapped and eid is not None:
-                        snapped_attrs.add(eid)
+                    if c == "AttributeReference" and eid is not None:
+                        if snapped:
+                            snapped_attrs.add(eid)
+                        elif not exempt and not (at_top and not is_root):
+                            raw_attrs.add(eid)
                     if c in ("Round", "BRound"):
                         rounds.append(n)
                     if c in _LIBM_LOOSE and not snapped:
@@ -354,13 +423,21 @@ def lint_rounds(analyzed_json: str) -> tuple[list[str], list[str]]:
                         and _decimal_scale(str(n.get("dataType", "")))
                         is not None
                     )
+                    ch_exempt = exempt or c in _NON_VALUE_SUBTREES or (
+                        c in _BOOLEAN_CONSUMERS
+                    )
                     stack.extend(
-                        (ch, under, alias_id) for ch in n.get("_children", [])
+                        (ch, under, alias_id, ch_exempt, False)
+                        for ch in n.get("_children", [])
                     )
     libm_hits = []
     for node, alias_id in libm_bare:
-        if alias_id is not None and alias_id in snapped_attrs:
-            continue  # the enclosing alias is re-snapped downstream
+        if (
+            alias_id is not None
+            and alias_id in snapped_attrs
+            and alias_id not in raw_attrs
+        ):
+            continue  # EVERY value-position consumer re-snaps the alias
         if any(
             _has_quantized_lineage(ch, alias_map, set())
             for ch in node.get("_children", [])
@@ -471,7 +548,16 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             "rounded, unlike sqrt — over decimal-quantized lineage whose "
             "result is never re-snapped: the reproduced "
             "q_portfolio_return exp-ULP class; the sanctioned pattern is "
-            "quantize-after or emitting the exact sum itself). Generated "
+            "quantize-after or emitting the exact sum itself). Round-11 "
+            "tightenings: LIBM exoneration is now PER-CONSUMER (a snap in "
+            "one projection no longer clears an alias that another "
+            "value-position consumer reads raw; passthrough references "
+            "and boolean predicates are exempt, a bare reference in the "
+            "plan ROOT counts as an unsnapped escape), and the "
+            "SAFE_COARSE proof no longer treats a DOUBLE-typed Sum as "
+            "grid-preserving (accumulated error ~n*ulp(sum) can reach a "
+            "half-boundary at scale; only exact DECIMAL sums keep the "
+            "grid). Generated "
             "by `tools/plan_lint.py`; enforced by `tests/test_plan_lint.py`."
         )
         out.append("")
