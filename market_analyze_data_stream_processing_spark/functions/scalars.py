@@ -7,8 +7,54 @@ whole-stage-codegen friendly, no Python UDFs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: opt-in numeric-domain assertion mode (off by default). When set to a
+#: non-empty value other than "0", every floor-form snap (stable_round /
+#: operators.stats.quantize) wraps its input in a per-row guard that
+#: RAISES on out-of-domain values — |x|·10^digits ≥ 2^53, NaN, ±inf —
+#: instead of silently diverging cross-engine (Spark's LONG-typed floor
+#: saturates at 2^63 and maps NaN→0 / +inf→Long.MaxValue where DuckDB
+#: keeps doubles). The gram_partials loud-refusal policy
+#: (operators/linalg.py), applied to the scalar snap path. Zero plan
+#: change when unset: the flag is read at builder-call time.
+NUMERIC_ASSERT_ENV = "SPARK_GRAFT_NUMERIC_ASSERT"
+
+#: 2^53 — largest double magnitude whose grid integer is exactly
+#: representable (see the stable_round / quantize DOMAIN BOUND docs)
+_SNAP_DOMAIN_BOUND = 9007199254740992.0
+
+
+def numeric_assert_enabled() -> bool:
+    return os.environ.get(NUMERIC_ASSERT_ENV, "") not in ("", "0")
+
+
+def domain_checked(col: Column, digits: int, result: Column, where: str) -> Column:
+    """Wrap ``result`` (a snap of ``col`` at ``digits``) in a per-row
+    domain assertion when NUMERIC_ASSERT_ENV is set; identity otherwise.
+
+    The guard accepts NULL (snaps pass NULL through) and any finite x
+    with |x|·10^digits < 2^53; NaN and ±inf fail the strict inequality
+    (NaN compares false, inf·10^d = inf), so one predicate covers the
+    whole out-of-contract surface. In-domain rows return ``result``
+    unchanged — assert_true yields NULL on pass, so the when-branch is
+    value-transparent and output hashes are identical with the flag on."""
+    if not numeric_assert_enabled():
+        return result
+    p = float(10**digits)
+    ok = col.isNull() | (F.abs(col) * F.lit(p) < F.lit(_SNAP_DOMAIN_BOUND))
+    msg = F.concat(
+        F.lit(
+            f"{where} domain violation (digits={digits}; contract: "
+            "|x|*10^digits < 2^53 and x finite — see the DOMAIN BOUND "
+            "docstring): x="
+        ),
+        col.cast("string"),
+    )
+    return F.when(F.assert_true(ok, msg).isNull(), result)
 
 
 def stable_round(col: Column, digits: int) -> Column:
@@ -38,10 +84,13 @@ def stable_round(col: Column, digits: int) -> Column:
     non-finite inputs silently diverge cross-engine. Presentation
     rounds at 2–9 digits over O(1..1e6)-magnitude values sit far
     inside the bound; gate NaN/±inf to NULL first where they can
-    occur.
+    occur. Set SPARK_GRAFT_NUMERIC_ASSERT=1 to turn the bound into a
+    per-row assertion (``domain_checked``) during testing.
     """
     p = float(10**digits)
-    return F.floor(col * p + F.lit(0.5)) / F.lit(p)
+    return domain_checked(
+        col, digits, F.floor(col * p + F.lit(0.5)) / F.lit(p), "stable_round"
+    )
 
 
 #: DuckDB SQL mirror of stable_round.

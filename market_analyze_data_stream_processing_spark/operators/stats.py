@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.scalars import domain_checked
+
 #: default input grid: 1e-12 quantization. DOMAIN BOUND: cross-engine
 #: exact only for |x| < 2^53/10^12 ≈ 9006 (see quantize); sized for
 #: log returns and other O(1) inputs, NOT raw ids/volumes — pick a
@@ -69,9 +71,12 @@ def quantize(x: Column, digits: int = 12, grid: str = GRID) -> Column:
     raw ids/volumes — pass a coarser ``digits`` (see q_stats_agg's
     digits=6 product grid) for large-magnitude inputs. NaN/±inf inputs
     are also out of contract (Spark floor(NaN)=0, floor(inf)=
-    Long.MaxValue vs DuckDB NaN/inf) — gate them to NULL first."""
+    Long.MaxValue vs DuckDB NaN/inf) — gate them to NULL first.
+    Set SPARK_GRAFT_NUMERIC_ASSERT=1 to turn this bound into a per-row
+    assertion (functions/scalars.domain_checked) during testing."""
     p = float(10**digits)
-    return (F.floor(x * p + F.lit(0.5)) / F.lit(p)).cast(grid)
+    snapped = (F.floor(x * p + F.lit(0.5)) / F.lit(p)).cast(grid)
+    return domain_checked(x, digits, snapped, "quantize")
 
 
 def quantize_sql(expr: str, digits: int = 12, grid: str = "DECIMAL(28,12)") -> str:

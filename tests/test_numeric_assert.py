@@ -1,0 +1,65 @@
+"""Opt-in numeric-domain assertion mode (SPARK_GRAFT_NUMERIC_ASSERT).
+
+The stable_round / quantize DOMAIN BOUND (|x|·10^digits < 2^53, x
+finite) is normally a documented contract: past it Spark's LONG-typed
+floor silently saturates/diverges from DuckDB. With the env flag set,
+every snap wraps its input in a per-row assert_true so out-of-domain
+data raises LOUDLY instead of silently diverging cross-engine — the
+gram_partials refusal policy (operators/linalg.py:62-74) applied to the
+scalar snap path. tools/verify_local.py --assert runs the whole
+registry under this mode (round-11 DIFFERENTIAL artifact)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_analyze_data_stream_processing_spark.functions.scalars import (
+    NUMERIC_ASSERT_ENV,
+    stable_round,
+)
+from market_analyze_data_stream_processing_spark.operators.stats import quantize
+
+
+@pytest.fixture
+def assert_on(monkeypatch):
+    monkeypatch.setenv(NUMERIC_ASSERT_ENV, "1")
+
+
+def test_in_domain_values_unchanged(spark, assert_on):
+    """The guard is value-transparent: in-domain rows (incl. NULL) snap
+    to exactly what the unguarded builder produces."""
+    df = spark.createDataFrame([(1.23456,), (-0.125,), (None,)], "x double")
+    rows = df.select(
+        stable_round(F.col("x"), 2).alias("r"),
+        quantize(F.col("x")).alias("q"),
+    ).collect()
+    assert [r.r for r in rows] == [1.23, -0.12, None]
+    assert [float(r.q) if r.q is not None else None for r in rows] == [
+        1.23456,
+        -0.125,
+        None,
+    ]
+
+
+@pytest.mark.parametrize("bad", [1e16, float("nan"), float("inf"), float("-inf")])
+def test_out_of_domain_raises(spark, assert_on, bad):
+    df = spark.createDataFrame([(bad,)], "x double")
+    with pytest.raises(Exception, match="domain violation"):
+        df.select(quantize(F.col("x")).alias("q")).collect()
+    with pytest.raises(Exception, match="domain violation"):
+        df.select(stable_round(F.col("x"), 12).alias("r")).collect()
+
+
+def test_digits_scale_the_bound(spark, assert_on):
+    """1e10 is out of domain at digits=12 (1e22 > 2^53) but in domain at
+    digits=2 (1e12 < 2^53) — the bound tracks the requested grid."""
+    df = spark.createDataFrame([(1e10,)], "x double")
+    assert df.select(stable_round(F.col("x"), 2).alias("r")).collect()[0].r == 1e10
+    with pytest.raises(Exception, match="domain violation"):
+        df.select(stable_round(F.col("x"), 12).alias("r")).collect()
+
+
+def test_flag_off_is_legacy_silent_path(spark, monkeypatch):
+    monkeypatch.delenv(NUMERIC_ASSERT_ENV, raising=False)
+    df = spark.createDataFrame([(1e16,)], "x double")
+    # no raise: the documented silent-saturation legacy behavior
+    assert df.select(quantize(F.col("x")).alias("q")).collect()[0].q is not None

@@ -2,7 +2,11 @@
 query on Spark AND its DuckDB oracle at a given SF, compare row count,
 column names, and (order-insensitively) values.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--assert] [sf_dir] [query ...]
+
+--assert sets SPARK_GRAFT_NUMERIC_ASSERT=1: every stable_round/quantize
+snap raises per-row on out-of-domain inputs (|x|·10^d ≥ 2^53, NaN,
+±inf) instead of silently diverging cross-engine.
 """
 
 from __future__ import annotations
@@ -53,8 +57,18 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    if "--assert" in argv:
+        # run the whole differential under the opt-in numeric-domain
+        # assertion mode: every stable_round/quantize raises on
+        # out-of-contract inputs (|x|*10^d >= 2^53, NaN, ±inf) instead
+        # of silently diverging — proves the registry's grids are sized
+        # to their documented domains, not just to today's data.
+        argv.remove("--assert")
+        os.environ["SPARK_GRAFT_NUMERIC_ASSERT"] = "1"
+        print("numeric-domain assert mode ON")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in TABLES:
