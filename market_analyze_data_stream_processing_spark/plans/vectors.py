@@ -380,82 +380,74 @@ def q_approx_distinct(spark, sf_dir):
     FROM embeddings
     """,
     doc="Iterative Lloyd k-means (3 iterations, deterministic lowest-id "
-    "seeding) — the iterative-algorithm slot: assignment is a map-only "
-    "expression ladder, the update shuffle carries k*dim partial sums. "
-    "No single SQL can replay the iteration, so the oracle contract "
-    "checks the deterministic outcome instead: the assignment is a "
-    "complete partition (partition_complete: cluster sizes sum to the "
-    "corpus count, hash-matched as n_vecs), all 5 clusters are "
+    "seeding) — the iterative-algorithm slot: each iteration is one "
+    "fused Arrow assign+partial-sum pass (k*dim driver state, no "
+    "shuffle). No single SQL can replay the iteration, so the oracle "
+    "contract checks the deterministic outcome instead: the assignment "
+    "is a complete partition (partition_complete: cluster sizes sum to "
+    "the corpus count, hash-matched as n_vecs), all 5 clusters are "
     "non-empty, and the clustering is genuinely tighter than no "
     "clustering (tighter_than_global: mean cosine of each vector to its "
     "OWN post-update centroid ≥ mean cosine to the single global "
-    "centroid, computed in-plan — Lloyd's objective can't lose to the "
-    "k=1 solution on this data, and the whole computation is "
-    "deterministic). Centroid values and convergence behavior stay "
-    "pinned in pytest (test_dedup_similarity).",
+    "centroid — Lloyd's objective can't lose to the k=1 solution on "
+    "this data, and the whole computation is deterministic). The last "
+    "Lloyd step's reduction already carries the cluster sizes and "
+    "post-update centroids, and the quality check is one more fused "
+    "Arrow matmul pass over the cached working set — no dim-wide "
+    "aggregate plan, no literal-vector CASE fold, nothing re-codegens "
+    "per run. Centroid values and convergence behavior stay pinned in "
+    "pytest (test_dedup_similarity).",
 )
 def q_kmeans_clusters(spark, sf_dir):
-    from ..operators.clustering import kmeans
+    import numpy as np
+
+    from ..operators.clustering import (
+        _lloyd_step,
+        cluster_quality_partials,
+        seed_centroids,
+    )
+    from ..sources.tables import spread
 
     e = load_table(spark, sf_dir, "embeddings")
-    dim_row = e.select(F.size("embedding")).first()  # O(1): one row, schema probe
-    if dim_row is None:
-        # Empty corpus: no vectors, no clusters — the total answer is
-        # the empty contract frame, not a crash in the centroid math.
-        # Probed BEFORE kmeans so the seed-collect job never runs on
-        # the path whose rows are discarded anyway.
+    # Deterministic lowest-id seeds; None = empty corpus — the total
+    # answer is the empty contract frame, not a crash in the centroid
+    # math (a filter that eliminated every row upstream must not crash).
+    cents = seed_centroids(e, 5)
+    if cents is None:
         return spark.range(1).select(
             F.lit(0).cast("long").alias("n_vecs"),
             F.lit(0).cast("long").alias("n_clusters_nonempty"),
             F.lit(True).alias("partition_complete"),
             F.lit(True).alias("tighter_than_global"),
         ).where(F.lit(False))
-    dim = dim_row[0]
-    # The assignment (Arrow matmul over the corpus) feeds BOTH contract
-    # passes — cache it so the centroid aggregate and the quality
-    # aggregate each read the materialized rows instead of re-running
-    # the scan+assignment. Both passes are collected eagerly (each is
-    # O(k·dim) / O(1) driver-side), the cache is released before
-    # returning, and the returned plan is just the corpus count — the
-    # one scan the driver's execution still needs.
-    assigned = kmeans(e, k=5, iterations=3).persist()
+    # Lloyd loop over a cached, spread working set (the kmeans operator's
+    # own discipline). The LAST step's stats ARE the quality contract's
+    # inputs — the assignment under the pre-update (final) centroids,
+    # its cluster sizes, and the post-update centroids — so nothing is
+    # re-aggregated with a dim-wide codegen plan, and the corpus-wide
+    # assignment is never materialized as a frame: the quality pass
+    # (cosine to own post-update centroid vs to the global centroid) is
+    # ONE fused Arrow matmul pass over the same cached rows. All
+    # driver-side state is O(k·dim); the returned plan is just the
+    # corpus count the driver's execution still needs.
+    work = spread(e.select("embedding")).persist()
     try:
-        v = as_double(F.col("embedding"))
-        # Post-update centroids via per-slot avg aggregates (the
-        # ivf_index shape: map-side combined, k·(dim+1) tiny rows
-        # collected — O(1) in corpus size) and the global k=1 centroid
-        # derived driver-side as the size-weighted centroid mean.
-        # Broadcasting them back as LITERAL vectors keeps the quality
-        # pass map-only: one cosine fold against the own-cluster
-        # centroid (5-branch CASE) and one against the global centroid,
-        # then a single scalar aggregate — no wide-column join, no
-        # codegen blow-up.
-        cents = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.avg(F.element_at(v, i + 1)).alias(f"m{i}") for i in range(dim)],
-            )
-            .collect()
+        stats = {}
+        for _ in range(3):
+            final_cents = cents
+            stats = _lloyd_step(work, cents, vec_col="embedding")
+            cents = {c: m for c, (_n, m) in stats.items()}
+        n_vecs = sum(n for n, _m in stats.values())
+        n_nonempty = sum(1 for n, _m in stats.values() if n > 0)
+        glob = (
+            sum(n * m for n, m in stats.values()) / n_vecs
+        )  # size-weighted global (k=1) centroid
+        n_q, sum_own, sum_glob = cluster_quality_partials(
+            work, final_cents, cents, np.asarray(glob), vec_col="embedding"
         )
-        n_vecs = sum(r["n"] for r in cents)
-        n_nonempty = sum(1 for r in cents if r["n"] > 0)
-        glob = [
-            sum(r["n"] * r[f"m{i}"] for r in cents) / n_vecs for i in range(dim)
-        ]
-        sim_own = None
-        for r in cents:
-            s = cosine_sim(v, lit_vector([r[f"m{i}"] for i in range(dim)]))
-            cond = F.col("cluster") == int(r["cluster"])
-            sim_own = s if sim_own is None else F.when(cond, s).otherwise(sim_own)
-        tighter = assigned.select(
-            sim_own.alias("sim_own"),
-            cosine_sim(v, lit_vector(glob)).alias("sim_glob"),
-        ).agg(
-            (F.avg("sim_own") >= F.avg("sim_glob")).alias("t")
-        ).first()["t"]
+        tighter = (sum_own / n_q) >= (sum_glob / n_q)
     finally:
-        assigned.unpersist()
+        work.unpersist()
     return e.agg(F.count(F.lit(1)).cast("long").alias("n_total")).select(
         F.lit(n_vecs).cast("long").alias("n_vecs"),
         F.lit(n_nonempty).cast("long").alias("n_clusters_nonempty"),
