@@ -20,68 +20,64 @@ from . import profiling  # noqa: E402,F401
 # registry entries per round (each recorded round sampled exactly 50 in
 # registration order). Rotate queries with the stalest (or missing)
 # driver evidence to the front so every query accumulates a fresh
-# driver row within a few rounds. Round-10 front (from
+# driver row within a few rounds. Round-11 front (from
 # tools/rotate_front.py; only hash-green rows count as evidence):
-# the two round-9 red rows lead — q_embedding_covariance and
-# q_portfolio_return, both root-caused to one engine-divergent
-# presentation step and fixed this round (stable_round on cov; the
-# growth contract moved to the exact DECIMAL log-growth sum) — then
-# the 8 never-driver-sampled names (q_volatility_estimators …
-# q_zipf_fit; all local-oracle green), completing cumulative driver
-# coverage at 229/229 when green, then the stalest r05 evidence and
-# the r06 alphabetical continuation. Semantics are unaffected —
+# cumulative driver coverage reached 229/229 all-green in round 10, so
+# this round is pure staleness refresh — the 50 names whose newest
+# green driver row is oldest (r06, then the r07 alphabetical
+# continuation). Semantics are unaffected —
 # `queries()`/`oracle_sql()`/bench all expose the same full set.
 _SWEEP_FRONT = [
-    "q_embedding_covariance",
-    "q_portfolio_return",
-    "q_volatility_estimators",
-    "q_volume_imbalance",
-    "q_volume_profile",
-    "q_vortex",
-    "q_vwap",
-    "q_weighted_sample",
-    "q_williams_mfi",
-    "q_zipf_fit",
-    "q_json_extract",
-    "q_keep_last_dedup",
-    "q_lag_variation",
-    "q_lang_id",
-    "q_latest_per_key",
-    "q_minhash_signature",
-    "q_momentum_multilag",
-    "q_percentiles",
-    "q_pivot_counts",
-    "q_quality_score",
-    "q_quantize_embeddings",
-    "q_range_join",
-    "q_scalar_string_date",
-    "q_series_correlation",
-    "q_sessionize",
-    "q_shingle_count",
-    "q_stats_agg",
-    "q_token_stats",
-    "q_topn_per_feed",
-    "q_tumbling_hourly",
-    "q_validity_intervals",
-    "q_winsorized_stats",
-    "q02_min_cost_supplier",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_shipment_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q20_excess_quantity_suppliers",
-    "q21_sole_late_supplier",
-    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_approx_distinct",
+    "q_approx_percentiles",
+    "q_chart_frame",
+    "q_distinct_agg",
+    "q_dup_clusters",
+    "q_embedding_near_dup",
+    "q_embedding_norms",
+    "q_having_guard",
+    "q_kmeans_clusters",
+    "q_knn_exact",
+    "q_knn_per_label",
+    "q_lsh_band_candidates",
+    "q_ma_rolling",
+    "q_media_embedding",
+    "q_media_features",
+    "q_media_frame_sample",
+    "q_message_daily_summary",
+    "q_mktsegment_sales",
+    "q_near_dup_jaccard",
+    "q_near_dup_pipeline",
+    "q_order_priority_semi",
+    "q_parts_never_ordered",
+    "q_repetition_filters",
+    "q_retrieval_pipeline",
+    "q_rollup_lineitem",
+    "q_salted_brand_revenue",
+    "q_set_nation_overlap",
+    "q_simhash",
+    "q_split_leakage",
+    "q_top_orders_per_customer",
+    "q_trend_classify",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_regional_revenue",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    "q_array_functions",
+    "q_asof_join",
+    "q_asof_last_value",
+    "q_bpe_tokens",
+    "q_chunk_dup_rate",
+    "q_cohort_retention",
+    "q_conditional_agg",
+    "q_cube_status",
+    "q_cumulative_spend",
+    "q_curation_pipeline",
+    "q_daily_summary",
+    "q_date_functions",
+    "q_decay_score",
 ]
 
 

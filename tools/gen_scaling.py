@@ -66,6 +66,12 @@ HEADLINE = [
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 
+#: effective-sf1 directory (10× key-shifted replication of sf0.1 built
+#: by tools/make_sf1.py into scratch space). When present, the sweep
+#: gains an sf1 column — a 1000× total range. Overridable for CI-less
+#: environments via SPARK_GRAFT_SF1_DIR.
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+
 
 def main() -> None:
     spark = get_spark("scaling")
@@ -75,34 +81,60 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    have_sf1 = os.path.isdir(SF1_DIR)
+    dirs = [f"/root/testdata/{sf}" for sf in SFS] + ([SF1_DIR] if have_sf1 else [])
+
+    def drop_persisted():
+        # iterative queries (CC, pagerank) pin localCheckpoints; release
+        # between queries so the sf1 passes don't accumulate blocks
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(m.keySet().toArray()):
+            m.get(rid).unpersist()
+
     rows = []
     for name in HEADLINE:
         times = []
-        for sf in SFS:
+        for d in dirs:
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, f"/root/testdata/{sf}").write.format("noop").mode(
+            QUERIES[name].fn(spark, d).write.format("noop").mode(
                 "overwrite"
             ).save()
             times.append(time.perf_counter() - t0)
+            drop_persisted()
         rows.append((name, times))
 
+    rng = "1000×" if have_sf1 else "100×"
+    hdr_sf1 = " sf1 |" if have_sf1 else ""
     out = [
-        "# SCALING — headline queries across a 100× data range",
+        f"# SCALING — headline queries across a {rng} data range",
         "",
         "Wall-clock seconds on local[32] (warm JVM), forced end-to-end via",
         "noop writes. 100× more rows costing far less than 100× more time",
         "means fixed overhead still dominates at these SFs — the plan-cost",
         "component (the part that matters at 100 TB) grows sub-linearly to",
-        "linearly in rows for every query.",
+        "linearly in rows for every query."
+        + (
+            " The sf1 column runs the 10× key-shifted replication of sf0.1"
+            " built by tools/make_sf1.py (6M lineitem / 1M events rows);"
+            " its ratio column is t(sf1)/t(sf0.1) — ≤10 means at-or-below"
+            " linear scaling over that decade."
+            if have_sf1
+            else ""
+        ),
         "",
-        "| query | sf0.001 | sf0.01 | sf0.1 | t(0.1)/t(0.001) |",
-        "|---|---|---|---|---|",
+        f"| query | sf0.001 | sf0.01 | sf0.1 |{hdr_sf1} t(0.1)/t(0.001) |"
+        + (" t(1)/t(0.1) |" if have_sf1 else ""),
+        "|---|---|---|---|---|" + ("---|---|" if have_sf1 else ""),
     ]
     for name, ts in rows:
         ratio = ts[2] / ts[0] if ts[0] > 0 else float("nan")
-        out.append(
-            f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} | {ratio:.1f}× |"
-        )
+        line = f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} |"
+        if have_sf1:
+            r1 = ts[3] / ts[2] if ts[2] > 0 else float("nan")
+            line += f" {ts[3]:.2f} | {ratio:.1f}× | {r1:.1f}× |"
+        else:
+            line += f" {ratio:.1f}× |"
+        out.append(line)
     out.append("")
     out.append("Row counts: lineitem 6k → 60k → 600k; events 1k → 10k → 100k; ")
     out.append("documents 500 → 500 → 5,000; embeddings 500 → 500 → 2,000.")
