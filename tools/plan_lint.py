@@ -557,7 +557,14 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             "SAFE_COARSE proof no longer treats a DOUBLE-typed Sum as "
             "grid-preserving (accumulated error ~n*ulp(sum) can reach a "
             "half-boundary at scale; only exact DECIMAL sums keep the "
-            "grid). Generated "
+            "grid). Companion RUNTIME guard (round 11): "
+            "SPARK_GRAFT_NUMERIC_ASSERT=1 turns every stable_round/"
+            "quantize DOMAIN BOUND (|x|*10^digits < 2^53, finite inputs) "
+            "into a per-row assertion — `tools/verify_local.py --assert` "
+            "runs the whole differential under it, and the round "
+            "DIFFERENTIAL artifact records the registry green in that "
+            "mode, proving the grids are sized to their documented "
+            "domains rather than to the current data. Generated "
             "by `tools/plan_lint.py`; enforced by `tests/test_plan_lint.py`."
         )
         out.append("")
