@@ -41,7 +41,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, dot, lit_vector
+from ..functions.vectors import as_double
 
 
 def _py_dot(a: Sequence[float], b: Sequence[float]) -> float:
@@ -54,31 +54,32 @@ def _py_dot(a: Sequence[float], b: Sequence[float]) -> float:
     return acc
 
 
-def _sq_dist(x_sub: Column, c: Sequence[float]) -> Column:
-    """||x||^2 - 2 x.c + ||c||^2 against a literal centroid — the same
-    expression shape the oracle writes, so the doubles match bitwise."""
-    return (
-        dot(x_sub, x_sub)
-        - F.lit(2.0) * dot(x_sub, lit_vector(c))
-        + F.lit(_py_dot(c, c))
-    )
+def _fold_sq_dists(
+    X, cands: Sequence[tuple[int, Sequence[float]]]
+):
+    """Squared-L2 from every row of ``X`` (n×sub_dim float64) to every
+    candidate centroid, as ``||x||^2 - 2 x.c + ||c||^2`` with every
+    inner product computed by the SAME sequential left-fold op sequence
+    (``acc = acc + x_d·y_d``, one multiply then one add per dim) that
+    the oracle's ``list_inner_product`` and the former JVM
+    ``aggregate(zip_with(...))`` expression use — vectorized ACROSS
+    rows, sequential ACROSS dims, so every distance double is
+    bit-identical to the engines' fold. The final combination is
+    ``(dxx - 2.0*dxc) + cc``, the exact parse order of the oracle
+    expression. Returns an (n, len(cands)) float64 matrix."""
+    import numpy as np
 
-
-def _argmin_code(x_sub: Column, cands: Sequence[tuple[int, Sequence[float]]]) -> Column:
-    """Nearest candidate's code, ties to the lowest code: array_min over
-    (distance, code) structs — lexicographic struct ordering IS the
-    (dist, code) tiebreak, evaluated entirely JVM-side."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(x_sub, c).alias("d"),
-                    F.lit(int(code)).cast("long").alias("c"),
-                )
-                for code, c in cands
-            ]
-        )
-    ).getField("c")
+    n, sd = X.shape
+    dxx = np.zeros(n)
+    for d in range(sd):
+        dxx = dxx + X[:, d] * X[:, d]
+    out = np.empty((n, len(cands)))
+    for j, (_code, c) in enumerate(cands):
+        dxc = np.zeros(n)
+        for d in range(sd):
+            dxc = dxc + X[:, d] * c[d]
+        out[:, j] = (dxx - 2.0 * dxc) + _py_dot(c, c)
+    return out
 
 
 def pq_seeds(
@@ -121,23 +122,22 @@ def pq_codebook(
     seeds = pq_seeds(e, k=k, vec_col=vec_col, id_col=id_col)
     if not seeds:
         return {}
-    v = as_double(F.col(vec_col))
-
-    def sub(ms: int) -> Column:
-        return F.slice(v, ms * sub_dim + 1, sub_dim)
-
-    def sub_seed(s: Sequence[float], ms: int) -> Sequence[float]:
-        return s[ms * sub_dim : (ms + 1) * sub_dim]
-
-    assigned = e.select(
-        v.alias("__v"),
-        *[
-            _argmin_code(
-                sub(ms),
-                [(rank, sub_seed(s, ms)) for rank, s in enumerate(seeds)],
-            ).alias(f"__code_{ms}")
-            for ms in range(m)
-        ],
+    # Seed assignment reuses the Arrow encode kernel with the seed
+    # slices as a {(subspace, rank): centroid} book — same fold
+    # arithmetic, same lowest-code tie-break, no interpreted HOFs.
+    seed_book = {
+        (ms, rank): s[ms * sub_dim : (ms + 1) * sub_dim]
+        for ms in range(m)
+        for rank, s in enumerate(seeds)
+    }
+    assigned = pq_encode(
+        e.select(as_double(F.col(vec_col)).alias("__v")),
+        seed_book,
+        m=m,
+        sub_dim=sub_dim,
+        vec_col="__v",
+    ).select(
+        "__v", *[F.col(f"c{ms}").alias(f"__code_{ms}") for ms in range(m)]
     )
     exploded = assigned.select(
         F.posexplode("__v").alias("__pos", "__x"),
@@ -173,19 +173,57 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Append code columns c0..c{m-1}: nearest refined centroid per
-    subspace. Pure column expressions against the literal codebook —
-    map-only, no shuffle; this is the pass that turns a 100 TB float
-    corpus into a 4-bytes-a-row codes table."""
-    v = as_double(F.col(vec_col))
-    out = e
-    for ms in range(m):
-        cands = sorted(
-            (code, c) for (mm, code), c in book.items() if mm == ms
+    subspace, ties to the lowest code. Map-only, no shuffle; this is
+    the pass that turns a 100 TB float corpus into a 4-bytes-a-row
+    codes table.
+
+    Arrow-backed since round 11: the former per-candidate
+    ``aggregate(zip_with(...))`` expression ladder evaluated ~m·k·2
+    INTERPRETED higher-order folds per row (HOFs never enter
+    whole-stage codegen), which made encode cost ~2.5 s for 2k rows —
+    pure evaluator overhead, flat across SFs. The Arrow pass computes
+    the identical fold arithmetic (``_fold_sq_dists``) batch-wise;
+    centroids ride in the task closure, so re-encoding against a new
+    codebook never rebuilds a plan. Cross-engine bit-exactness is
+    unchanged — same multiply/add sequence per distance, and argmin
+    over code-ascending candidates IS the (distance, code) struct-min
+    tie-break."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cands_by_ms = [
+        sorted(
+            (int(code), [float(x) for x in c])
+            for (mm, code), c in book.items()
+            if mm == ms
         )
-        out = out.withColumn(
-            f"c{ms}", _argmin_code(F.slice(v, ms * sub_dim + 1, sub_dim), cands)
-        )
-    return out
+        for ms in range(m)
+    ]
+    code_arrs = [
+        np.asarray([c for c, _v in cands], dtype=np.int64)
+        for cands in cands_by_ms
+    ]
+    schema = StructType(
+        list(e.schema.fields)
+        + [StructField(f"c{ms}", LongType()) for ms in range(m)]
+    )
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for ms in range(m):
+                sub = X[:, ms * sub_dim : (ms + 1) * sub_dim]
+                dmat = _fold_sq_dists(sub, cands_by_ms[ms])
+                # argmin returns the FIRST minimum; candidates are
+                # code-ascending, so ties resolve to the lowest code —
+                # identical to the former (d, code) struct-min.
+                pdf[f"c{ms}"] = code_arrs[ms][np.argmin(dmat, axis=1)]
+            yield pdf
+
+    return e.mapInPandas(part, schema)
 
 
 def pq_adc_lut(

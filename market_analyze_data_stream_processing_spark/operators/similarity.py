@@ -197,8 +197,11 @@ def ann_ivf(
             vec_col=vec_col, id_col=id_col, round_to=round_to,
         )
     probe = _nearest_cells(centroids, query_vec, n_probe)
-    cell = _cell_expr(centroids, vec_col)
-    pruned = df.withColumn("__cell", cell).where(F.col("__cell").isin(probe)).drop("__cell")
+    pruned = (
+        with_ivf_cell(df, centroids, vec_col)
+        .where(F.col("__cell").isin(probe))
+        .drop("__cell")
+    )
     return knn_exact(pruned, query_vec, k=k, vec_col=vec_col, id_col=id_col, round_to=round_to)
 
 
@@ -215,24 +218,78 @@ def _nearest_cells(
     return sorted(centroids, key=lambda c: -cos(centroids[c], qv))[:n_probe]
 
 
-def _cell_expr(centroids: dict[int, np.ndarray], vec_col: str):
-    """Nearest-centroid cell id as ONE array_max over (sim, cluster)
-    structs — each cosine fold is evaluated exactly once per row (a
-    greatest + when-chain re-evaluates every sim ~3×). Shared by the
-    inline prober and the stored-layout writer so both assign cells
-    identically (including the larger-cluster tie-break of struct
-    ordering)."""
-    emb = as_double(F.col(vec_col))
-    pairs = F.array(
-        *[
-            F.struct(
-                cosine_sim(emb, lit_vector(centroids[c].tolist())).alias("s"),
-                F.lit(c).alias("c"),
-            )
-            for c in sorted(centroids)
-        ]
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: dict[int, np.ndarray],
+    vec_col: str,
+    out_col: str = "__cell",
+) -> DataFrame:
+    """Append each row's nearest-centroid cell id — the Arrow twin of
+    the former array_max-over-(sim, cell)-structs expression. That form
+    evaluated one INTERPRETED cosine fold per centroid per row (HOFs
+    never enter whole-stage codegen), a flat evaluator cost that
+    dominated q_ann_ivf at every SF; here the same arithmetic is one
+    batched pass with the centroids in the task closure.
+
+    Bit-parity with the expression form (and the oracle's
+    list_inner_product composition):
+    - every cosine is the same op sequence as
+      functions/vectors.cosine_sim — sequential-fold dots
+      (acc = acc + x_d*y_d, vectorized across rows, sequential across
+      dims), den = sqrt(dxx)*sqrt(dcc), sim = dab/den;
+    - a zero-norm row or centroid made sim NULL, and struct ordering
+      treats NULL as smallest — replicated by scoring those cells
+      -inf (legit cosines are >= -1, so the proxy can't collide);
+    - array_max ties (equal sims) resolve to the HIGHEST cell id —
+      replicated by argmax over REVERSED columns (the
+      assign_clusters_arrow tie-break), which also makes the all-NULL
+      (zero-norm) row land in the highest cell, exactly as the struct
+      max of all-NULL sims did."""
+    import math
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ids = sorted(centroids)
+    C = [np.asarray(centroids[c], dtype=np.float64) for c in ids]
+    ncc = [math.sqrt(_seq_dot(c, c)) for c in C]
+    id_arr = np.asarray(ids, dtype=np.int64)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
     )
-    return F.array_max(pairs)["c"]
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n, sd = X.shape
+            dxx = np.zeros(n)
+            for d in range(sd):
+                dxx = dxx + X[:, d] * X[:, d]
+            nxx = np.sqrt(dxx)
+            sims = np.empty((n, len(ids)))
+            for j, c in enumerate(C):
+                dab = np.zeros(n)
+                for d in range(sd):
+                    dab = dab + X[:, d] * c[d]
+                den = nxx * ncc[j]
+                sims[:, j] = np.divide(
+                    dab, den, out=np.full(n, -np.inf), where=den != 0
+                )
+            idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            pdf[out_col] = id_arr[idx].astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(part, schema)
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential left-fold dot — the cosine_sim/list_inner_product op
+    sequence, for driver-side centroid norms."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
 
 
 def probe_buckets(q_bucket: int, n_planes: int, probe_hamming: int = 0) -> list[int]:
@@ -377,7 +434,7 @@ def write_ivf_layout(
     centroids = ivf_index(df, vec_col=vec_col, cluster_col=cluster_col)
     if not centroids:
         raise ValueError("cannot build an IVF layout from an empty corpus")
-    assigned = df.withColumn("cell", _cell_expr(centroids, vec_col))
+    assigned = with_ivf_cell(df, centroids, vec_col, out_col="cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/data")
     save_ivf_index(centroids, df.sparkSession, f"{path}/index")
 
@@ -397,7 +454,7 @@ def ann_ivf_stored(
     stored index (no corpus aggregation), and the cell filter lands in
     the scan's PartitionFilters — only the ``n_probe`` probed cell
     directories are read. Results are identical to ``ann_ivf`` with the
-    same centroids: both sides assign cells through ``_cell_expr``.
+    same centroids: both sides assign cells through ``with_ivf_cell``.
     The index is cached per (path, version), so a serving loop pays the
     parquet read + collect once, not per probe — and a rebuilt layout
     maps to a fresh entry while the superseded entry for the same path
