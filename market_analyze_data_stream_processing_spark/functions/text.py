@@ -10,6 +10,45 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: SQL form of :func:`portable_lower` — oracle queries must lower text
+#: with exactly this expression so both engines case-fold identically.
+PORTABLE_LOWER_SQL = "translate(lower(translate({col}, 'İ', 'i')), 'ς', 'σ')"
+
+
+def portable_lower(text: Column) -> Column:
+    """Engine-portable case folding for document text.
+
+    A full-codepoint sweep (U+0020..U+10FFFF) of ``lower()`` through
+    Spark (Java full case mapping) vs DuckDB (utf8proc simple mapping)
+    diverges on exactly two linguistically real inputs plus one
+    version-skew class:
+
+    - ``İ`` (U+0130): Java SpecialCasing gives ``i`` + combining dot
+      (two codepoints); utf8proc gives plain ``i``. Pre-translating
+      İ→i before lower() makes both engines emit ``i`` — which is also
+      the Turkish-correct fold.
+    - final sigma: Java lowers word-final ``Σ`` contextually to ``ς``;
+      utf8proc maps Σ→σ unconditionally. Post-translating ς→σ folds
+      BOTH the contextual output and pre-existing final sigmas to σ on
+      both engines.
+    - ~69 rare letters (Vithkuqi, Garay, late Latin Extended
+      additions) where the two libraries simply ship different Unicode
+      versions — one side has no mapping yet. These are declared OUT of
+      the portability contract (PARITY.md) rather than enumerated,
+      because the set is a function of the library pair, not of the
+      engine.
+
+    Every tokenizer/normalizer that feeds token IDENTITY (n-gram
+    models, BPE counts, distinct-token stats) must lower through this
+    function; paths that strip to ``[a-z0-9 ]`` afterwards are immune
+    (the divergent codepoints are deleted either way) but use it too
+    for uniformity. Found by tools/unicode_clone.py (round 11):
+    q_bpe_tokens / q_unigram_logprob / q_bigram_logprob diverged on
+    Turkish text before this kernel existed.
+    """
+    return F.translate(F.lower(F.translate(text, "İ", "i")), "ς", "σ")
+
+
 #: Tiny embedded stopword lists for the language-ID heuristic.
 LANG_MARKERS: dict[str, str] = {
     "en": r"\b(the|and|of|to|is|in|that|it|for|with)\b",
@@ -29,8 +68,12 @@ def token_count(text: Column) -> Column:
 
 
 def marker_hits(text: Column, pattern: str) -> Column:
-    """Count of regex marker-word hits in text."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+    """Count of regex marker-word hits in text (portable case fold:
+    Java's İ→i+U+0307 would otherwise split a \\b boundary inside a
+    marker word where DuckDB's İ→i keeps it intact)."""
+    return F.size(
+        F.regexp_extract_all(portable_lower(text), F.lit(pattern), F.lit(0))
+    )
 
 
 def lang_id(text: Column) -> Column:
@@ -47,7 +90,7 @@ def lang_id(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are not [a-z0-9 ] after lowercasing."""
-    lowered = F.lower(text)
+    lowered = portable_lower(text)
     stripped = F.regexp_replace(lowered, r"[a-z0-9 ]", "")
     return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
 
@@ -95,7 +138,7 @@ def alpha_word_ratio(text: Column) -> Column:
 def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum,
     collapse whitespace."""
-    t = F.lower(text)
+    t = portable_lower(text)
     t = F.regexp_replace(t, r"[^a-z0-9 ]", "")
     t = F.regexp_replace(t, r" +", " ")
     return F.trim(t)

@@ -590,8 +590,8 @@ def q_array_functions(spark, sf_dir):
     "q_bpe_tokens",
     r"""
     SELECT doc_id,
-           len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS n_bpe_tokens,
-           len(regexp_extract_all(lower(text), ' ?[0-9]+')) AS n_number_tokens
+           len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS n_bpe_tokens,
+           len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), ' ?[0-9]+')) AS n_number_tokens
     FROM documents
     ORDER BY doc_id
     """,
@@ -599,8 +599,10 @@ def q_array_functions(spark, sf_dir):
     "counts per doc — the token-budget primitive for corpus planning.",
 )
 def q_bpe_tokens(spark, sf_dir):
+    from ..functions.text import portable_lower
+
     d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
+    low = portable_lower(F.col("text"))
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all(low, F.lit(r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"), F.lit(0))).alias("n_bpe_tokens"),

@@ -23,7 +23,7 @@ from .registry import register
 
 # DuckDB mirror of functions.text.normalized_text (note the 'g' flags —
 # DuckDB regexp_replace is first-match-only by default, Spark replaces all).
-_NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+_NORM_SQL = "trim(regexp_replace(regexp_replace(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
 
 @register(
@@ -77,8 +77,8 @@ def q_token_stats(spark, sf_dir):
     WITH x AS (
         SELECT doc_id,
                len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
-               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS n_stop,
-               CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS n_stop,
+               CAST(length(regexp_replace(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
                    / greatest(length(text), 1) AS punct_ratio
         FROM documents
     )
@@ -103,7 +103,7 @@ def q_quality_score(spark, sf_dir):
         SELECT doc_id,
                regexp_split_to_array(trim(text), '\s+') AS toks,
                len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
-               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS n_stop
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS n_stop
         FROM documents
     ), m AS (
         SELECT doc_id,
@@ -165,10 +165,10 @@ def q_gopher_filters(spark, sf_dir):
     r"""
     WITH h AS (
         SELECT doc_id, lang,
-               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS h_en,
-               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS h_de,
-               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pas|pour|que|dans)\b')) AS h_fr,
-               len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|para|con|del|como)\b')) AS h_es
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS h_en,
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS h_de,
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(le|la|les|et|est|une|pas|pour|que|dans)\b')) AS h_fr,
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(el|los|las|es|una|por|para|con|del|como)\b')) AS h_es
         FROM documents
     )
     SELECT doc_id, lang AS actual_lang,
@@ -522,8 +522,8 @@ def q_lsh_band_candidates(spark, sf_dir):
     WITH scored AS (
         SELECT doc_id, source, lang, text,
                len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
-               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS n_stop,
-               CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS n_stop,
+               CAST(length(regexp_replace(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
                    / greatest(length(text), 1) AS punct_ratio
         FROM documents
     ), quality AS (
@@ -663,7 +663,7 @@ def q_domain_mix_sample(spark, sf_dir):
     "q_unigram_logprob",
     r"""
     WITH toks AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        SELECT doc_id, unnest(regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '\s+')) AS tok
         FROM documents
     ), freq AS (
         SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
@@ -686,7 +686,7 @@ def q_domain_mix_sample(spark, sf_dir):
 def q_unigram_logprob(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        "doc_id", F.explode(T.tokens(T.portable_lower(F.col("text")))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.agg(F.count(F.lit(1)).alias("total"))
@@ -1521,7 +1521,7 @@ def q_char_entropy(spark, sf_dir):
     "q_bigram_logprob",
     r"""
     WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '\s+') AS toks
         FROM documents
     ), bg AS (
         SELECT doc_id, unnest("""
@@ -1565,7 +1565,7 @@ def q_bigram_logprob(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+        "doc_id", T.tokens(T.portable_lower(F.col("text"))).alias("toks")
     ).where(F.size("toks") >= 2)
     ctx = toks.select(
         "doc_id",
@@ -1709,7 +1709,7 @@ def q_weighted_sample(spark, sf_dir):
     r"""
     WITH toks AS (
         SELECT DISTINCT doc_id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+               unnest(regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '\s+')) AS tok
         FROM documents
     ), hits AS (
         SELECT doc_id, count(*) AS n_matched
@@ -1720,7 +1720,7 @@ def q_weighted_sample(spark, sf_dir):
         SELECT doc_id, count(*) AS total_tf
         FROM (
             SELECT doc_id,
-                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                   unnest(regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '\s+')) AS tok
             FROM documents
         )
         WHERE tok IN ('spark', 'join', 'window')
@@ -1746,7 +1746,7 @@ def q_boolean_search(spark, sf_dir):
     terms = ["spark", "join", "window"]
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        "doc_id", F.explode(T.tokens(T.portable_lower(F.col("text")))).alias("tok")
     ).where(F.col("tok").isin(terms))
     hits = (
         toks.select("doc_id", "tok")
@@ -1768,7 +1768,7 @@ def q_boolean_search(spark, sf_dir):
     r"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+               unnest(regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '\s+')) AS tok
         FROM documents
     ), vocab AS (
         SELECT tok FROM (
@@ -1805,7 +1805,7 @@ def q_oov_rate(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        "doc_id", F.explode(T.tokens(T.portable_lower(F.col("text")))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     rk = Window.orderBy(F.desc("cnt"), "tok")
@@ -1837,9 +1837,9 @@ def q_oov_rate(spark, sf_dir):
     WITH gates AS (
         SELECT doc_id,
                CAST(n_chars >= 300 AS INT) AS a,
-               CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)),
+               CAST(len(list_distinct(regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')),
                                                             '\s+')))
-                    / CAST(greatest(len(regexp_split_to_array(trim(lower(text)),
+                    / CAST(greatest(len(regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')),
                                                               '\s+')), 1)
                            AS DOUBLE) >= 0.5 AS INT) AS b
         FROM documents
@@ -1877,7 +1877,7 @@ def q_cohen_kappa(spark, sf_dir):
     from ..functions.scalars import stable_round
 
     d = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.lower(F.col("text")))
+    toks = T.tokens(T.portable_lower(F.col("text")))
     uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(
         F.size(toks), F.lit(1)
     ).cast("double")
@@ -1967,7 +1967,7 @@ def q_source_diversity(spark, sf_dir):
     "q_collocations",
     r"""
     WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '\s+') AS toks
         FROM documents
     ), uni AS (
         SELECT unnest(toks) AS tok FROM w
@@ -2013,7 +2013,7 @@ def q_collocations(spark, sf_dir):
     from ..functions.scalars import stable_round
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(T.tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = d.select(T.tokens(T.portable_lower(F.col("text"))).alias("toks"))
     uni = toks.select(F.explode("toks").alias("tok"))
     ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     utot = uni.agg(F.count(F.lit(1)).alias("n"))
@@ -2058,7 +2058,7 @@ def q_collocations(spark, sf_dir):
     """
     WITH fp AS (
         SELECT source,
-               md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+               md5(trim(translate(lower(translate(regexp_replace(text, '\\s+', ' ', 'g'), 'İ', 'i')), 'ς', 'σ'))) AS h
         FROM documents
     )
     SELECT source,
@@ -2082,7 +2082,7 @@ def q_dup_rate_by_source(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(
-        F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        F.trim(T.portable_lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
     )
     fp = d.select("source", h.alias("h"))
     n = F.count(F.lit(1))
@@ -2102,7 +2102,7 @@ def q_dup_rate_by_source(spark, sf_dir):
     "q_ngram_novelty",
     r"""
     WITH w AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '\s+') AS toks
         FROM documents
     ), sh AS (
         SELECT DISTINCT doc_id, s FROM (
@@ -2139,7 +2139,7 @@ def q_ngram_novelty(spark, sf_dir):
     from ..functions.scalars import stable_round
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = d.select("doc_id", T.tokens(T.portable_lower(F.col("text"))).alias("toks"))
     sh = (
         toks.where(F.size("toks") >= 3)
         .select(
@@ -2169,10 +2169,10 @@ def q_ngram_novelty(spark, sf_dir):
     r"""
     WITH h AS (
         SELECT lang,
-               len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS h_en,
-               len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS h_de,
-               len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pas|pour|que|dans)\b')) AS h_fr,
-               len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|para|con|del|como)\b')) AS h_es
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(the|and|of|to|is|in|that|it|for|with)\b')) AS h_en,
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS h_de,
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(le|la|les|et|est|une|pas|pour|que|dans)\b')) AS h_fr,
+               len(regexp_extract_all(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ'), '\b(el|los|las|es|una|por|para|con|del|como)\b')) AS h_es
         FROM documents
     ), pred AS (
         SELECT lang AS actual_lang,
@@ -2232,7 +2232,7 @@ def q_lang_confusion(spark, sf_dir):
     "q_zipf_fit",
     r"""
     WITH toks AS (
-        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        SELECT unnest(regexp_split_to_array(trim(translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')), '\s+')) AS tok
         FROM documents
     ), freq AS (
         SELECT tok, count(*) AS f FROM toks GROUP BY tok
@@ -2273,7 +2273,7 @@ def q_zipf_fit(spark, sf_dir):
     import market_analyze_data_stream_processing_spark.functions.text as T
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+    toks = d.select(F.explode(T.tokens(T.portable_lower(F.col("text")))).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     rk = Window.orderBy(F.desc("f"), "tok")
     ranked = freq.withColumn("rk", F.row_number().over(rk)).where(

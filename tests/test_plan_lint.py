@@ -145,3 +145,37 @@ def test_round_native_double_sum_breaks_coarse_proof(spark):
         F.round(F.sum(F.col("d2")).cast("double"), 2).alias("v")
     )
     assert _lint_df(ok)[0] == []
+
+
+def test_casefold_bare_rule_fires_and_clears(spark):
+    """CASEFOLD_BARE must flag a bare lower()/upper() over corpus-text
+    lineage (including through a cross-projection alias) and clear the
+    portable_lower form and non-text lowers — otherwise the registry
+    guard is vacuous against reintroducing the round-11 unicode reds."""
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.functions.text import (
+        portable_lower,
+    )
+    from tools.plan_lint import lint_casefold
+
+    def hits(df):
+        return lint_casefold(df._jdf.queryExecution().analyzed().toJSON())
+
+    docs = spark.createDataFrame([(1, "İstanbul Text")], ["doc_id", "text"])
+
+    assert hits(docs.select(F.lower("text"))), "bare lower must fire"
+    assert hits(docs.select(F.upper("text"))), "bare upper must fire"
+    # through an alias computed in an upstream projection
+    aliased = docs.select(F.col("text").alias("body")).select(
+        F.lower("body").alias("lo")
+    )
+    assert hits(aliased), "alias-indirected bare lower must fire"
+    # lower over a derived-from-text expression is still text lineage
+    assert hits(docs.select(F.lower(F.regexp_replace("text", r"\s+", " "))))
+
+    assert not hits(docs.select(portable_lower(F.col("text")))), (
+        "portable_lower is the sanctioned form"
+    )
+    # lower over non-text string lineage (hex digests) is ASCII-safe
+    assert not hits(docs.select(F.lower(F.hex(F.xxhash64("doc_id")))))

@@ -1,0 +1,108 @@
+"""Cross-engine case-folding portability (round 11).
+
+tools/unicode_clone.py injected multibyte text into documents and the
+full-registry differential found 3 reds (q_bpe_tokens,
+q_unigram_logprob, q_bigram_logprob): Spark lowers with Java's FULL
+case mapping (İ → i + U+0307, contextual final ς) while DuckDB lowers
+with utf8proc's simple mapping (İ → i, Σ → σ unconditionally), so any
+operator whose output depends on token IDENTITY diverged on Turkish
+and Greek text. ``functions.text.portable_lower`` folds the two
+real divergences (pre-translate İ→i, post-translate ς→σ) so both
+engines produce identical bytes; these tests pin that contract
+directly against DuckDB, independent of the registry differential.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from market_analyze_data_stream_processing_spark.functions.text import (
+    PORTABLE_LOWER_SQL,
+    lang_id,
+    portable_lower,
+    punct_ratio,
+)
+
+TRAPS = [
+    "İstanbul ışık ISTANBUL istanbul IŞIK",
+    "ΣΟΦΟΣ σοφός λόγος τέλος ς",
+    "straße STRASSE Straẞe groß GROẞ",
+    "café résumé naïve",
+    "café résumé naïve",  # NFD twin
+    "東京の市場データ 🚀 mixed ＦＵＬＬwidth",
+    "İt İs the İN crowd",  # İ adjacent to stopwords: \b boundary trap
+    "",
+    "plain ascii text stays plain ascii text",
+]
+
+
+@pytest.fixture(scope="module")
+def trap_df(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(TRAPS)], ["i", "text"])
+
+
+def test_portable_lower_matches_duckdb(trap_df):
+    got = {
+        r["i"]: r["lo"]
+        for r in trap_df.select("i", portable_lower(F.col("text")).alias("lo")).collect()
+    }
+    con = duckdb.connect()
+    expr = PORTABLE_LOWER_SQL.format(col="?")
+    for i, t in enumerate(TRAPS):
+        want = con.execute(f"SELECT {expr}", [t]).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_portable_lower_folds_the_two_divergences(trap_df):
+    rows = dict(
+        trap_df.select("i", portable_lower(F.col("text")).alias("lo")).collect()
+    )
+    # İ folds to plain i (no combining dot), the Turkish-correct mapping
+    assert rows[0] == "istanbul ışık istanbul istanbul işik"
+    # every sigma (capital, medial, pre-existing final) folds to σ
+    assert rows[1] == "σοφοσ σοφόσ λόγοσ τέλοσ σ"
+    # everything else is Java lower = utf8proc lower (ẞ→ß, NFC≠NFD kept)
+    assert rows[2] == "straße strasse straße groß groß"
+    assert rows[3] != rows[4]  # NFC and NFD stay distinct codepoints
+
+
+def test_marker_hits_survive_dotted_capital_I(trap_df):
+    """'İt İs ... İN' must hit the en stopword list identically on both
+    engines: Java's bare lower() would emit i+U+0307 and break the \\b
+    word boundary inside 'it'/'is'/'in' that DuckDB's i keeps intact."""
+    row = (
+        trap_df.filter("i = 6")
+        .select(lang_id(F.col("text")).alias("lang"))
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    expr = PORTABLE_LOWER_SQL.format(col="?")
+    n = con.execute(
+        f"SELECT len(regexp_extract_all({expr},"
+        r" '\b(the|and|of|to|is|in|that|it|for|with)\b'))",
+        [TRAPS[6]],
+    ).fetchone()[0]
+    assert n == 4  # it, is, the, in
+    assert row["lang"] == "en"
+
+
+def test_punct_ratio_identical_on_multibyte(trap_df):
+    got = {
+        r["i"]: r["pr"]
+        for r in trap_df.select(
+            "i", punct_ratio(F.col("text")).alias("pr")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = PORTABLE_LOWER_SQL.format(col="?")
+    for i, t in enumerate(TRAPS):
+        if not t:
+            continue
+        want = con.execute(
+            f"SELECT CAST(length(regexp_replace({expr}, '[a-z0-9 ]', '', 'g'))"
+            f" AS DOUBLE) / greatest(length(?), 1)",
+            [t, t],
+        ).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)

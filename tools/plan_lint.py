@@ -54,6 +54,20 @@ Rules
                tree via toJSON — the physical-plan string erases
                expression types.
 
+- CASEFOLD_BARE — an engine-native Lower/Upper whose lineage reaches
+               the corpus `text` column without the portable pre-fold
+               (`functions/text.portable_lower`: translate İ→i before
+               lower, fold ς→σ after). Java's full case mapping and
+               DuckDB's utf8proc simple mapping diverge on exactly
+               İ (U+0130) and word-final Σ — the round-11 unicode
+               differential axis (tools/unicode_clone.py) turned three
+               token-identity queries red on Turkish text through a
+               bare lower(). Lower is exempt when its direct child is
+               the İ-translate (the portable form); Upper over text
+               has no sanctioned form (nothing in the registry
+               uppercases corpus text — Java upper('ß')='SS' vs
+               utf8proc 'ẞ' is a worse trap than lower).
+
 `Exchange SinglePartition` by itself is NOT flagged: a global (no-key)
 aggregate or limit legitimately reduces to one partition AFTER partial
 map-side aggregation — the rows crossing that exchange are O(1).
@@ -468,6 +482,68 @@ def lint_rounds(analyzed_json: str) -> tuple[list[str], list[str]]:
     return hits, libm_hits
 
 
+def _mentions_text_attr(node, alias_map, seen) -> bool:
+    """True if the expression subtree (resolving aliases across plan
+    nodes) reaches an AttributeReference named ``text`` — the corpus
+    text column, the only string column whose content is multibyte."""
+    if _cls(node) == "AttributeReference":
+        if node.get("name") == "text":
+            return True
+        eid = node.get("exprId", {}).get("id")
+        if eid is not None and eid in alias_map and eid not in seen:
+            seen.add(eid)
+            return _mentions_text_attr(alias_map[eid], alias_map, seen)
+        return False
+    return any(
+        _mentions_text_attr(ch, alias_map, seen)
+        for ch in node.get("_children", [])
+    )
+
+
+def lint_casefold(analyzed_json: str) -> list[str]:
+    """CASEFOLD_BARE: engine-native Lower/Upper over corpus-text lineage
+    without the portable pre-fold. Java (full case mapping: İ→i+U+0307,
+    contextual final ς) and utf8proc (simple mapping: İ→i, Σ→σ) diverge
+    exactly there, so token-identity operators silently desync between
+    engines on Turkish/Greek text (the round-11 unicode-axis reds:
+    q_bpe_tokens, q_unigram_logprob, q_bigram_logprob). Sanctioned form
+    is functions/text.portable_lower — recognized here as a Lower whose
+    DIRECT child is the İ→i StringTranslate."""
+    plan = json.loads(analyzed_json)
+    alias_map: dict[int, dict] = {}
+    cands: list[dict] = []
+    for pnode in plan:
+        for flat in _expr_forests(pnode):
+            for tree in _parse_forest(flat):
+                stack = [tree]
+                while stack:
+                    n = stack.pop()
+                    c = _cls(n)
+                    eid = n.get("exprId", {}).get("id")
+                    if c == "Alias" and n["_children"] and eid is not None:
+                        alias_map[eid] = n["_children"][0]
+                    if c in ("Lower", "Upper"):
+                        cands.append(n)
+                    stack.extend(n.get("_children", []))
+    hits = []
+    for n in cands:
+        c = _cls(n)
+        ch = n["_children"][0] if n["_children"] else None
+        if ch is None:
+            continue
+        if c == "Lower" and _cls(ch) == "StringTranslate":
+            lits = [
+                x.get("value")
+                for x in ch.get("_children", [])
+                if _cls(x) == "Literal"
+            ]
+            if any(v == "İ" for v in lits):
+                continue  # portable_lower form
+        if _mentions_text_attr(ch, alias_map, set()):
+            hits.append(f"bare {c.lower()}() over corpus text lineage")
+    return hits
+
+
 def lint_one(plan: str) -> dict[str, int]:
     hits: dict[str, int] = {}
     if "CartesianProduct" in plan:
@@ -511,7 +587,9 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
                     "formatted"
                 )
             )
-            round_hits, libm_hits = lint_rounds(qe.analyzed().toJSON())
+            analyzed_json = qe.analyzed().toJSON()
+            round_hits, libm_hits = lint_rounds(analyzed_json)
+            casefold_hits = lint_casefold(analyzed_json)
         except Exception as e:  # lint must cover everything it can
             errors[name] = str(e)[:200]
             continue
@@ -520,6 +598,8 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             hits["ROUND_NATIVE"] = len(round_hits)
         if libm_hits:
             hits["LIBM_UNSNAPPED"] = len(libm_hits)
+        if casefold_hits:
+            hits["CASEFOLD_BARE"] = len(casefold_hits)
         if hits:
             results[name] = hits
     violations = {
@@ -564,7 +644,14 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             "runs the whole differential under it, and the round "
             "DIFFERENTIAL artifact records the registry green in that "
             "mode, proving the grids are sized to their documented "
-            "domains rather than to the current data. Generated "
+            "domains rather than to the current data. CASEFOLD_BARE "
+            "(round 11): an engine-native lower()/upper() whose lineage "
+            "reaches the corpus text column without the portable pre-fold "
+            "(functions/text.portable_lower — translate İ→i before lower, "
+            "fold ς→σ after); Java full case mapping and utf8proc simple "
+            "mapping diverge on exactly İ and word-final Σ, found as three "
+            "token-identity reds by the unicode differential axis "
+            "(tools/unicode_clone.py). Generated "
             "by `tools/plan_lint.py`; enforced by `tests/test_plan_lint.py`."
         )
         out.append("")
