@@ -106,3 +106,56 @@ def test_punct_ratio_identical_on_multibyte(trap_df):
             [t, t],
         ).fetchone()[0]
         assert got[i] == want, (t, got[i], want)
+
+
+def test_portable_lower_fuzz_batch(spark):
+    """Seeded fuzz over realistic script blocks (Latin/Greek/Cyrillic/
+    Arabic/Hebrew/CJK/kana/Hangul/emoji/combining marks): one batched
+    pass through Spark and DuckDB must agree byte-for-byte. Blocks are
+    chosen to exclude the documented Unicode-version-skew letters
+    (Vithkuqi, Garay, late Latin-Extended — out of contract, see
+    PARITY.md row 14)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.functions.text import (
+        PORTABLE_LOWER_SQL,
+        portable_lower,
+    )
+
+    blocks = [
+        (0x0020, 0x007E),  # ASCII
+        (0x00A0, 0x024F),  # Latin-1 + Latin Extended-A/B
+        (0x0370, 0x03FF),  # Greek (incl. Σ/σ/ς)
+        (0x0400, 0x04FF),  # Cyrillic
+        (0x0590, 0x05F4),  # Hebrew
+        (0x0600, 0x06FF),  # Arabic
+        (0x0300, 0x036F),  # combining marks
+        (0x3040, 0x30FF),  # hiragana + katakana
+        (0x4E00, 0x4FFF),  # CJK slice
+        (0xAC00, 0xAD00),  # Hangul slice
+        (0x1F300, 0x1F64F),  # emoji
+        (0x0130, 0x0131),  # İ / ı explicitly, every sample
+    ]
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        s = "".join(
+            chr(rng.randint(*rng.choice(blocks))) for _ in range(rng.randint(0, 40))
+        )
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r["i"]: r["lo"]
+        for r in df.select("i", portable_lower(F.col("text")).alias("lo")).collect()
+    }
+    con = duckdb.connect()
+    expr = PORTABLE_LOWER_SQL.format(col="?")
+    bad = []
+    for i, s in rows:
+        want = con.execute(f"SELECT {expr}", [s]).fetchone()[0]
+        if got[i] != want:
+            bad.append((s, got[i], want))
+    assert not bad, bad[:3]
