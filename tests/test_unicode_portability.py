@@ -159,3 +159,38 @@ def test_portable_lower_fuzz_batch(spark):
         if got[i] != want:
             bad.append((s, got[i], want))
     assert not bad, bad[:3]
+
+
+def test_reverse_levenshtein_ascii_domain_bound():
+    """reverse() and levenshtein() have NO portable multibyte form:
+    DuckDB reverse is grapheme-cluster-aware (Spark reverses code
+    points) and DuckDB levenshtein counts bytes (Spark counts code
+    points) — so the registry applies them only to ASCII identifier
+    columns. Pin that domain: every c_name and p_name byte is ASCII at
+    the oracle SF, so the contract holds on the data it runs on."""
+    con = duckdb.connect()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n_bad = con.execute(
+            f"""
+            SELECT (SELECT count(*) FROM '{sf}/customer.parquet'
+                    WHERE c_name != regexp_replace(c_name, '[^\\x00-\\x7F]', '', 'g'))
+                 + (SELECT count(*) FROM '{sf}/part.parquet'
+                    WHERE p_name != regexp_replace(p_name, '[^\\x00-\\x7F]', '', 'g'))
+            """
+        ).fetchone()[0]
+        assert n_bad == 0, f"non-ASCII identifier rows at {sf}: {n_bad}"
+
+
+def test_lint_flags_reverse_and_levenshtein_over_text(spark):
+    from pyspark.sql import functions as F
+
+    from tools.plan_lint import lint_casefold
+
+    def hits(df):
+        return lint_casefold(df._jdf.queryExecution().analyzed().toJSON())
+
+    docs = spark.createDataFrame([(1, "body", "name")], ["id", "text", "nm"])
+    assert hits(docs.select(F.reverse("text")))
+    assert hits(docs.select(F.levenshtein("nm", "text"))), "either argument"
+    assert not hits(docs.select(F.reverse("nm")))
+    assert not hits(docs.select(F.levenshtein("nm", F.lit("x"))))

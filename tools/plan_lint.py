@@ -508,7 +508,18 @@ def lint_casefold(analyzed_json: str) -> list[str]:
     engines on Turkish/Greek text (the round-11 unicode-axis reds:
     q_bpe_tokens, q_unigram_logprob, q_bigram_logprob). Sanctioned form
     is functions/text.portable_lower — recognized here as a Lower whose
-    DIRECT child is the İ→i StringTranslate."""
+    DIRECT child is the İ→i StringTranslate.
+
+    Also flags Reverse and Levenshtein over text lineage: the round-11
+    kernel probe showed DuckDB reverse() is GRAPHEME-cluster-aware
+    where Spark reverses code points ('👋🏽' stays glued vs splits),
+    and DuckDB levenshtein() counts BYTES where Spark counts code
+    points (distance 12 vs 5 on the same pair) — no portable rewrite
+    exists, so these two are contract-restricted to ASCII identifier
+    columns (c_name/p_name; pinned by tests/test_unicode_portability)
+    and must never touch corpus text. Every other probed string kernel
+    (substring/left/right/pad/instr/position/translate/contains/
+    split_part/repeat) is codepoint-consistent across the engines."""
     plan = json.loads(analyzed_json)
     alias_map: dict[int, dict] = {}
     cands: list[dict] = []
@@ -522,7 +533,7 @@ def lint_casefold(analyzed_json: str) -> list[str]:
                     eid = n.get("exprId", {}).get("id")
                     if c == "Alias" and n["_children"] and eid is not None:
                         alias_map[eid] = n["_children"][0]
-                    if c in ("Lower", "Upper"):
+                    if c in ("Lower", "Upper", "Reverse", "Levenshtein"):
                         cands.append(n)
                     stack.extend(n.get("_children", []))
     hits = []
@@ -539,7 +550,8 @@ def lint_casefold(analyzed_json: str) -> list[str]:
             ]
             if any(v == "İ" for v in lits):
                 continue  # portable_lower form
-        if _mentions_text_attr(ch, alias_map, set()):
+        kids = n["_children"] if c == "Levenshtein" else [ch]
+        if any(_mentions_text_attr(k, alias_map, set()) for k in kids):
             hits.append(f"bare {c.lower()}() over corpus text lineage")
     return hits
 
@@ -651,7 +663,12 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             "fold ς→σ after); Java full case mapping and utf8proc simple "
             "mapping diverge on exactly İ and word-final Σ, found as three "
             "token-identity reds by the unicode differential axis "
-            "(tools/unicode_clone.py). Generated "
+            "(tools/unicode_clone.py). The same rule flags reverse()/"
+            "levenshtein() over text lineage: DuckDB reverse is grapheme-"
+            "cluster-aware vs Spark's code points, DuckDB levenshtein "
+            "counts bytes vs Spark's code points — no portable rewrite, so "
+            "both are contract-restricted to ASCII identifier columns "
+            "(pinned by tests/test_unicode_portability). Generated "
             "by `tools/plan_lint.py`; enforced by `tests/test_plan_lint.py`."
         )
         out.append("")
