@@ -28,6 +28,61 @@ NUMERIC_ASSERT_ENV = "SPARK_GRAFT_NUMERIC_ASSERT"
 _SNAP_DOMAIN_BOUND = 9007199254740992.0
 
 
+def money2(col: Column | str) -> Column:
+    """Exact cent-grid reading of a money DOUBLE column.
+
+    Every money column in the corpus (l_extendedprice, o_totalprice,
+    ps_supplycost — and TPC-H semantics generally) is a 2-decimal value
+    stored as the nearest double; casting to DECIMAL(12,2) recovers the
+    exact cents. Money SUMS must accumulate in DECIMAL, not DOUBLE:
+    summing millions of cent-grid doubles drifts ~n·ulp(sum) — ~6e-3 at
+    6M rows / 1e11 magnitude, which CROSSES half-cent round boundaries,
+    so Spark's and DuckDB's different accumulation orders round to
+    different cents (the round-11 sf1 differential reds: q_cube_status,
+    q_grouping_sets, q_salted_brand_revenue, q09_product_profit).
+    DECIMAL accumulation is exact, order-independent, and identical on
+    both engines at ANY scale — the only correct money sum at 100 TB.
+
+    Widths are deliberately TIGHT (12,2 ≈ |x| < 1e10 per row) so that
+    product chains (× rate × rate) stay inside both engines' 38-digit
+    cap with exact scales. SQL mirror: CAST(x AS DECIMAL(12,2)).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,2)")
+
+
+def qty1(col: Column | str) -> Column:
+    """Exact reading of a small-integer-grid quantity DOUBLE column
+    (l_quantity ≤ 50.0). SQL mirror: CAST(x AS DECIMAL(4,1))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(4,1)")
+
+
+def one_minus_rate(col: Column | str) -> Column:
+    """(1 - rate) as an exact DECIMAL(5,2): rates (l_discount, l_tax)
+    are 2-decimal fractions < 10. The literal 1 is typed DECIMAL(3,2)
+    on purpose — a bare int literal widens through INT's 10 digits and
+    pushes triple products past the 38-digit cap on Spark. SQL mirror:
+    (CAST(1 AS DECIMAL(3,2)) - CAST(x AS DECIMAL(4,2)))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lit("1").cast("decimal(3,2)") - c.cast("decimal(4,2)")
+
+
+def one_plus_rate(col: Column | str) -> Column:
+    """(1 + rate) as an exact DECIMAL(5,2) — see one_minus_rate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lit("1").cast("decimal(3,2)") + c.cast("decimal(4,2)")
+
+
+def money_round(sum_col: Column, digits: int = 2) -> Column:
+    """round-then-cast for an exact DECIMAL money sum: decimal round is
+    half-away-from-zero with matching result scales on BOTH engines
+    (probed), and the scale-`digits` result casts to DOUBLE exactly
+    while |v|·10^digits < 2^53. SQL mirror:
+    CAST(round(sum(...), d) AS DOUBLE)."""
+    return F.round(sum_col, digits).cast("double")
+
+
 def numeric_assert_enabled() -> bool:
     return os.environ.get(NUMERIC_ASSERT_ENV, "") not in ("", "0")
 

@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 from ..functions.scalars import (
     decimal_to_double_split,
     decimal_to_double_split_sql,
+    money2,
+    money_round,
+    one_minus_rate,
     stable_round,
     stable_round_sql,
 )
@@ -24,7 +27,7 @@ from .registry import register
 @register(
     "q06_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -44,7 +47,7 @@ def q06_forecast_revenue(spark, sf_dir):
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            money_round(F.sum(money2("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -54,7 +57,7 @@ def q06_forecast_revenue(spark, sf_dir):
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -80,7 +83,7 @@ def q10_returned_items(spark, sf_dir):
         .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_round(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -89,10 +92,12 @@ def q10_returned_items(spark, sf_dir):
 @register(
     "q14_promo_revenue",
     """
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END), 2) AS promo_revenue,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+    SELECT CAST(round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                       * (CAST(1 AS DECIMAL(3,2))
+                                          - CAST(l.l_discount AS DECIMAL(4,2)))
+                                  ELSE 0 END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
@@ -106,14 +111,15 @@ def q14_promo_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = money2("l_extendedprice") * one_minus_rate("l_discount")
+    zero = F.lit("0").cast("decimal(5,4)")
     return (
         l.join(F.broadcast(t.part), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))), 2
+            money_round(
+                F.lit(100) * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
             ).alias("promo_revenue"),
-            F.round(F.sum(disc), 2).alias("total_revenue"),
+            money_round(F.sum(disc)).alias("total_revenue"),
         )
     )
 
@@ -159,7 +165,7 @@ def q18_large_volume_customers(spark, sf_dir):
 @register(
     "q19_disjunctive_predicates",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -178,7 +184,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
     return j.where(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        money_round(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -473,7 +479,7 @@ def q_string_functions(spark, sf_dir):
     "q_cube_status",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -484,7 +490,7 @@ def q_cube_status(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return (
         t.orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), money_round(F.sum(money2("o_totalprice"))).alias("total"))
         .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
     )
 
@@ -924,7 +930,8 @@ def q13_order_count_distribution(spark, sf_dir):
 @register(
     "q17_small_quantity_revenue",
     """
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+    SELECT floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0)
+                 * 100 + 0.5) / 100 AS avg_yearly, count(*) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23'
@@ -947,7 +954,12 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            # exact DECIMAL sum (order-independent money accumulation),
+            # exact cast (scale-2, |v|·100 < 2^53), one identical /7.0,
+            # floor-form snap — same value on both engines at any SF
+            stable_round(
+                F.sum(money2("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1035,20 +1047,26 @@ def q02_min_cost_supplier(spark, sf_dir):
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                   AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier s
     JOIN revenue r ON r.supplier_no = s.s_suppkey
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s_suppkey
     """,
     doc="TPC-H Q15: top supplier by quarterly revenue — view + scalar max "
-    "subquery (the revenue aggregate is computed once and reused).",
+    "subquery (the revenue aggregate is computed once and reused). The "
+    "revenue is an exact DECIMAL sum: the = max() equality predicate on "
+    "a DOUBLE accumulation is engine-divergent once two engines sum in "
+    "different orders (the winner itself could differ near ties).",
 )
 def q15_top_supplier(spark, sf_dir):
     t = load_tables(spark, sf_dir)
@@ -1058,14 +1076,18 @@ def q15_top_supplier(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .agg(
+            F.sum(money2("l_extendedprice") * one_minus_rate("l_discount")).alias(
+                "total_revenue"
+            )
+        )
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         t.supplier.join(revenue, F.col("supplier_no") == F.col("s_suppkey"))
         .join(F.broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("mx"))
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select("s_suppkey", "s_name", money_round(F.col("total_revenue")).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -1231,7 +1253,7 @@ def q_rank_distribution_family(spark, sf_dir):
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY status, priority
@@ -1249,7 +1271,7 @@ def q_grouping_sets(spark, sf_dir):
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status, priority
@@ -1393,17 +1415,26 @@ def q_approx_percentiles(spark, sf_dir):
     "q_winsorized_stats",
     """
     WITH p AS (
+        -- thresholds snapped to a 9dp grid (floor form): Spark's
+        -- percentile and DuckDB's quantile_cont use different linear-
+        -- interpolation arithmetic, so a threshold that lands ON a data
+        -- grid point can differ by 1 ULP between engines (2.52 vs
+        -- 2.5200000000000005 at sf1) and flip every row tied at that
+        -- value; 1e-9 is far below the data grid and far above ULP
         SELECT event_type,
-               quantile_cont(value, 0.05) AS p05,
-               quantile_cont(value, 0.95) AS p95
+               floor(quantile_cont(value, 0.05) * 1000000000 + 0.5)
+                   / 1000000000 AS p05,
+               floor(quantile_cont(value, 0.95) * 1000000000 + 0.5)
+                   / 1000000000 AS p95
         FROM events GROUP BY event_type
     )
     SELECT e.event_type,
            count(*) AS n_events,
-           round(avg(e.value), 6) AS raw_mean,
-           round(avg(CASE WHEN e.value < p.p05 THEN p.p05
+           floor(avg(e.value) * 1000000 + 0.5) / 1000000 AS raw_mean,
+           floor(avg(CASE WHEN e.value < p.p05 THEN p.p05
                           WHEN e.value > p.p95 THEN p.p95
-                          ELSE e.value END), 6) AS winsorized_mean,
+                          ELSE e.value END) * 1000000 + 0.5) / 1000000
+               AS winsorized_mean,
            sum(CASE WHEN e.value < p.p05 OR e.value > p.p95 THEN 1 ELSE 0 END)::BIGINT
                AS n_clipped
     FROM events e JOIN p ON e.event_type = p.event_type
@@ -1413,7 +1444,11 @@ def q_approx_percentiles(spark, sf_dir):
     doc="Winsorized (p05/p95-clipped) feature statistics per event type — "
     "the outlier-robust normalization step of a feature pipeline. Exact "
     "percentiles via Spark's `percentile` aggregate (linear interpolation, "
-    "same contract as SQL percentile_cont); thresholds live in a 1-row-per-"
+    "same contract as SQL percentile_cont) SNAPPED to a 9dp floor-form "
+    "grid: the two engines' interpolation arithmetic differs by 1 ULP "
+    "exactly when the threshold lands on a data grid point, where every "
+    "tied row flips clip-side together (the round-11 sf1 red — 50 rows at "
+    "2.52); thresholds live in a 1-row-per-"
     "group frame broadcast back onto the fact scan, so the clip pass is "
     "map-only. Note the per-group exact percentile collects the group's "
     "values — fine for bounded group counts; q_approx_percentiles is the "
@@ -1422,8 +1457,8 @@ def q_approx_percentiles(spark, sf_dir):
 def q_winsorized_stats(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     p = e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("p05"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
+        stable_round(F.percentile("value", F.lit(0.05)), 9).alias("p05"),
+        stable_round(F.percentile("value", F.lit(0.95)), 9).alias("p95"),
     )
     j = e.join(F.broadcast(p), "event_type")
     clipped = (
@@ -1435,8 +1470,8 @@ def q_winsorized_stats(spark, sf_dir):
         j.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("raw_mean"),
-            F.round(F.avg(clipped), 6).alias("winsorized_mean"),
+            stable_round(F.avg("value"), 6).alias("raw_mean"),
+            stable_round(F.avg(clipped), 6).alias("winsorized_mean"),
             F.sum(
                 F.when(
                     (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1
@@ -1755,18 +1790,27 @@ def q_rolling_distinct(spark, sf_dir):
         SELECT c_mktsegment AS segment, o_totalprice AS x
         FROM orders JOIN customer ON o_custkey = c_custkey
     ), med AS (
-        SELECT segment, quantile_cont(x, 0.5) AS med FROM o GROUP BY segment
+        -- 9dp floor-form snap: the engines' percentile interpolation
+        -- arithmetic differs by 1 ULP exactly when the median lands ON
+        -- the data grid, where tied rows flip the adev>k*mad flag
+        -- together (the q_winsorized_stats sf1 class)
+        SELECT segment,
+               floor(quantile_cont(x, 0.5) * 1000000000 + 0.5)
+                   / 1000000000 AS med
+        FROM o GROUP BY segment
     ), dev AS (
         SELECT o.segment, x, med, abs(x - med) AS adev
         FROM o JOIN med USING (segment)
     ), mad AS (
-        SELECT segment, any_value(med) AS med, quantile_cont(adev, 0.5) AS mad
+        SELECT segment, any_value(med) AS med,
+               floor(quantile_cont(adev, 0.5) * 1000000000 + 0.5)
+                   / 1000000000 AS mad
         FROM dev GROUP BY segment
     )
     SELECT d.segment,
            CAST(count(*) AS BIGINT) AS n,
-           round(any_value(m.med), 4) AS med,
-           round(any_value(m.mad), 4) AS mad,
+           floor(any_value(m.med) * 10000 + 0.5) / 10000 AS med,
+           floor(any_value(m.mad) * 10000 + 0.5) / 10000 AS mad,
            CAST(count(*) FILTER (d.adev > 4.4478 * m.mad) AS BIGINT)
                AS n_outliers,
            floor(CAST(count(*) FILTER (d.adev > 4.4478 * m.mad) AS DOUBLE)
@@ -1789,13 +1833,15 @@ def q_mad_outliers(spark, sf_dir):
     o = t.orders.join(
         t.customer, F.col("o_custkey") == F.col("c_custkey")
     ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("x"))
-    med = o.groupBy("segment").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    med = o.groupBy("segment").agg(
+        stable_round(F.expr("percentile(x, 0.5)"), 9).alias("med")
+    )
     dev = o.join(F.broadcast(med), "segment").withColumn(
         "adev", F.abs(F.col("x") - F.col("med"))
     )
     mad = dev.groupBy("segment").agg(
         F.first("med").alias("med"),
-        F.expr("percentile(adev, 0.5)").alias("mad"),
+        stable_round(F.expr("percentile(adev, 0.5)"), 9).alias("mad"),
     )
     out_flag = F.col("adev") > F.lit(4.4478) * F.col("mad")
     return (
@@ -1804,8 +1850,8 @@ def q_mad_outliers(spark, sf_dir):
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.first("med"), 4).alias("med"),
-            F.round(F.first("mad"), 4).alias("mad"),
+            stable_round(F.first("med"), 4).alias("med"),
+            stable_round(F.first("mad"), 4).alias("mad"),
             F.sum(out_flag.cast("long")).alias("n_outliers"),
             stable_round(
                 F.sum(out_flag.cast("long")).cast("double") / F.count(F.lit(1)), 6

@@ -14,6 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.scalars import (
+    money2,
+    money_round,
+    one_minus_rate,
+    one_plus_rate,
+    qty1,
+)
 from ..sources.tables import load_tables
 from .registry import register
 
@@ -22,10 +29,10 @@ from .registry import register
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                            AS sum_qty,
-           round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(4,1))), 2) AS DOUBLE)                                            AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)                                       AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)                    AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)      AS sum_charge,
            round(avg(l_quantity), 4)                                            AS avg_qty,
            round(avg(l_extendedprice), 4)                                       AS avg_price,
            round(avg(l_discount), 6)                                            AS avg_disc,
@@ -41,14 +48,14 @@ from .registry import register
 def q01_pricing_summary(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     l = t.lineitem.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_price = money2("l_extendedprice") * one_minus_rate("l_discount")
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_round(F.sum(qty1("l_quantity"))).alias("sum_qty"),
+            money_round(F.sum(money2("l_extendedprice"))).alias("sum_base_price"),
+            money_round(F.sum(disc_price)).alias("sum_disc_price"),
+            money_round(F.sum(disc_price * one_plus_rate("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -62,7 +69,7 @@ def q01_pricing_summary(spark, sf_dir):
     "q03_shipping_priority",
     """
     SELECT l.l_orderkey AS o_key,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority AS priority
     FROM customer c
@@ -87,7 +94,7 @@ def q03_shipping_priority(spark, sf_dir):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_round(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount"))).alias("revenue"))
         .select(
             F.col("l_orderkey").alias("o_key"),
             "revenue",
@@ -103,7 +110,7 @@ def q03_shipping_priority(spark, sf_dir):
     "q05_regional_revenue",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -141,7 +148,7 @@ def q05_regional_revenue(spark, sf_dir):
     return (
         j.groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            money_round(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "nation")
@@ -153,7 +160,7 @@ def q05_regional_revenue(spark, sf_dir):
     """
     SELECT c.c_mktsegment AS segment,
            count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_sales,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_sales,
            round(avg(o.o_totalprice), 4) AS avg_sale
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -169,7 +176,7 @@ def q_mktsegment_sales(spark, sf_dir):
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            money_round(F.sum(money2("o_totalprice"))).alias("total_sales"),
             F.round(F.avg("o_totalprice"), 4).alias("avg_sale"),
         )
         .orderBy("segment")
@@ -281,7 +288,7 @@ def q_set_nation_overlap(spark, sf_dir):
     "q_rollup_lineitem",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(4,1))), 2) AS DOUBLE) AS sum_qty,
            count(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -293,7 +300,7 @@ def q_rollup_lineitem(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return (
         t.lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .agg(money_round(F.sum(qty1("l_quantity"))).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
         .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
     )
 
@@ -325,7 +332,7 @@ def q_distinct_agg(spark, sf_dir):
 @register(
     "q_having_guard",
     """
-    SELECT l_partkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+    SELECT l_partkey, count(*) AS n_items, CAST(round(sum(CAST(l_quantity AS DECIMAL(4,1))), 2) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY l_partkey
     HAVING count(*) >= 5
@@ -337,7 +344,7 @@ def q_having_guard(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return (
         t.lineitem.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.count(F.lit(1)).alias("n_items"), money_round(F.sum(qty1("l_quantity"))).alias("sum_qty"))
         .where(F.col("n_items") >= 5)
         .orderBy("l_partkey")
     )

@@ -20,6 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import (
+    money2,
+    money_round,
+    one_minus_rate,
+    qty1,
+    stable_round,
+)
 from ..sources.tables import load_tables
 from .registry import register
 
@@ -67,7 +74,7 @@ def q04_order_priority(spark, sf_dir):
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -111,7 +118,7 @@ def q07_volume_shipping(spark, sf_dir):
     return (
         j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+            money_round(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount"))).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -122,7 +129,9 @@ def q07_volume_shipping(spark, sf_dir):
     """
     WITH all_nations AS (
         SELECT year(o.o_orderdate) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2))
+                      - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
                n1.n_name AS supp_nation
         FROM lineitem l
         JOIN part p     ON p.p_partkey = l.l_partkey
@@ -138,8 +147,10 @@ def q07_volume_shipping(spark, sf_dir):
           AND o.o_orderdate <  TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) * 1000000 + 0.5) / 1000000
+               AS mkt_share
     FROM all_nations
     GROUP BY o_year
     ORDER BY o_year
@@ -171,14 +182,20 @@ def q08_market_share(spark, sf_dir):
         .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = money2("l_extendedprice") * one_minus_rate("l_discount")
+    zero = F.lit("0").cast("decimal(5,4)")
     return (
         j.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+            # exact decimal numerator/denominator, exact double casts
+            # (scale-4, |v|·10^4 < 2^53), one identical IEEE division,
+            # floor-form snap — deterministic share on both engines
+            stable_round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -190,7 +207,7 @@ def q08_market_share(spark, sf_dir):
     "q09_product_profit",
     """
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -216,7 +233,7 @@ def q09_product_profit(spark, sf_dir):
     return (
         j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit")
+            money_round(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount"))).alias("profit")
         )
         .orderBy("nation", F.desc("o_year"))
     )
@@ -227,16 +244,17 @@ def q09_product_profit(spark, sf_dir):
     """
     WITH pv AS (
         SELECT l.l_partkey AS partkey,
-               sum(l.l_extendedprice * l.l_quantity) AS value
+               sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l.l_quantity AS DECIMAL(4,1))) AS value
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
         WHERE n.n_name = 'NATION_3'
         GROUP BY l.l_partkey
     )
-    SELECT partkey, round(value, 2) AS value
+    SELECT partkey, CAST(round(value, 2) AS DOUBLE) AS value
     FROM pv
-    WHERE value > (SELECT sum(value) * 0.001 FROM pv)
+    WHERE value > (SELECT sum(value) * CAST(0.001 AS DECIMAL(4,3)) FROM pv)
     ORDER BY value DESC, partkey
     """,
     doc="TPC-H Q11 shape: per-part traded value for one nation vs a global "
@@ -251,13 +269,18 @@ def q11_important_parts(spark, sf_dir):
         t.lineitem.join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .agg(F.sum(money2("l_extendedprice") * qty1("l_quantity")).alias("value"))
     )
-    total = pv.agg((F.sum("value") * 0.001).alias("__threshold"))
+    # exact decimal group values AND an exact decimal threshold: the
+    # group-vs-global comparison is deterministic at any SF (a DOUBLE
+    # threshold drifts ~n·ulp and flips boundary parts between engines)
+    total = pv.agg(
+        (F.sum("value") * F.lit("0.001").cast("decimal(4,3)")).alias("__threshold")
+    )
     return (
         pv.crossJoin(F.broadcast(total))
         .where(F.col("value") > F.col("__threshold"))
-        .select("partkey", F.round("value", 2).alias("value"))
+        .select("partkey", money_round(F.col("value")).alias("value"))
         .orderBy(F.desc("value"), "partkey")
     )
 
@@ -460,7 +483,7 @@ def q21_sole_late_supplier(spark, sf_dir):
 @register(
     "q_salted_brand_revenue",
     """
-    SELECT p.p_brand, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT p.p_brand, CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -482,7 +505,7 @@ def q_salted_brand_revenue(spark, sf_dir):
     return (
         j.groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            money_round(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("p_brand")

@@ -179,3 +179,33 @@ def test_casefold_bare_rule_fires_and_clears(spark):
     )
     # lower over non-text string lineage (hex digests) is ASCII-safe
     assert not hits(docs.select(F.lower(F.hex(F.xxhash64("doc_id")))))
+
+
+def test_money_sum_double_rule_fires_and_clears(spark):
+    """MONEY_SUM_DOUBLE must flag a DOUBLE-typed Sum over cent-grid
+    money lineage (the round-11 sf1 reds) and clear the DECIMAL
+    accumulation idiom and exempt columns (integer-valued quantities)."""
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        money2,
+        one_minus_rate,
+    )
+    from tools.plan_lint import lint_money_sums
+
+    def hits(df):
+        return lint_money_sums(df._jdf.queryExecution().analyzed().toJSON())
+
+    l = spark.createDataFrame(
+        [(100.25, 0.05, 3.0)], ["l_extendedprice", "l_discount", "l_quantity"]
+    )
+    assert hits(l.agg(F.sum("l_extendedprice")))
+    assert hits(l.agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
+    # through a cross-projection alias
+    assert hits(
+        l.select((F.col("l_extendedprice") * 2).alias("px")).agg(F.sum("px"))
+    )
+    assert not hits(
+        l.agg(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount")))
+    ), "DECIMAL accumulation is the sanctioned form"
+    assert not hits(l.agg(F.sum("l_quantity"))), "integer-grid qty sums exactly"

@@ -310,13 +310,44 @@ def _decimal_typed_scale(node) -> int | None:
     Only transparent single-child wrappers are unwrapped."""
     dt = str(node.get("dataType", ""))
     if dt:
+        # integral types behave as scale-0 decimals in mixed decimal
+        # arithmetic (Spark: int op decimal -> decimal)
+        if dt in ("integer", "long", "short", "byte"):
+            return 0
         return _decimal_scale(dt)
-    if _cls(node) in (
+    c = _cls(node)
+    ch = node.get("_children", [])
+    if c in (
         "Alias", "AggregateExpression", "KnownNotNull",
         "KnownFloatingPointNormalized", "NormalizeNaNAndZero",
+        # aggregates/wrappers whose result stays on the input's decimal
+        # scale (Sum widens precision, never scale)
+        "Sum", "Min", "Max", "First", "Last", "UnaryMinus",
     ):
-        ch = node.get("_children", [])
         return _decimal_typed_scale(ch[0]) if ch else None
+    if c in ("Add", "Subtract", "Coalesce"):
+        scales = [_decimal_typed_scale(x) for x in ch]
+        if scales and all(s is not None for s in scales):
+            return max(scales)
+        return None
+    if c == "Multiply" and len(ch) == 2:
+        scales = [_decimal_typed_scale(x) for x in ch]
+        if all(s is not None for s in scales):
+            return scales[0] + scales[1]
+        return None
+    if c == "CaseWhen":
+        # children interleave [cond, val, cond, val, ..., else]: decimal
+        # if every VALUE branch (non-boolean child) is decimal-typed
+        vals = [
+            x
+            for x in ch
+            if _cls(x) not in _BOOLEAN_CONSUMERS
+            and str(x.get("dataType", "")) != "boolean"
+        ]
+        scales = [_decimal_typed_scale(x) for x in vals]
+        if scales and all(s is not None for s in scales):
+            return max(scales)
+        return None
     return None
 
 
@@ -468,8 +499,11 @@ def lint_rounds(analyzed_json: str) -> tuple[list[str], list[str]]:
                 digits = int(r["_children"][1].get("value"))
             except (TypeError, ValueError):
                 pass
-        if _decimal_scale(str(child.get("dataType", ""))) is not None:
-            continue  # round ON a decimal: decimal round is exact
+        # round ON a decimal: decimal round is exact (the scale resolves
+        # through AggregateExpression/Sum/product nodes, whose JSON
+        # carries no dataType — round 11, money-sum idiom)
+        if _decimal_typed_scale(child) is not None:
+            continue
         if not _has_quantized_lineage(child, alias_map, set()):
             continue  # NOISY lineage: boundary measure ~0
         scale = _coarse_scale(child, alias_map, set())
@@ -556,6 +590,81 @@ def lint_casefold(analyzed_json: str) -> list[str]:
     return hits
 
 
+#: cent-grid money columns whose per-row doubles are INEXACT binary
+#: values: a DOUBLE sum over them drifts ~n·ulp(sum) with engine-specific
+#: accumulation order. (l_quantity is exempt: integer-valued doubles sum
+#: exactly below 2^53 in any order.)
+_MONEY_ATTRS = {"l_extendedprice", "o_totalprice", "ps_supplycost"}
+
+
+def lint_money_sums(analyzed_json: str) -> list[str]:
+    """MONEY_SUM_DOUBLE: a Sum whose input is DOUBLE-typed and whose
+    lineage reaches a cent-grid money column. Summing millions of
+    cent-grid doubles accumulates ~n·ulp(sum) (~6e-3 at 6M rows / 1e11),
+    which crosses half-cent round boundaries AND flips >/=-threshold
+    comparisons, so Spark's and DuckDB's different accumulation orders
+    produce different cents — the round-11 sf1 differential reds
+    (q_cube_status, q_grouping_sets, q_salted_brand_revenue,
+    q09_product_profit). Sanctioned form: accumulate in DECIMAL
+    (functions/scalars.money2 / one_minus_rate / money_round) — exact,
+    order-independent, engine-identical at any scale."""
+    plan = json.loads(analyzed_json)
+    alias_map: dict[int, dict] = {}
+    cands: list[dict] = []
+    for pnode in plan:
+        for flat in _expr_forests(pnode):
+            for tree in _parse_forest(flat):
+                stack = [tree]
+                while stack:
+                    n = stack.pop()
+                    c = _cls(n)
+                    eid = n.get("exprId", {}).get("id")
+                    if c == "Alias" and n["_children"] and eid is not None:
+                        alias_map[eid] = n["_children"][0]
+                    if c == "Sum" and n.get("_children"):
+                        cands.append(n["_children"][0])
+                    stack.extend(n.get("_children", []))
+
+    def bad_money_reach(node, top_cast, seen) -> bool:
+        """True if a money attr is reachable with no DECIMAL as the
+        TOPMOST Cast on its path (composite nodes carry no dataType in
+        the JSON, so the nearest-to-the-Sum cast decides the branch's
+        accumulation type: Cast(double, Cast(decimal, attr)) is still a
+        DOUBLE sum; Multiply(Cast(decimal, attr), ...) is decimal)."""
+        c = _cls(node)
+        if c in _BOOLEAN_CONSUMERS or c in _NON_VALUE_SUBTREES:
+            # money under a predicate / sort key: the summed VALUE is a
+            # 0/1 flag or an unrelated branch — integer-exact in any
+            # accumulation order. (Threshold-comparison determinism is
+            # its own class, handled by exact decimals / snapped
+            # percentiles at the query level, not by this rule.)
+            return False
+        if c == "Cast" and top_cast is None:
+            top_cast = (
+                "decimal"
+                if _decimal_scale(str(node.get("dataType", ""))) is not None
+                else "other"
+            )
+        if c == "AttributeReference":
+            eid = node.get("exprId", {}).get("id")
+            if node.get("name") in _MONEY_ATTRS:
+                return top_cast != "decimal"
+            if eid is not None and eid in alias_map and eid not in seen:
+                seen.add(eid)
+                return bad_money_reach(alias_map[eid], top_cast, seen)
+            return False
+        return any(
+            bad_money_reach(ch, top_cast, seen)
+            for ch in node.get("_children", [])
+        )
+
+    return [
+        "DOUBLE sum over cent-grid money lineage"
+        for ch in cands
+        if bad_money_reach(ch, None, set())
+    ]
+
+
 def lint_one(plan: str) -> dict[str, int]:
     hits: dict[str, int] = {}
     if "CartesianProduct" in plan:
@@ -602,6 +711,7 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             analyzed_json = qe.analyzed().toJSON()
             round_hits, libm_hits = lint_rounds(analyzed_json)
             casefold_hits = lint_casefold(analyzed_json)
+            money_hits = lint_money_sums(analyzed_json)
         except Exception as e:  # lint must cover everything it can
             errors[name] = str(e)[:200]
             continue
@@ -612,6 +722,8 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             hits["LIBM_UNSNAPPED"] = len(libm_hits)
         if casefold_hits:
             hits["CASEFOLD_BARE"] = len(casefold_hits)
+        if money_hits:
+            hits["MONEY_SUM_DOUBLE"] = len(money_hits)
         if hits:
             results[name] = hits
     violations = {
@@ -668,7 +780,24 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             "cluster-aware vs Spark's code points, DuckDB levenshtein "
             "counts bytes vs Spark's code points — no portable rewrite, so "
             "both are contract-restricted to ASCII identifier columns "
-            "(pinned by tests/test_unicode_portability). Generated "
+            "(pinned by tests/test_unicode_portability). MONEY_SUM_DOUBLE "
+            "(round 11): a DOUBLE-typed Sum over cent-grid money lineage "
+            "(l_extendedprice / o_totalprice / ps_supplycost) — summing "
+            "millions of cent-grid doubles drifts ~n*ulp(sum) (~6e-3 at 6M "
+            "rows / 1e11 magnitude), crossing half-cent round boundaries "
+            "and >/= thresholds, so the engines' different accumulation "
+            "orders produce different cents: the sf1 differential reds "
+            "(q_cube_status, q_grouping_sets, q_salted_brand_revenue, "
+            "q09_product_profit). Sanctioned form is DECIMAL accumulation "
+            "(functions/scalars.money2 / one_minus_rate / money_round — "
+            "exact, order-independent, engine-identical at any scale); "
+            "money under predicates/sort keys is exempt (the summed value "
+            "is an exact 0/1 flag). Companion fix, same sf1 sweep: "
+            "percentile-derived thresholds snap to a 9dp floor-form grid "
+            "(q_winsorized_stats, q_mad_outliers) because the engines' "
+            "interpolation arithmetic differs by 1 ULP exactly when a "
+            "threshold lands ON the data grid, where every tied row flips "
+            "together. Generated "
             "by `tools/plan_lint.py`; enforced by `tests/test_plan_lint.py`."
         )
         out.append("")
