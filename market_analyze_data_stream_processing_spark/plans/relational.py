@@ -20,6 +20,7 @@ from ..functions.scalars import (
     one_minus_rate,
     one_plus_rate,
     qty1,
+    stable_round,
 )
 from ..sources.tables import load_tables
 from .registry import register
@@ -33,9 +34,12 @@ from .registry import register
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)                                       AS sum_base_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)                    AS sum_disc_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)      AS sum_charge,
-           round(avg(l_quantity), 4)                                            AS avg_qty,
-           round(avg(l_extendedprice), 4)                                       AS avg_price,
-           round(avg(l_discount), 6)                                            AS avg_disc,
+           floor(CAST(sum(CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000                              AS avg_qty,
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000                              AS avg_price,
+           floor(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000                          AS avg_disc,
            count(*)                                                             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -56,9 +60,21 @@ def q01_pricing_summary(spark, sf_dir):
             money_round(F.sum(money2("l_extendedprice"))).alias("sum_base_price"),
             money_round(F.sum(disc_price)).alias("sum_disc_price"),
             money_round(F.sum(disc_price * one_plus_rate("l_tax"))).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # money/rate means via exact decimal numerators: both engines
+            # divide the IDENTICAL double by the identical count, so the
+            # snapped mean is deterministic at any row count (a DOUBLE avg
+            # drifts with accumulation order like the sums; sf1 class)
+            stable_round(
+                F.sum(qty1("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            stable_round(
+                F.sum(money2("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            stable_round(
+                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -161,7 +177,8 @@ def q05_regional_revenue(spark, sf_dir):
     SELECT c.c_mktsegment AS segment,
            count(*) AS n_orders,
            CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_sales,
-           round(avg(o.o_totalprice), 4) AS avg_sale
+           floor(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS avg_sale
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
@@ -177,7 +194,9 @@ def q_mktsegment_sales(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             money_round(F.sum(money2("o_totalprice"))).alias("total_sales"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_sale"),
+            stable_round(
+                F.sum(money2("o_totalprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_sale"),
         )
         .orderBy("segment")
     )

@@ -209,3 +209,9 @@ def test_money_sum_double_rule_fires_and_clears(spark):
         l.agg(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount")))
     ), "DECIMAL accumulation is the sanctioned form"
     assert not hits(l.agg(F.sum("l_quantity"))), "integer-grid qty sums exactly"
+    # Average shares the accumulation-order drift (same numerator)
+    assert hits(l.agg(F.avg("l_extendedprice")))
+    assert hits(l.agg(F.avg("l_discount"))), "rate columns are cent-grid too"
+    assert not hits(
+        l.agg(F.sum(money2("l_extendedprice")).cast("double") / F.count(F.lit(1)))
+    ), "exact-decimal-numerator mean is the sanctioned form"

@@ -590,11 +590,14 @@ def lint_casefold(analyzed_json: str) -> list[str]:
     return hits
 
 
-#: cent-grid money columns whose per-row doubles are INEXACT binary
-#: values: a DOUBLE sum over them drifts ~n·ulp(sum) with engine-specific
-#: accumulation order. (l_quantity is exempt: integer-valued doubles sum
-#: exactly below 2^53 in any order.)
-_MONEY_ATTRS = {"l_extendedprice", "o_totalprice", "ps_supplycost"}
+#: cent-grid money/rate columns whose per-row doubles are INEXACT binary
+#: values: a DOUBLE sum (or avg numerator) over them drifts ~n·ulp(sum)
+#: with engine-specific accumulation order. (l_quantity is exempt:
+#: integer-valued doubles sum exactly below 2^53 in any order.)
+_MONEY_ATTRS = {
+    "l_extendedprice", "o_totalprice", "ps_supplycost",
+    "l_discount", "l_tax",
+}
 
 
 def lint_money_sums(analyzed_json: str) -> list[str]:
@@ -621,7 +624,7 @@ def lint_money_sums(analyzed_json: str) -> list[str]:
                     eid = n.get("exprId", {}).get("id")
                     if c == "Alias" and n["_children"] and eid is not None:
                         alias_map[eid] = n["_children"][0]
-                    if c == "Sum" and n.get("_children"):
+                    if c in ("Sum", "Average") and n.get("_children"):
                         cands.append(n["_children"][0])
                     stack.extend(n.get("_children", []))
 
