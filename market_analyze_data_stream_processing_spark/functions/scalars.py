@@ -154,6 +154,79 @@ def stable_round_sql(expr: str, digits: int) -> str:
     return f"floor(({expr}) * {p} + 0.5) / {p}"
 
 
+def grid_long(col: Column | str, digits: int = 2) -> Column:
+    """Exact LONG reading of a ``digits``-decimal grid DOUBLE column in
+    10^-digits units (cents for digits=2): ``floor(x·10^d + 0.5)``.
+
+    Same exactness class as :func:`money2`'s DECIMAL cast — for a grid
+    value k·10^-d stored as its nearest double, the floor form recovers
+    the integer k exactly for ``|k| < 2^51`` (the product x·10^d lands
+    within ±0.006 of k at the 1e12 contract bound, so +0.5-then-floor
+    snaps to k for either error sign; identical IEEE ops on both
+    engines). NULL passes through (floor(NULL)=NULL), matching the
+    decimal cast. Requires grid input like money2 — this is a reading
+    of the stored value, not a rounding of arbitrary doubles.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**digits)
+    return F.floor(c * F.lit(p) + F.lit(0.5))
+
+
+def grid_sum_parts(u: Column, name: str, scale: int) -> list[Column]:
+    """Exact order-independent SUM of a LONG integer-grid expression
+    ``u`` (a value in 10^-scale units, e.g. the per-row product
+    ``grid_long(price) * (100 - grid_long(discount))`` at scale 4), as
+    TWO LONG aggregates to be recombined by :func:`grid_sum_value`.
+
+    WHY: Spark's Sum over DECIMAL(p>8,s) carries a >18-digit buffer
+    that falls off the compact-long Decimal representation, so every
+    row round-trips through java.math.BigDecimal (~2x the agg cost of
+    the whole query at sf0.1 — the round-11→12 bench attribution).
+    Summing the grid integer directly in LONG is the same exact,
+    accumulation-order-independent arithmetic at native speed — but a
+    single LONG sum of scale-4 money units would approach 2^63 around
+    1e10 rows/group at TPC-H magnitudes (Spark long sums wrap silently
+    in non-ANSI mode). Splitting each row at the whole-unit boundary
+    (``hi`` = whole units via floor-div, ``lo`` = sub-unit remainder in
+    [0, 10^scale), pmod pairs with floor-div for negatives) keeps both
+    partial sums ≥10^4x inside LONG for any realistic group: |sum_lo|
+    < N·10^scale and |sum_hi| < N·max_units — at TPC-H row magnitudes
+    (≤ ~1.1e5 whole units) that is ~8e13 rows PER GROUP before
+    overflow, ~130x the total 100 TB lineitem row count.
+
+    DOMAIN: |u| < 2^52 per row (the split divides in double — exact
+    while u, hi·10^scale are < 2^53). The triple-product money chain
+    cents×(100-d)×(100+t) stays inside it for per-row money < ~3.7e8,
+    vs the 1.1e5 TPC-H ceiling. The DuckDB oracle keeps the exact
+    DECIMAL-sum form — both sides are exact integer arithmetic, so the
+    recombined values are identical by construction, pinned by the
+    registry differential.
+    """
+    split = F.lit(10**scale)
+    lo = F.pmod(u, split)
+    hi = ((u - lo) / split).cast("long")
+    return [
+        F.sum(hi).alias(f"__{name}_hi"),
+        F.sum(lo).alias(f"__{name}_lo"),
+    ]
+
+
+def grid_sum_value(name: str, scale: int) -> Column:
+    """Recombine :func:`grid_sum_parts` aggregates into the exact
+    DECIMAL sum (scale ``scale``): ``sum_hi + sum_lo·10^-scale`` in
+    exact decimal arithmetic — runs on FINAL group rows only, so the
+    BigDecimal cost the split avoided per-row is paid once per group.
+    Feed the result to :func:`money_round` (presentation) or
+    :func:`decimal_to_double_split` (full-precision double) exactly as
+    the DECIMAL-sum form it replaces."""
+    unit = "0." + "0" * (scale - 1) + "1"
+    dec_hi = F.col(f"__{name}_hi").cast("decimal(20,0)")
+    dec_lo = F.col(f"__{name}_lo").cast("decimal(20,0)") * F.lit(unit).cast(
+        f"decimal({scale},{scale})"
+    )
+    return dec_hi + dec_lo
+
+
 def decimal_to_double_split(col: Column) -> Column:
     """Engine-portable DECIMAL→DOUBLE cast for WIDE decimals.
 

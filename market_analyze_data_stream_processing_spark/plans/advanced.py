@@ -929,8 +929,8 @@ def q13_order_count_distribution(spark, sf_dir):
 
 @register(
     "q17_small_quantity_revenue",
-    """
-    SELECT floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0)
+    f"""
+    SELECT floor(({decimal_to_double_split_sql('sum(CAST(l.l_extendedprice AS DECIMAL(12,2)))')} / 7.0)
                  * 100 + 0.5) / 100 AS avg_yearly, count(*) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -955,10 +955,13 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             # exact DECIMAL sum (order-independent money accumulation),
-            # exact cast (scale-2, |v|·100 < 2^53), one identical /7.0,
-            # floor-form snap — same value on both engines at any SF
+            # split-cast to double (portable past |v|·10^s > 2^53 where
+            # DuckDB's wide-decimal cast double-rounds), one identical
+            # /7.0, floor-form snap — same value on both engines at any SF
             stable_round(
-                F.sum(money2("l_extendedprice")).cast("double") / 7.0, 2
+                decimal_to_double_split(F.sum(money2("l_extendedprice")))
+                / 7.0,
+                2,
             ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )

@@ -15,6 +15,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.scalars import (
+    decimal_to_double_split,
+    decimal_to_double_split_sql,
+    grid_long,
+    grid_sum_parts,
+    grid_sum_value,
     money2,
     money_round,
     one_minus_rate,
@@ -28,18 +33,18 @@ from .registry import register
 
 @register(
     "q01_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            CAST(round(sum(CAST(l_quantity AS DECIMAL(4,1))), 2) AS DOUBLE)                                            AS sum_qty,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)                                       AS sum_base_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)                    AS sum_disc_price,
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)      AS sum_charge,
-           floor(CAST(sum(CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE)
-                 / count(*) * 10000 + 0.5) / 10000                              AS avg_qty,
-           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                 / count(*) * 10000 + 0.5) / 10000                              AS avg_price,
-           floor(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
-                 / count(*) * 1000000 + 0.5) / 1000000                          AS avg_disc,
+           floor({decimal_to_double_split_sql('sum(CAST(l_quantity AS DECIMAL(4,1)))')}
+                 / count(l_quantity) * 10000 + 0.5) / 10000                     AS avg_qty,
+           floor({decimal_to_double_split_sql('sum(CAST(l_extendedprice AS DECIMAL(12,2)))')}
+                 / count(l_extendedprice) * 10000 + 0.5) / 10000                AS avg_price,
+           floor({decimal_to_double_split_sql('sum(CAST(l_discount AS DECIMAL(4,2)))')}
+                 / count(l_discount) * 1000000 + 0.5) / 1000000                 AS avg_disc,
            count(*)                                                             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -47,35 +52,60 @@ from .registry import register
     ORDER BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1-style pricing summary (agg A1-family). Full scan + partial agg; "
-    "map-side combine makes this shuffle O(groups), not O(rows).",
+    "map-side combine makes this shuffle O(groups), not O(rows). Money/qty "
+    "sums accumulate as split LONG integer grids (grid_sum_parts — exact "
+    "and order-independent like the DECIMAL form it replaced, without the "
+    ">18-digit BigDecimal buffer); means divide the split-cast exact "
+    "numerator (decimal_to_double_split, portable past |v|·10^s > 2^53) "
+    "by count(col), preserving AVG's null-ignoring semantics.",
 )
 def q01_pricing_summary(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     l = t.lineitem.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
-    disc_price = money2("l_extendedprice") * one_minus_rate("l_discount")
+    u_qty = grid_long("l_quantity", 1)
+    u_price = grid_long("l_extendedprice")
+    u_disc = grid_long("l_discount")
+    u_dp = u_price * (F.lit(100) - u_disc)
+    u_ch = u_dp * (F.lit(100) + grid_long("l_tax"))
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money_round(F.sum(qty1("l_quantity"))).alias("sum_qty"),
-            money_round(F.sum(money2("l_extendedprice"))).alias("sum_base_price"),
-            money_round(F.sum(disc_price)).alias("sum_disc_price"),
-            money_round(F.sum(disc_price * one_plus_rate("l_tax"))).alias("sum_charge"),
-            # money/rate means via exact decimal numerators: both engines
-            # divide the IDENTICAL double by the identical count, so the
-            # snapped mean is deterministic at any row count (a DOUBLE avg
-            # drifts with accumulation order like the sums; sf1 class)
+            *grid_sum_parts(u_qty, "qty", 1),
+            *grid_sum_parts(u_price, "price", 2),
+            *grid_sum_parts(u_dp, "dp", 4),
+            *grid_sum_parts(u_ch, "ch", 6),
+            *grid_sum_parts(u_disc, "disc", 2),
+            F.count("l_quantity").alias("__n_qty"),
+            F.count("l_extendedprice").alias("__n_price"),
+            F.count("l_discount").alias("__n_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            money_round(grid_sum_value("qty", 1)).alias("sum_qty"),
+            money_round(grid_sum_value("price", 2)).alias("sum_base_price"),
+            money_round(grid_sum_value("dp", 4)).alias("sum_disc_price"),
+            money_round(grid_sum_value("ch", 6)).alias("sum_charge"),
+            # means: exact numerator → split-cast double (identical on
+            # both engines past the plain-cast 2^53 bound), divided by
+            # the NON-NULL count (AVG semantics), then snapped
             stable_round(
-                F.sum(qty1("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+                decimal_to_double_split(grid_sum_value("qty", 1))
+                / F.col("__n_qty"),
+                4,
             ).alias("avg_qty"),
             stable_round(
-                F.sum(money2("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+                decimal_to_double_split(grid_sum_value("price", 2))
+                / F.col("__n_price"),
+                4,
             ).alias("avg_price"),
             stable_round(
-                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double")
-                / F.count(F.lit(1)),
+                decimal_to_double_split(grid_sum_value("disc", 2))
+                / F.col("__n_disc"),
                 6,
             ).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -21,6 +21,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import (
+    decimal_to_double_split,
+    decimal_to_double_split_sql,
+    grid_long,
+    grid_sum_parts,
+    grid_sum_value,
     money2,
     money_round,
     one_minus_rate,
@@ -126,7 +131,7 @@ def q07_volume_shipping(spark, sf_dir):
 
 @register(
     "q08_market_share",
-    """
+    f"""
     WITH all_nations AS (
         SELECT year(o.o_orderdate) AS o_year,
                CAST(l.l_extendedprice AS DECIMAL(12,2))
@@ -147,9 +152,8 @@ def q07_volume_shipping(spark, sf_dir):
           AND o.o_orderdate <  TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
-                               THEN volume ELSE 0 END) AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE) * 1000000 + 0.5) / 1000000
+           floor({decimal_to_double_split_sql("sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)")}
+                 / {decimal_to_double_split_sql("sum(volume)")} * 1000000 + 0.5) / 1000000
                AS mkt_share
     FROM all_nations
     GROUP BY o_year
@@ -188,14 +192,20 @@ def q08_market_share(spark, sf_dir):
         j.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
         .groupBy("o_year")
         .agg(
-            # exact decimal numerator/denominator, exact double casts
-            # (scale-4, |v|·10^4 < 2^53), one identical IEEE division,
-            # floor-form snap — deterministic share on both engines
+            # exact decimal numerator/denominator, split-cast to double
+            # (portable past |v|·10^4 > 2^53 where DuckDB's wide-decimal
+            # cast double-rounds — round-11 advisory), one identical
+            # IEEE division, floor-form snap — deterministic share
             stable_round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero)
-                ).cast("double")
-                / F.sum("volume").cast("double"),
+                decimal_to_double_split(
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_1",
+                            F.col("volume"),
+                        ).otherwise(zero)
+                    )
+                )
+                / decimal_to_double_split(F.sum("volume")),
                 6,
             ).alias("mkt_share")
         )
@@ -230,10 +240,14 @@ def q09_product_profit(spark, sf_dir):
         .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
     )
+    u4 = grid_long("l_extendedprice") * (F.lit(100) - grid_long("l_discount"))
     return (
         j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(
-            money_round(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount"))).alias("profit")
+        .agg(*grid_sum_parts(u4, "profit", 4))
+        .select(
+            "nation",
+            "o_year",
+            money_round(grid_sum_value("profit", 4)).alias("profit"),
         )
         .orderBy("nation", F.desc("o_year"))
     )
@@ -502,11 +516,22 @@ def q_salted_brand_revenue(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     big = t.lineitem.withColumnRenamed("l_partkey", "p_partkey")
     j = salted_join(big, t.part, key="p_partkey", n_salts=8)
+    # exact revenue in 1e-4-dollar LONG units: cents × (100 - discount
+    # hundredths) — grid_sum_parts keeps the 8x-salted aggregation on
+    # the compact LONG fast path (the DECIMAL-buffer sum was 2x the
+    # whole query's cost); the recombined value is bit-identical to the
+    # oracle's exact DECIMAL sum
+    u4 = grid_long("l_extendedprice") * (F.lit(100) - grid_long("l_discount"))
     return (
         j.groupBy("p_brand")
         .agg(
-            money_round(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount"))).alias("revenue"),
+            *grid_sum_parts(u4, "rev", 4),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "p_brand",
+            money_round(grid_sum_value("rev", 4)).alias("revenue"),
+            "n_items",
         )
         .orderBy("p_brand")
     )

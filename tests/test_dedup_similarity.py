@@ -830,3 +830,80 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     jac = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(
         df, threshold=0.5).collect()}
     assert (1, 2) not in jac  # symmetric Jaccard is blind to it
+
+
+SF1_DIR = "/tmp/sf1"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SF1_DIR),
+    reason="sf1 scratch corpus not built (tools/make_sf1.py)",
+)
+def test_dedup_tail_bounds_sf1(spark):
+    """Executed sf1 evidence for the two dedup-tail scale claims
+    (SCALING.md shard-decade rows; round-11 brief task 2).
+
+    1. q_near_dup_jaccard class: the shingle inverted index's candidate
+       pair multiset Sigma C(min(df,cap),2) at sf1 stays within the
+       (cap-1)/2 * |kept postings| arithmetic bound — pair growth is
+       linear in postings at the decade above the bench gate, never
+       all-pairs (the same executed pin test_node_overlap gives the
+       supplier graph at sf0.1).
+
+    2. q_embedding_near_dup class: the blocked-cosine candidate stream
+       is EXACTLY Sigma C(block,2) — block-scoped, never
+       corpus-quadratic. The sf1 shard corpus deepens each block 10x
+       (labels are a fixed set, so the pair multiset grows ~100x per
+       decade BY CONSTRUCTION — the measured 11.5x runtime decade is
+       ~9x BETTER than that workload growth); at 100 TB the block id is
+       an IVF/k-means cell whose COUNT scales with the corpus, keeping
+       block depth bounded (operators/similarity.ann_ivf is that path).
+    """
+    import os
+
+    from market_analyze_data_stream_processing_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    cap = 100
+    d = spark.read.parquet(os.path.join(SF1_DIR, "documents.parquet"))
+    sh = d.select(
+        F.explode(
+            F.array_distinct(shingles_from_tokens(tokens(F.col("text")), 3))
+        ).alias("sh")
+    )
+    stats = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum(F.when(F.col("df") <= cap, F.col("df"))).alias("kept"),
+            F.sum(
+                F.when(F.col("df") <= cap, F.col("df") * (F.col("df") - 1) / 2)
+            ).cast("long").alias("pair_mult"),
+            F.sum((F.col("df") > cap).cast("long")).alias("n_pruned"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .collect()[0]
+    )
+    # linear-in-postings arithmetic bound at sf1, and nowhere near
+    # all-pairs over the 50k-doc corpus
+    assert stats["pair_mult"] <= (cap - 1) / 2 * stats["kept"], stats
+    n_docs = d.count()
+    assert stats["pair_mult"] < n_docs * (n_docs - 1) / 20, stats
+
+    # embedding blocks: candidate stream == Sigma C(block,2), proven by
+    # running the operator UNthresholded on two real sf1 blocks
+    e = spark.read.parquet(os.path.join(SF1_DIR, "embeddings.parquet"))
+    two = e.where(F.col("label").isin(2, 8))
+    expected = (
+        two.groupBy("label")
+        .agg((F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).alias("p"))
+        .agg(F.sum("p").cast("long").alias("t"))
+        .collect()[0]["t"]
+    )
+    got = embedding_near_dup_pairs(two, threshold=-1.0).count()
+    assert got == expected, (got, expected)

@@ -180,6 +180,32 @@ def test_casefold_bare_rule_fires_and_clears(spark):
     # lower over non-text string lineage (hex digests) is ASCII-safe
     assert not hits(docs.select(F.lower(F.hex(F.xxhash64("doc_id")))))
 
+    # PARTIAL folds must fire (round-11 advisory): each drops one of
+    # the two divergent-codepoint rewrites, so it still desyncs
+    # cross-engine on the one it dropped.
+    assert hits(
+        docs.select(F.lower(F.translate("text", "İ", "i")))
+    ), "İ pre-translate without the ς post-translate must fire"
+    assert hits(
+        docs.select(F.translate(F.lower("text"), "ς", "σ"))
+    ), "ς post-translate without the İ pre-translate must fire"
+    # guarded shape with an incomplete probe set must fire too: a
+    # guard that never probes Σ routes word-final-sigma rows through
+    # the bare-lower branch
+    incomplete = F.when(
+        F.col("text").contains("İ"),
+        F.translate(F.lower(F.translate("text", "İ", "i")), "ς", "σ"),
+    ).otherwise(F.lower("text"))
+    assert hits(docs.select(incomplete)), (
+        "guarded fold probing only İ (not Σ/ς) must fire"
+    )
+    # the full unconditional chain stays sanctioned
+    assert not hits(
+        docs.select(
+            F.translate(F.lower(F.translate("text", "İ", "i")), "ς", "σ")
+        )
+    )
+
 
 def test_money_sum_double_rule_fires_and_clears(spark):
     """MONEY_SUM_DOUBLE must flag a DOUBLE-typed Sum over cent-grid

@@ -147,3 +147,57 @@ def test_coarse_product_grid_holds_at_large_magnitudes(spark):
     """
     duck_r = con.execute(sql).fetchall()[0][0]
     assert duck_r == spark_r  # byte-identical at raw-id magnitudes
+
+
+def test_grid_sum_split_equals_decimal_sum(spark):
+    """grid_sum_parts/grid_sum_value (functions/scalars.py): the split
+    LONG accumulation must recombine to EXACTLY the DECIMAL sum it
+    replaces — on positives, negatives (pmod pairs with floor-div so
+    hi*10^s + lo == u for either sign), NULLs (floor(NULL)=NULL skips
+    the row in both forms), and the money×rate product chain — since
+    the DuckDB oracle keeps the DECIMAL-sum form and hash-compares."""
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        grid_long,
+        grid_sum_parts,
+        grid_sum_value,
+        money2,
+        money_round,
+        one_minus_rate,
+    )
+
+    rows = [
+        ("a", 104949.50, 0.10),
+        ("a", 0.01, 0.00),
+        ("a", 0.03, 0.07),
+        ("b", -12345.67, 0.05),   # negative money (credits)
+        ("b", 9999999.99, 0.10),
+        ("b", None, 0.02),        # NULL money row must be skipped
+        ("c", 0.00, 0.00),
+    ]
+    df = spark.createDataFrame(rows, "g string, price double, disc double")
+
+    dec = df.groupBy("g").agg(
+        money_round(
+            F.sum(money2("price") * one_minus_rate("disc"))
+        ).alias("v")
+    )
+    u4 = grid_long("price") * (F.lit(100) - grid_long("disc"))
+    grid = (
+        df.groupBy("g")
+        .agg(*grid_sum_parts(u4, "s", 4))
+        .select("g", money_round(grid_sum_value("s", 4)).alias("v"))
+    )
+    a = {r["g"]: r["v"] for r in dec.collect()}
+    b = {r["g"]: r["v"] for r in grid.collect()}
+    assert a == b, (a, b)
+
+    # plain (rate-free) sums at scale 2 and the qty grid at scale 1
+    dec2 = df.groupBy("g").agg(money_round(F.sum(money2("price"))).alias("v"))
+    grid2 = (
+        df.groupBy("g")
+        .agg(*grid_sum_parts(grid_long("price"), "s", 2))
+        .select("g", money_round(grid_sum_value("s", 2)).alias("v"))
+    )
+    assert {r["g"]: r["v"] for r in dec2.collect()} == {
+        r["g"]: r["v"] for r in grid2.collect()
+    }

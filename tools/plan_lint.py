@@ -226,8 +226,16 @@ _GRID_PRESERVING = {
 }
 
 #: leaf/stop classes whose subtree never feeds the VALUE of the
-#: expression being classified (sort keys, frame bounds, partition keys)
-_NON_VALUE_SUBTREES = {"WindowSpecDefinition", "SortOrder"}
+#: expression being classified (sort keys, frame bounds, partition
+#: keys). AssertTrue (the SPARK_GRAFT_NUMERIC_ASSERT domain guard,
+#: functions/scalars.domain_checked) belongs here: it yields NULL on
+#: pass, its ok-predicate is boolean, and its message branch (a
+#: cast-to-string of the guarded value) renders only when the job
+#: RAISES — nothing under it can reach an output value, so a libm call
+#: appearing inside the guard must not count as a raw consumption
+#: (otherwise the suite's assert-on default manufactures LIBM
+#: violations for every guarded snap).
+_NON_VALUE_SUBTREES = {"WindowSpecDefinition", "SortOrder", "AssertTrue"}
 
 #: boolean-valued consumers: a reference under one of these feeds only a
 #: predicate, not an emitted value — for LIBM per-consumer accounting a
@@ -445,9 +453,11 @@ def lint_rounds(analyzed_json: str) -> tuple[list[str], list[str]]:
                 # is identity plumbing under the same exprId, and the
                 # eventual value consumer decides its fate. A bare
                 # reference in the ROOT node is plan output → raw.
-                stack = [(tree, False, None, False, True)]
+                stack = [(tree, False, None, False, True, False)]
                 while stack:
-                    n, snapped, alias_id, exempt, at_top = stack.pop()
+                    n, snapped, alias_id, exempt, at_top, in_assert = (
+                        stack.pop()
+                    )
                     c = _cls(n)
                     eid = n.get("exprId", {}).get("id")
                     if c == "Alias" and n["_children"]:
@@ -461,7 +471,10 @@ def lint_rounds(analyzed_json: str) -> tuple[list[str], list[str]]:
                             raw_attrs.add(eid)
                     if c in ("Round", "BRound"):
                         rounds.append(n)
-                    if c in _LIBM_LOOSE and not snapped:
+                    # a libm inside an AssertTrue guard (domain_checked)
+                    # never reaches an output value: the guard yields
+                    # NULL on pass and its message renders only on raise
+                    if c in _LIBM_LOOSE and not snapped and not in_assert:
                         libm_bare.append((n, alias_id))
                     under = snapped or c == "Floor" or (
                         c == "Cast"
@@ -471,8 +484,9 @@ def lint_rounds(analyzed_json: str) -> tuple[list[str], list[str]]:
                     ch_exempt = exempt or c in _NON_VALUE_SUBTREES or (
                         c in _BOOLEAN_CONSUMERS
                     )
+                    ch_assert = in_assert or c == "AssertTrue"
                     stack.extend(
-                        (ch, under, alias_id, ch_exempt, False)
+                        (ch, under, alias_id, ch_exempt, False, ch_assert)
                         for ch in n.get("_children", [])
                     )
     libm_hits = []
@@ -555,6 +569,62 @@ def lint_casefold(analyzed_json: str) -> list[str]:
     (substring/left/right/pad/instr/position/translate/contains/
     split_part/repeat) is codepoint-consistent across the engines."""
     plan = json.loads(analyzed_json)
+
+    def _lit_values(node) -> list:
+        return [
+            x.get("value")
+            for x in node.get("_children", [])
+            if _cls(x) == "Literal"
+        ]
+
+    def _full_fold_input(n):
+        """If ``n`` is the FULL unconditional portable_lower chain —
+        StringTranslate(Lower(StringTranslate(x,'İ','i')),'ς','σ') —
+        return the input subtree x, else None. Both translates are
+        required: a partial fold (İ pre-translate without the ς
+        post-translate, or vice versa) still diverges cross-engine on
+        word-final Σ / Turkish İ and must flag (round-11 advisory)."""
+        if _cls(n) != "StringTranslate" or "ς" not in _lit_values(n):
+            return None
+        ch = n["_children"][0] if n.get("_children") else None
+        if ch is None or _cls(ch) != "Lower" or not ch.get("_children"):
+            return None
+        inner = ch["_children"][0]
+        if _cls(inner) != "StringTranslate" or "İ" not in _lit_values(inner):
+            return None
+        return inner["_children"][0] if inner.get("_children") else None
+
+    def _guarded_fold_inputs(n):
+        """If ``n`` is the guarded portable_lower shape —
+        CASE WHEN contains(x,'İ')|contains(x,'Σ')|contains(x,'ς')
+        THEN <full chain> ELSE lower(x) END — return the input
+        subtrees to keep scanning, else None. The guard must probe ALL
+        THREE divergent codepoints and the THEN branch must be the
+        full chain; the ELSE Lower is only sanctioned inside this
+        exact shape (bit-identical because translate is the identity
+        when its search char is absent and Σ is the sole Java source
+        of new ς)."""
+        if _cls(n) != "CaseWhen":
+            return None
+        kids = n.get("_children", [])
+        inputs = [x for x in (_full_fold_input(k) for k in kids) if x is not None]
+        if not inputs:
+            return None
+        probed = set()
+        stack = list(kids)
+        while stack:
+            m = stack.pop()
+            if _cls(m) == "Contains":
+                for v in _lit_values(m):
+                    probed.add(v)
+            stack.extend(m.get("_children", []))
+        if not {"İ", "Σ", "ς"} <= probed:
+            return None
+        for k in kids:
+            if _cls(k) == "Lower" and k.get("_children"):
+                inputs.append(k["_children"][0])
+        return inputs
+
     alias_map: dict[int, dict] = {}
     cands: list[dict] = []
     for pnode in plan:
@@ -567,6 +637,16 @@ def lint_casefold(analyzed_json: str) -> list[str]:
                     eid = n.get("exprId", {}).get("id")
                     if c == "Alias" and n["_children"] and eid is not None:
                         alias_map[eid] = n["_children"][0]
+                    sanctioned = _guarded_fold_inputs(n)
+                    if sanctioned is None:
+                        one = _full_fold_input(n)
+                        sanctioned = [one] if one is not None else None
+                    if sanctioned is not None:
+                        # portable_lower form: prune the fold's own
+                        # Lower/translate machinery, keep scanning the
+                        # text input underneath it
+                        stack.extend(sanctioned)
+                        continue
                     if c in ("Lower", "Upper", "Reverse", "Levenshtein"):
                         cands.append(n)
                     stack.extend(n.get("_children", []))
@@ -576,14 +656,6 @@ def lint_casefold(analyzed_json: str) -> list[str]:
         ch = n["_children"][0] if n["_children"] else None
         if ch is None:
             continue
-        if c == "Lower" and _cls(ch) == "StringTranslate":
-            lits = [
-                x.get("value")
-                for x in ch.get("_children", [])
-                if _cls(x) == "Literal"
-            ]
-            if any(v == "İ" for v in lits):
-                continue  # portable_lower form
         kids = n["_children"] if c == "Levenshtein" else [ch]
         if any(_mentions_text_attr(k, alias_map, set()) for k in kids):
             hits.append(f"bare {c.lower()}() over corpus text lineage")
@@ -643,11 +715,22 @@ def lint_money_sums(analyzed_json: str) -> list[str]:
             # percentiles at the query level, not by this rule.)
             return False
         if c == "Cast" and top_cast is None:
+            dt = str(node.get("dataType", ""))
+            # decimal AND integral accumulation are both exact and
+            # order-independent; only a DOUBLE-typed Sum buffer drifts
+            # (integral: the grid_sum_parts hi-half is cast to long)
             top_cast = (
                 "decimal"
-                if _decimal_scale(str(node.get("dataType", ""))) is not None
+                if _decimal_scale(dt) is not None
+                or dt in ("long", "integer", "short", "byte", "bigint", "int")
                 else "other"
             )
+        if c == "Floor" and top_cast is None:
+            # grid_long floor-snap (functions/scalars.grid_long /
+            # grid_sum_parts): the summed value is LONG-typed integer
+            # grid units — integer accumulation is exact and
+            # order-independent like the decimal path, at native speed
+            top_cast = "decimal"
         if c == "AttributeReference":
             eid = node.get("exprId", {}).get("id")
             if node.get("name") in _MONEY_ATTRS:

@@ -84,10 +84,15 @@ def build(src: str, dst: str) -> None:
         "(%d, %s, '%s', '%s')" % (i, _sql_str(t), lang, srcname)
         for i, t, lang, srcname in ROWS
     )
+    # columns listed explicitly in BOTH branches (not SELECT *): DuckDB
+    # binds UNION ALL positionally, so a future reorder of the source
+    # parquet schema would silently misalign columns (e.g. text/lang
+    # swap) instead of erroring — round-11 advisory
     con.execute(
         f"""
 COPY (
-  SELECT * FROM '{src}/documents.parquet'
+  SELECT doc_id, text, lang, source, n_chars
+  FROM '{src}/documents.parquet'
   UNION ALL
   SELECT doc_id, text, lang, source, length(text) AS n_chars
   FROM (VALUES
