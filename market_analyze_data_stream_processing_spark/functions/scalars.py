@@ -169,7 +169,17 @@ def grid_long(col: Column | str, digits: int = 2) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     p = float(10**digits)
-    return F.floor(c * F.lit(p) + F.lit(0.5))
+    # same ASSERT-mode discipline as stable_round/quantize: with
+    # SPARK_GRAFT_NUMERIC_ASSERT set, out-of-domain per-row values
+    # (|x|·10^d ≥ 2^53, NaN, ±inf) RAISE instead of silently
+    # saturating. The exact-recovery contract is tighter (|k| < 2^51)
+    # and the grid_sum_parts product bound (|u| < 2^52) is the
+    # caller's documented contract — both sit ≥3 orders above any
+    # money column's 1e12-cent ceiling, so the 2^53 guard catches the
+    # realistic failure modes (non-finite or wildly out-of-grid rows).
+    return domain_checked(
+        c, digits, F.floor(c * F.lit(p) + F.lit(0.5)), "grid_long"
+    )
 
 
 def grid_sum_parts(u: Column, name: str, scale: int) -> list[Column]:

@@ -63,3 +63,21 @@ def test_flag_off_is_legacy_silent_path(spark, monkeypatch):
     df = spark.createDataFrame([(1e16,)], "x double")
     # no raise: the documented silent-saturation legacy behavior
     assert df.select(quantize(F.col("x")).alias("q")).collect()[0].q is not None
+
+
+def test_grid_long_guard(spark, assert_on):
+    """grid_long (the money-cents floor snap feeding grid_sum_parts)
+    carries the same per-row domain guard as stable_round: in-domain
+    grid values snap exactly; out-of-domain magnitudes raise."""
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        grid_long,
+    )
+
+    df = spark.createDataFrame([(104949.50,), (-0.07,), (None,)], "x double")
+    got = [
+        r.c for r in df.select(grid_long("x").alias("c")).collect()
+    ]
+    assert got == [10494950, -7, None]
+    bad = spark.createDataFrame([(1e16,)], "x double")
+    with pytest.raises(Exception, match="domain violation"):
+        bad.select(grid_long("x").alias("c")).collect()
