@@ -203,18 +203,20 @@ def q05_regional_revenue(spark, sf_dir):
 
 @register(
     "q_mktsegment_sales",
-    """
+    f"""
     SELECT c.c_mktsegment AS segment,
            count(*) AS n_orders,
            CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_sales,
-           floor(CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-                 / count(*) * 10000 + 0.5) / 10000 AS avg_sale
+           floor({decimal_to_double_split_sql('sum(CAST(o.o_totalprice AS DECIMAL(12,2)))')}
+                 / count(o.o_totalprice) * 10000 + 0.5) / 10000 AS avg_sale
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     ORDER BY segment
     """,
-    doc="Broadcast dim join (J2 generalized) + grouped agg.",
+    doc="Broadcast dim join (J2 generalized) + grouped agg. The money "
+    "mean divides the split-cast exact numerator by count(col) — AVG "
+    "null-ignoring semantics, portable past |v|·10^s > 2^53.",
 )
 def q_mktsegment_sales(spark, sf_dir):
     t = load_tables(spark, sf_dir)
@@ -225,7 +227,9 @@ def q_mktsegment_sales(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             money_round(F.sum(money2("o_totalprice"))).alias("total_sales"),
             stable_round(
-                F.sum(money2("o_totalprice")).cast("double") / F.count(F.lit(1)), 4
+                decimal_to_double_split(F.sum(money2("o_totalprice")))
+                / F.count("o_totalprice"),
+                4,
             ).alias("avg_sale"),
         )
         .orderBy("segment")
