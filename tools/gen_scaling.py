@@ -144,22 +144,35 @@ def main() -> None:
     out.append("")
     if have_sf1:
         out += [
-            "sf1-column interpretation:",
+            "sf1-column interpretation (SHARD-mode clone — the",
+            "tools/make_sf1.py default since round 11, and the corpus the",
+            "full-registry oracle differential runs on):",
             "",
-            "- The clone replicates DOCUMENT TEXT and EMBEDDING VECTORS under",
-            "  fresh ids (tools/make_sf1.py documents why), so the dedup",
-            "  family (`q_near_dup_jaccard`, `q_dup_clusters`,",
-            "  `q_embedding_near_dup`, `q_collocations`, `q_bigram_logprob`)",
-            "  faces an ADVERSARIAL 10-clique duplication corpus — the exact",
-            "  workload dedup exists for. Their decade ratios staying under",
-            "  10× means the DF caps / banding bounds absorb worst-case",
-            "  duplication rather than going quadratic in clique size.",
-            "- The two round-10 fill-in outliers FLATTEN at the next decade:",
-            "  `q_supplier_overlap` (7.0× over the 100× range when the",
-            "  supplier×part incidence was still filling in) and",
-            "  `q_market_basket` drop to ordinary ≤4× decade ratios at sf1 —",
-            "  the df≤cap bound binds once the incidence saturates, exactly",
-            "  the documented shape.",
+            "- Shard mode applies referential closure to text and vectors:",
+            "  replica k>0 suffixes every document token (disjoint",
+            "  vocabulary shards) and circularly rotates each embedding, so",
+            "  postings and candidate sets grow the way 10× of REAL corpus",
+            "  does. Two decade workloads exceed 10× by construction and",
+            "  must be read per unit of work, not per row:",
+            "  documents carry ~13.3× the CHARACTERS (suffixed tokens grow",
+            "  every token), and the embedding LABEL set is fixed, so the",
+            "  per-block-quadratic pair multiset of `q_embedding_near_dup`",
+            "  grows ~100× (Σ C(10n, 2); measured 100.5× via duckdb over",
+            "  both corpora). Ratios at or below those workload factors are",
+            "  at-or-below linear in work. At 100 TB the embedding block id",
+            "  is an IVF/k-means CELL whose count grows with the corpus,",
+            "  holding block depth bounded; the fixed-label clone prices the",
+            "  worst case where it does not.",
+            "- Executed pins for the dedup tails:",
+            "  `tests/test_dedup_similarity.py::test_dedup_tail_bounds_sf1`",
+            "  asserts at sf1 that the shingle pair multiset respects the",
+            "  (cap−1)/2·postings linear bound and that the blocked-cosine",
+            "  candidate stream is exactly Σ C(block, 2) — block-scoped,",
+            "  never corpus-quadratic.",
+            "- For bounded timing probes of worst-case duplication (10",
+            "  verbatim copies of the whole corpus) use CLIQUE mode —",
+            "  deliberately adversarial, intractable for full sweeps (its",
+            "  q_dup_clusters DuckDB oracle alone ran >25 min at sf1).",
             "",
         ]
     out.append("The `q_supplier_overlap` outlier is the Σ C(df,2) candidate-pair")
