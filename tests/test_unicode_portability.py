@@ -194,3 +194,47 @@ def test_lint_flags_reverse_and_levenshtein_over_text(spark):
     assert hits(docs.select(F.levenshtein("nm", "text"))), "either argument"
     assert not hits(docs.select(F.reverse("nm")))
     assert not hits(docs.select(F.levenshtein("nm", F.lit("x"))))
+
+
+def test_guarded_fold_equals_unconditional_on_corpus(spark):
+    """The guarded portable_lower (contains probes routing ASCII rows
+    to bare lower()) must be BIT-IDENTICAL to the unconditional
+    translate-lower-translate chain — the form every oracle SQL inlines
+    — on the real document corpus PLUS the unicode-clone trap rows.
+    Guard soundness: translate is the identity when its search char is
+    absent, and U+03A3 is the only uppercase codepoint Java lowers to
+    ς, so rows without İ/Σ/ς cannot differ under bare lower()."""
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.functions.text import (
+        portable_lower,
+    )
+
+    uncond = F.translate(
+        F.lower(F.translate(F.col("text"), "İ", "i")), "ς", "σ"
+    )
+    traps = spark.createDataFrame(
+        [
+            ("İstanbul ΣΟΦΟΣ τέλος ς",),
+            ("plain ascii body",),
+            ("word-final ΤΕΛΟΣ",),
+            ("ΑΒΓΣ mixed Σ",),
+            ("ııİİ",),
+            ("",),
+            (None,),
+        ],
+        "text string",
+    )
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("text")
+        .union(traps)
+    )
+    n_diff = (
+        corpus.select(
+            portable_lower(F.col("text")).alias("a"), uncond.alias("b")
+        )
+        .where(~F.col("a").eqNullSafe(F.col("b")))
+        .count()
+    )
+    assert n_diff == 0
