@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from market_analyze_data_stream_processing_spark.calibration import (
+    CALIB_REF_SEC,
+    calibration_probe,
+)
 from market_analyze_data_stream_processing_spark.operators.similarity import (
     invalidate_ivf_index,
 )
@@ -84,19 +88,41 @@ def main() -> None:
     # latency. Every pass executes every plan end-to-end — nothing is
     # cached between passes (checkpoint blocks are dropped after each
     # query), so the minimum is a real, complete execution.
+    # Calibration stations (round-13): a fixed synthetic probe
+    # (calibration.py) is timed before pass 1, between the passes, and
+    # after pass 2.  The host drifts monotonically slower within a
+    # session (PERF_r12.md), so each pass gets its own host-speed
+    # factor — the mean of the stations bracketing it, over the pinned
+    # CALIB_REF_SEC — and each query's reported minimum is normalized
+    # by the factor of the pass it was measured in.  `value_norm` is
+    # what cross-round comparisons should use; `value` stays the raw
+    # wall total for continuity with rounds 1-12.
     times: dict[str, float] = {}
+    from_pass: dict[str, int] = {}
     errored: list[str] = []
+    calib: list[float] = [round(calibration_probe(spark), 3)]
     for _pass in range(2):
         for name, q in QUERIES.items():
             if name in errored:
                 continue
             try:
                 t = round(run_one(spark, q, sf_dir), 3)
-                times[name] = min(times.get(name, t), t)
+                if name not in times or t < times[name]:
+                    times[name] = t
+                    from_pass[name] = _pass
             except Exception as e:  # a failing query is listed, never kills bench
                 print(f"bench error {name}: {e}", file=sys.stderr)
                 times.pop(name, None)
                 errored.append(name)
+        calib.append(round(calibration_probe(spark), 3))
+    pass_factor = [
+        (calib[p] + calib[p + 1]) / 2.0 / CALIB_REF_SEC for p in range(2)
+    ]
+    times_norm = {
+        name: round(t / pass_factor[from_pass[name]], 3)
+        for name, t in times.items()
+    }
+    total_norm = round(sum(times_norm.values()), 3)
     # `queries` holds only real durations (no -1 sentinels polluting sums
     # or cross-round comparisons); failures are the separate `errored`
     # list plus `n_errored`, so the JSON is self-describing.
@@ -111,6 +137,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_norm": times_norm,
+                "calib": {
+                    "pre": calib[0],
+                    "mid": calib[1],
+                    "post": calib[2],
+                    "ref": CALIB_REF_SEC,
+                    "pass_factor": [round(x, 4) for x in pass_factor],
+                },
+                "value_norm": total_norm,
                 "n_queries": len(times),
                 "n_errored": len(errored),
                 "errored": errored,
@@ -137,6 +172,13 @@ def main() -> None:
                 "metric": "suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "value_norm": total_norm,
+                "calib": {
+                    "pre": calib[0],
+                    "mid": calib[1],
+                    "post": calib[2],
+                    "ref": CALIB_REF_SEC,
+                },
                 "ok": not errored,
                 # others_sec is computed from the ROUNDED kept values so
                 # the advertised identity value == sum(queries) +

@@ -13,6 +13,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from market_analyze_data_stream_processing_spark.calibration import (
+    CALIB_REF_SEC,
+    calibration_probe,
+)
 from market_analyze_data_stream_processing_spark.operators.similarity import (
     invalidate_ivf_index,
 )
@@ -50,6 +54,14 @@ def main() -> None:
         drop_persisted()
         invalidate_ivf_index()
 
+    # Calibration stations (round-13, same thermometer as bench.py):
+    # bracket the timed loop with the fixed synthetic probe so A/B
+    # comparisons between microbench sessions can divide host drift
+    # out instead of re-litigating it per run.
+    c_pre = calibration_probe(spark)
+    print(f"calib pre: {c_pre:.3f}s (ref {CALIB_REF_SEC}s)", flush=True)
+
+    results: dict[str, float] = {}
     for name in names:
         best = None
         err = None
@@ -69,7 +81,13 @@ def main() -> None:
         if err is not None:
             print(f"{name}: ERROR {err}", flush=True)
         else:
+            results[name] = best
             print(f"{name}: {best:.2f}s", flush=True)
+    c_post = calibration_probe(spark)
+    factor = (c_pre + c_post) / 2.0 / CALIB_REF_SEC
+    print(f"calib post: {c_post:.3f}s  host factor: {factor:.3f}", flush=True)
+    for name, best in results.items():
+        print(f"{name} (norm): {best / factor:.2f}s", flush=True)
     spark.stop()
 
 
