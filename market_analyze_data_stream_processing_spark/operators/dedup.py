@@ -380,14 +380,28 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.35,
+    cells: str | None = "auto",
+    target_cell: int = 256,
+    max_cells: int = 128,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
     (SemDeDup-style: cluster/cell assignment first, exact cosine only
     WITHIN a block). One shuffle on the block id brings each block to a
     single ``applyInPandas`` task; the quadratic pair work then runs as
     vectorized numpy inside the task — never as a row-at-a-time join,
-    and never all-pairs over the corpus. At 100 TB the block id comes
-    from k-means/IVF cell assignment and the table is partitioned by it.
+    and never all-pairs over the corpus.
+
+    ``cells="auto"`` (the default since round 13) refines the block key
+    to ``(block_col, cell)`` with a DATA-DRIVEN IVF coarse cell
+    (:func:`..similarity.seed_cell_column`): the cell COUNT grows with
+    the corpus (K ≈ n/target_cell, capped), so block depth — and with
+    it the per-block quadratic pair work — stays bounded as the corpus
+    grows even when ``block_col`` is a fixed-cardinality label. That is
+    the 100 TB shape: a fixed label set makes label-blocked pair work
+    grow quadratically per decade; cell-refined blocking keeps it
+    linear. Corpora smaller than ``target_cell`` derive K=1 (a single
+    cell), so the refinement is the identity there. ``cells=None``
+    restores pure label blocking (the pre-round-13 semantics).
 
     Numeric contract: the kernel accumulates ``outer(A[:,k], B[:,k])``
     over k IN ELEMENT ORDER, so every pair's dot product is bitwise
@@ -502,13 +516,29 @@ def embedding_near_dup_pairs(
             np.concatenate(out_s),
         )
 
-    base = df.select(
-        F.col(block_col).alias("__b"),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-    )
+    if cells == "auto":
+        from .similarity import seed_cell_column
+
+        src, _k = seed_cell_column(
+            df, id_col=id_col, vec_col=vec_col,
+            target_block=target_cell, max_cells=max_cells,
+        )
+        base = src.select(
+            F.col(block_col).alias("__b"),
+            F.col("__cell"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+        )
+        grouped = base.groupBy("__b", "__cell")
+    else:
+        base = df.select(
+            F.col(block_col).alias("__b"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+        )
+        grouped = base.groupBy("__b")
     return (
-        base.groupBy("__b")
+        grouped
         .applyInPandas(block_pairs, schema=out_schema)
         .select("id_a", "id_b", block_col, F.round("sim", 6).alias("sim"))
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +75,106 @@ def with_lsh_bucket(
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return df.withColumn(out_col, bucket)
+
+
+def seed_cell_column(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_block: int = 256,
+    max_cells: int = 128,
+    out_col: str = "__cell",
+):
+    """Attach a DATA-DRIVEN coarse-cell id to every row: an IVF coarse
+    quantizer whose centroids are the first K valid rows by id (a
+    deterministic data sample — the zero-Lloyd-iteration special case of
+    IVF training, which is the only variant whose assignment is
+    bit-reproducible across engines: Lloyd means are order-dependent
+    float sums, seed vectors are literal data).
+
+    K = max(1, min(max_cells, ceil(n_valid / target_block))) — the cell
+    COUNT grows with the corpus while expected cell depth stays pinned
+    near ``target_block``, which is what makes cell-blocked quadratic
+    work (SemDeDup-style near-dup, per-cell kNN) LINEAR in corpus size
+    instead of quadratic-per-fixed-block.  At 100 TB this is the shape
+    of a stored IVF index (``save_ivf_index``); here the seeds are
+    collected in one bounded job (K ≤ max_cells rows of d floats — the
+    same driver-state budget as the k-means seeder).
+
+    Assignment: cell = id of the seed maximizing cosine(row, seed),
+    ties to the smallest seed id; computed with the k-ordered
+    accumulation fold so the scores — and therefore the argmax — are
+    bit-identical to a SQL engine's sequential ``list_inner_product``
+    (the property the DuckDB oracle differential checks).  Rows that
+    cannot be assigned keep deterministic sentinel cells: NULL vector →
+    -1; a vector whose length matches no seed → -1 - length (ragged
+    rows still co-group among themselves, mirroring the near-dup
+    kernel's per-length pairing).
+
+    Returns ``(df_with_out_col, n_cells)``.
+    """
+    from pyspark.sql.types import LongType
+
+    emb = as_double(F.col(vec_col))
+    # Valid = usable as a seed and scoreable: non-null, finite-sum
+    # positive squared norm. The fold's order doesn't matter for a
+    # `> 0` test; null elements poison the fold to null → invalid.
+    sumsq = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    valid = F.col(vec_col).isNotNull() & (sumsq > F.lit(0.0))
+    n_valid = df.where(valid).count()
+    k = max(1, min(max_cells, -(-n_valid // target_block)))
+    seed_rows = (
+        df.where(valid)
+        .select(F.col(id_col).alias("i"), emb.alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    seeds_by_len: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for length in {len(r["v"]) for r in seed_rows}:
+        grp = [r for r in seed_rows if len(r["v"]) == length]
+        ids = np.asarray([r["i"] for r in grp], dtype=np.int64)
+        C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in grp])
+        # k-ordered norm accumulation — matches sqrt(list_inner_product).
+        nrm2 = np.zeros(len(grp))
+        for j in range(length):
+            c = C[:, j]
+            nrm2 = nrm2 + c * c
+        seeds_by_len[length] = (ids, C, np.sqrt(nrm2))
+
+    @F.pandas_udf(LongType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        out = np.full(len(vs), -1, dtype=np.int64)
+        notnull = vs.notna().to_numpy()
+        if not notnull.any():
+            return pd.Series(out)
+        lens = np.full(len(vs), -1, dtype=np.int64)
+        lens[notnull] = vs[notnull].map(len).to_numpy()
+        for length in np.unique(lens[notnull]):
+            sel = np.nonzero(lens == length)[0]
+            if length not in seeds_by_len:
+                out[sel] = -1 - int(length)
+                continue
+            cids, C, cnrm = seeds_by_len[int(length)]
+            M = np.stack(vs.iloc[sel].to_numpy()).astype(np.float64)
+            n = len(sel)
+            D = np.zeros((n, len(cids)))
+            rnrm2 = np.zeros(n)
+            for j in range(int(length)):
+                col = M[:, j]
+                D = D + np.multiply.outer(col, C[:, j])
+                rnrm2 = rnrm2 + col * col
+            rnrm = np.sqrt(rnrm2)
+            ok = rnrm > 0.0
+            score = D / np.multiply.outer(np.where(ok, rnrm, 1.0), cnrm)
+            # first-max == smallest seed index == smallest seed id
+            # (seeds are id-sorted) — the SQL `ORDER BY score DESC, cid`
+            # tie-break.
+            best = cids[np.argmax(score, axis=1)]
+            out[sel] = np.where(ok, best, -1)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, cell_of(F.col(vec_col))), k
 
 
 #: Build-once IVF centroid cache. A production IVF index is built ONCE

