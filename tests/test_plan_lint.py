@@ -199,6 +199,40 @@ def test_casefold_bare_rule_fires_and_clears(spark):
     assert hits(docs.select(incomplete)), (
         "guarded fold probing only İ (not Σ/ς) must fire"
     )
+    # Round-12 advisory closures: the probes must reference the SAME
+    # input the fold transforms — a guard probing a DIFFERENT column
+    # (all three codepoints!) routes unprobed text rows through the
+    # bare-lower branch and must fire.
+    docs2 = spark.createDataFrame(
+        [(1, "İstanbul Text", "other")], ["doc_id", "text", "meta"]
+    )
+    chain = F.translate(F.lower(F.translate("text", "İ", "i")), "ς", "σ")
+    wrong_probe = F.when(
+        F.col("meta").contains("İ")
+        | F.col("meta").contains("Σ")
+        | F.col("meta").contains("ς"),
+        chain,
+    ).otherwise(F.lower("text"))
+    assert hits(docs2.select(wrong_probe)), (
+        "guard probing a different column than the fold must fire"
+    )
+    # ...and a multi-branch CASE whose EXTRA value branch does a bare
+    # upper()/lower() over text must fire even though the guarded-fold
+    # machinery around it is valid (the extra branch is scanned, not
+    # skipped).
+    probes = (
+        F.col("text").contains("İ")
+        | F.col("text").contains("Σ")
+        | F.col("text").contains("ς")
+    )
+    extra_branch = (
+        F.when(probes, chain)
+        .when(F.col("doc_id") > 5, F.upper("text"))
+        .otherwise(F.lower("text"))
+    )
+    assert hits(docs2.select(extra_branch)), (
+        "extra bare-upper value branch inside a sanctioned CASE must fire"
+    )
     # the full unconditional chain stays sanctioned
     assert not hits(
         docs.select(
@@ -222,22 +256,80 @@ def test_money_sum_double_rule_fires_and_clears(spark):
     def hits(df):
         return lint_money_sums(df._jdf.queryExecution().analyzed().toJSON())
 
+    def dbl(df):
+        return hits(df).get("MONEY_SUM_DOUBLE")
+
     l = spark.createDataFrame(
         [(100.25, 0.05, 3.0)], ["l_extendedprice", "l_discount", "l_quantity"]
     )
-    assert hits(l.agg(F.sum("l_extendedprice")))
-    assert hits(l.agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
+    assert dbl(l.agg(F.sum("l_extendedprice")))
+    assert dbl(l.agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
     # through a cross-projection alias
-    assert hits(
+    assert dbl(
         l.select((F.col("l_extendedprice") * 2).alias("px")).agg(F.sum("px"))
     )
-    assert not hits(
+    assert not dbl(
         l.agg(F.sum(money2("l_extendedprice") * one_minus_rate("l_discount")))
     ), "DECIMAL accumulation is the sanctioned form"
-    assert not hits(l.agg(F.sum("l_quantity"))), "integer-grid qty sums exactly"
+    assert not dbl(l.agg(F.sum("l_quantity"))), "integer-grid qty sums exactly"
     # Average shares the accumulation-order drift (same numerator)
-    assert hits(l.agg(F.avg("l_extendedprice")))
-    assert hits(l.agg(F.avg("l_discount"))), "rate columns are cent-grid too"
-    assert not hits(
+    assert dbl(l.agg(F.avg("l_extendedprice")))
+    assert dbl(l.agg(F.avg("l_discount"))), "rate columns are cent-grid too"
+    assert not dbl(
         l.agg(F.sum(money2("l_extendedprice")).cast("double") / F.count(F.lit(1)))
     ), "exact-decimal-numerator mean is the sanctioned form"
+
+
+def test_money_sum_long_and_wide_rules(spark):
+    """Round-13 additions: MONEY_SUM_LONG_UNSPLIT must flag a bare LONG
+    money sum (no grid_sum_parts hi/lo split, so no overflow-headroom
+    analysis travels with it) and clear the split form — including the
+    WINDOW split form whose Pmod lives behind a projection alias; and
+    WIDE_DECIMAL_SUM must report a DECIMAL(p>=9) money sum so run()
+    can flag it as GRID_SUM_FULLSCAN on join-free plans."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        grid_long,
+        grid_sum_parts,
+        money2,
+    )
+    from tools.plan_lint import lint_money_sums
+
+    def hits(df):
+        return lint_money_sums(df._jdf.queryExecution().analyzed().toJSON())
+
+    l = spark.createDataFrame(
+        [(100.25, 0.05, 1)], ["l_extendedprice", "l_discount", "k"]
+    )
+    bare = l.agg(F.sum(grid_long("l_extendedprice")))
+    assert hits(bare).get("MONEY_SUM_LONG_UNSPLIT"), "bare LONG money sum must warn"
+    split = l.agg(*grid_sum_parts(grid_long("l_extendedprice"), "x", 2))
+    assert not hits(split).get("MONEY_SUM_LONG_UNSPLIT"), (
+        "the hi/lo split form is the sanctioned LONG accumulation"
+    )
+    # window split form: hi/lo computed in a lower projection, the
+    # window Sum sees only attribute refs — Pmod detection must
+    # resolve aliases (the q_cumulative_spend shape)
+    w = Window.partitionBy("k").orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    u = grid_long("l_extendedprice")
+    lo = F.pmod(u, F.lit(100))
+    hi = ((u - lo) / F.lit(100)).cast("long")
+    win = l.select(
+        F.sum(hi).over(w).alias("__c_hi"), F.sum(lo).over(w).alias("__c_lo")
+    )
+    assert not hits(win).get("MONEY_SUM_LONG_UNSPLIT"), (
+        "alias-indirected Pmod split must stay sanctioned"
+    )
+    wide = l.agg(F.sum(money2("l_extendedprice")))
+    assert hits(wide).get("WIDE_DECIMAL_SUM"), (
+        "DECIMAL(12,2) sum carries a 22-digit buffer — must be reported "
+        "for the GRID_SUM_FULLSCAN shape gate"
+    )
+    narrow = l.agg(F.sum(F.col("l_discount").cast("decimal(4,2)")))
+    assert not hits(narrow).get("WIDE_DECIMAL_SUM"), (
+        "DECIMAL(4,2) buffer (14 digits) stays on the compact-long path"
+    )

@@ -68,6 +68,22 @@ Rules
                uppercases corpus text — Java upper('ß')='SS' vs
                utf8proc 'ẞ' is a worse trap than lower).
 
+- MONEY_SUM_LONG_UNSPLIT (round 13) — a bare integral money Sum
+               (grid_long reading) without the grid_sum_parts hi/lo
+               split whose Pmod marks it: exact only absent 2^63
+               overflow (silent wrap in non-ANSI Spark), while the
+               split form carries the documented ~8e13-rows/group
+               headroom analysis.
+
+- GRID_SUM_FULLSCAN (round 13) — a wide-DECIMAL (p≥9 → Sum buffer
+               p+10 > 18 digits, off the compact-long representation,
+               per-row BigDecimal) money Sum on a plan with NO joins:
+               exactly the shape where grid_sum_parts measured ~2x
+               faster (PERF_r12). Join-bearing plans are exempt by
+               measurement (q05 1.17 s DECIMAL vs 1.37 s grid); a hit
+               must be converted or allowlisted with an A/B number —
+               the round-12 measurement discipline, lint-closed.
+
 `Exchange SinglePartition` by itself is NOT flagged: a global (no-key)
 aggregate or limit legitimately reduces to one partition AFTER partial
 map-side aggregation — the rows crossing that exchange are O(1).
@@ -104,9 +120,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_retrieval_pipeline": {
         "NLJ": "probe vector is ONE literal row",
     },
-    "q_embedding_near_dup": {
-        "NLJ": "LSH-bucketed self-pairing; build side capped per bucket",
-    },
+    # (q_embedding_near_dup's former NLJ entry was removed in round 13:
+    # the plan is a seed-cell pandas_udf + grouped applyInPandas kernel
+    # — no join of any kind since the round-7 kernel rewrite.)
     "q_funnel_conversion": {
         "NLJ": "three 1-row stage counts combined into the summary row",
     },
@@ -405,6 +421,16 @@ def _coarse_scale(node, alias_map, seen) -> int | None:
         # explicit type; unknown/double → proof fails.
         ch = node.get("_children", [])
         return _decimal_typed_scale(ch[0]) if ch else None
+    if c == "Multiply":
+        # decimal x decimal is EXACT decimal arithmetic on the s1+s2
+        # grid (the grid_sum_value recombination: lo_count * 0.01).
+        # Only provable DECIMAL/integral types qualify — a double
+        # multiply still fails the proof (_decimal_typed_scale returns
+        # None for doubles), same soundness as the Sum rule below.
+        scales = [_decimal_typed_scale(x) for x in node.get("_children", [])]
+        if len(scales) == 2 and all(x is not None for x in scales):
+            return scales[0] + scales[1]
+        return None
     if c not in _GRID_PRESERVING:
         return None
     scales = [
@@ -594,36 +620,100 @@ def lint_casefold(analyzed_json: str) -> list[str]:
             return None
         return inner["_children"][0] if inner.get("_children") else None
 
+    def _canon(node):
+        """Structural fingerprint of an expression subtree: class +
+        identifying payload (attr name/exprId, literal value, cast
+        type) + children, recursively. Two plan-tree copies of the
+        same Column expression canonicalize equal (the analyzer copies
+        subtrees but keeps attribute exprIds), so this is how the
+        guarded-fold lint checks that the guard PROBES THE SAME INPUT
+        the fold transforms (round-12 advisory: a guard probing a
+        different column must not sanction the fold)."""
+        return (
+            _cls(node),
+            node.get("name"),
+            str(node.get("value")),
+            str(node.get("dataType", "")),
+            node.get("exprId", {}).get("id"),
+            tuple(_canon(ch) for ch in node.get("_children", [])),
+        )
+
+    def _probe_values(k, canon):
+        """If ``k`` is an Or-tree of contains(x, <literal>) probes whose
+        every input x canonicalizes to ``canon``, return the probed
+        literal values, else None."""
+        c = _cls(k)
+        if c == "Or":
+            vals: set = set()
+            for ch in k.get("_children", []):
+                v = _probe_values(ch, canon)
+                if v is None:
+                    return None
+                vals |= v
+            return vals
+        if c == "Contains":
+            chs = k.get("_children", [])
+            if (
+                len(chs) == 2
+                and _canon(chs[0]) == canon
+                and _cls(chs[1]) == "Literal"
+            ):
+                return {chs[1].get("value")}
+            return None
+        return None
+
     def _guarded_fold_inputs(n):
         """If ``n`` is the guarded portable_lower shape —
         CASE WHEN contains(x,'İ')|contains(x,'Σ')|contains(x,'ς')
-        THEN <full chain> ELSE lower(x) END — return the input
+        THEN <full chain over x> ELSE lower(x) END — return the
         subtrees to keep scanning, else None. The guard must probe ALL
-        THREE divergent codepoints and the THEN branch must be the
-        full chain; the ELSE Lower is only sanctioned inside this
-        exact shape (bit-identical because translate is the identity
-        when its search char is absent and Σ is the sole Java source
-        of new ς)."""
+        THREE divergent codepoints ON THE SAME INPUT x the fold
+        transforms (structural match — round-12 advisory closed: a
+        guard probing a different column, or a fold over a different
+        input than the probes, no longer sanctions); the ELSE Lower is
+        sanctioned only when its input is that same x (bit-identical
+        because translate is the identity when its search char is
+        absent and Σ is the sole Java source of new ς). Children that
+        are not part of the recognized machinery (extra value branches
+        of a multi-branch CASE) are returned WHOLE so the normal scan
+        still flags a bare lower()/upper() inside them."""
         if _cls(n) != "CaseWhen":
             return None
         kids = n.get("_children", [])
-        inputs = [x for x in (_full_fold_input(k) for k in kids) if x is not None]
-        if not inputs:
+        fold_inputs = [
+            x for x in (_full_fold_input(k) for k in kids) if x is not None
+        ]
+        if not fold_inputs:
             return None
-        probed = set()
-        stack = list(kids)
-        while stack:
-            m = stack.pop()
-            if _cls(m) == "Contains":
-                for v in _lit_values(m):
-                    probed.add(v)
-            stack.extend(m.get("_children", []))
+        canon = _canon(fold_inputs[0])
+        if any(_canon(x) != canon for x in fold_inputs[1:]):
+            return None
+        probed: set = set()
+        out = []
+        for k in kids:
+            fi = _full_fold_input(k)
+            if fi is not None:
+                out.append(fi)
+                continue
+            if (
+                _cls(k) == "Lower"
+                and k.get("_children")
+                and _canon(k["_children"][0]) == canon
+            ):
+                out.append(k["_children"][0])
+                continue
+            pv = _probe_values(k, canon)
+            if pv is not None:
+                probed |= pv
+                # the probe's input is a copy of the fold input —
+                # already queued for scanning via the THEN branch
+                continue
+            # unrecognized branch: scan it whole (don't skip, don't
+            # let it block sanctioning of the recognized machinery)
+            out.append(k)
         if not {"İ", "Σ", "ς"} <= probed:
             return None
-        for k in kids:
-            if _cls(k) == "Lower" and k.get("_children"):
-                inputs.append(k["_children"][0])
-        return inputs
+        return out
 
     alias_map: dict[int, dict] = {}
     cands: list[dict] = []
@@ -682,7 +772,29 @@ def lint_money_sums(analyzed_json: str) -> list[str]:
     (q_cube_status, q_grouping_sets, q_salted_brand_revenue,
     q09_product_profit). Sanctioned form: accumulate in DECIMAL
     (functions/scalars.money2 / one_minus_rate / money_round) — exact,
-    order-independent, engine-identical at any scale."""
+    order-independent, engine-identical at any scale.
+
+    Round-13 additions (returns a dict of rule-code → messages now):
+
+    - MONEY_SUM_LONG_UNSPLIT (advisory): an integral-typed money Sum
+      (grid_long reading) WITHOUT the grid_sum_parts hi/lo split
+      (detected by the Pmod the split's lo-part carries). A single
+      LONG sum is exact only absent 2^63 overflow — which Spark wraps
+      SILENTLY in non-ANSI mode — while the split form carries the
+      documented ~8e13-rows/group headroom analysis. (This session
+      runs ANSI, where overflow raises instead of wrapping; the rule
+      still flags so the headroom discipline travels with the code,
+      not the session config.)
+    - WIDE_DECIMAL_SUM (returned for the caller to gate on plan
+      shape): a Sum whose decisive cast is DECIMAL(p≥9) over money
+      lineage — Spark's Sum buffer is DECIMAL(p+10), which exceeds 18
+      digits and falls off the compact-long representation, paying a
+      per-row java.math.BigDecimal round-trip (~2x agg cost, the
+      round-12 PERF attribution). On a FULL-SCAN aggregate shape
+      (no joins in the plan) grid_sum_parts is the measured ~2x win,
+      so the caller flags it there as GRID_SUM_FULLSCAN;
+      filtered/join-dominated shapes keep DECIMAL by measurement
+      (q05 1.17 s DECIMAL vs 1.37 s grid — PERF_r12)."""
     plan = json.loads(analyzed_json)
     alias_map: dict[int, dict] = {}
     cands: list[dict] = []
@@ -700,55 +812,82 @@ def lint_money_sums(analyzed_json: str) -> list[str]:
                         cands.append(n["_children"][0])
                     stack.extend(n.get("_children", []))
 
-    def bad_money_reach(node, top_cast, seen) -> bool:
-        """True if a money attr is reachable with no DECIMAL as the
-        TOPMOST Cast on its path (composite nodes carry no dataType in
-        the JSON, so the nearest-to-the-Sum cast decides the branch's
-        accumulation type: Cast(double, Cast(decimal, attr)) is still a
-        DOUBLE sum; Multiply(Cast(decimal, attr), ...) is decimal)."""
+    saw_pmod = False
+
+    def money_reaches(node, top_cast, seen, out) -> None:
+        """Collect, for every money attr reachable in value position,
+        the decisive accumulation classification — the TOPMOST Cast on
+        its path (composite nodes carry no dataType in the JSON, so
+        the nearest-to-the-Sum cast decides the branch's accumulation
+        type: Cast(double, Cast(decimal, attr)) is still a DOUBLE sum;
+        Multiply(Cast(decimal, attr), ...) is decimal)."""
+        nonlocal saw_pmod
         c = _cls(node)
+        if c == "Pmod":
+            # the grid_sum_parts hi/lo split marker (alias-resolved:
+            # window forms compute hi/lo in a lower Project, so a
+            # plain subtree scan of the Sum child misses it)
+            saw_pmod = True
         if c in _BOOLEAN_CONSUMERS or c in _NON_VALUE_SUBTREES:
             # money under a predicate / sort key: the summed VALUE is a
             # 0/1 flag or an unrelated branch — integer-exact in any
             # accumulation order. (Threshold-comparison determinism is
             # its own class, handled by exact decimals / snapped
             # percentiles at the query level, not by this rule.)
-            return False
+            return
         if c == "Cast" and top_cast is None:
             dt = str(node.get("dataType", ""))
-            # decimal AND integral accumulation are both exact and
-            # order-independent; only a DOUBLE-typed Sum buffer drifts
-            # (integral: the grid_sum_parts hi-half is cast to long)
-            top_cast = (
-                "decimal"
-                if _decimal_scale(dt) is not None
-                or dt in ("long", "integer", "short", "byte", "bigint", "int")
-                else "other"
-            )
+            m = re.match(r"decimal\((\d+),", dt)
+            if m:
+                top_cast = ("decimal", int(m.group(1)))
+            elif dt in ("long", "integer", "short", "byte", "bigint", "int"):
+                # integral accumulation is exact like decimal
+                # (grid_sum_parts' hi-half is cast to long)
+                top_cast = ("integral", None)
+            else:
+                top_cast = ("other", None)
         if c == "Floor" and top_cast is None:
-            # grid_long floor-snap (functions/scalars.grid_long /
-            # grid_sum_parts): the summed value is LONG-typed integer
-            # grid units — integer accumulation is exact and
-            # order-independent like the decimal path, at native speed
-            top_cast = "decimal"
+            # grid_long floor-snap (functions/scalars.grid_long):
+            # LONG-typed integer grid units — exact accumulation
+            top_cast = ("integral", None)
         if c == "AttributeReference":
             eid = node.get("exprId", {}).get("id")
             if node.get("name") in _MONEY_ATTRS:
-                return top_cast != "decimal"
+                out.append(top_cast or ("none", None))
+                return
             if eid is not None and eid in alias_map and eid not in seen:
                 seen.add(eid)
-                return bad_money_reach(alias_map[eid], top_cast, seen)
-            return False
-        return any(
-            bad_money_reach(ch, top_cast, seen)
-            for ch in node.get("_children", [])
-        )
+                money_reaches(alias_map[eid], top_cast, seen, out)
+            return
+        for ch in node.get("_children", []):
+            money_reaches(ch, top_cast, seen, out)
 
-    return [
-        "DOUBLE sum over cent-grid money lineage"
-        for ch in cands
-        if bad_money_reach(ch, None, set())
-    ]
+    hits: dict[str, list[str]] = {}
+    for ch in cands:
+        reaches: list[tuple] = []
+        saw_pmod = False
+        money_reaches(ch, None, set(), reaches)
+        if not reaches:
+            continue
+        kinds = {k for k, _ in reaches}
+        if kinds & {"none", "other"}:
+            hits.setdefault("MONEY_SUM_DOUBLE", []).append(
+                "DOUBLE sum over cent-grid money lineage"
+            )
+            continue
+        if "integral" in kinds and not saw_pmod:
+            hits.setdefault("MONEY_SUM_LONG_UNSPLIT", []).append(
+                "bare LONG money sum without the grid_sum_parts hi/lo "
+                "split (no overflow-headroom analysis travels with it)"
+            )
+        wide = [p for k, p in reaches if k == "decimal" and p and p >= 9]
+        if wide:
+            hits.setdefault("WIDE_DECIMAL_SUM", []).append(
+                f"DECIMAL({max(wide)}) money sum: Sum buffer "
+                f"DECIMAL({max(wide) + 10}) exceeds the 18-digit "
+                "compact-long representation (per-row BigDecimal)"
+            )
+    return hits
 
 
 def lint_one(plan: str) -> dict[str, int]:
@@ -808,8 +947,30 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             hits["LIBM_UNSNAPPED"] = len(libm_hits)
         if casefold_hits:
             hits["CASEFOLD_BARE"] = len(casefold_hits)
-        if money_hits:
-            hits["MONEY_SUM_DOUBLE"] = len(money_hits)
+        if money_hits.get("MONEY_SUM_DOUBLE"):
+            hits["MONEY_SUM_DOUBLE"] = len(money_hits["MONEY_SUM_DOUBLE"])
+        if money_hits.get("MONEY_SUM_LONG_UNSPLIT"):
+            hits["MONEY_SUM_LONG_UNSPLIT"] = len(
+                money_hits["MONEY_SUM_LONG_UNSPLIT"]
+            )
+        # GRID_SUM_FULLSCAN (round 13): a wide-DECIMAL money Sum on a
+        # FULL-SCAN aggregate shape — no Join anywhere in the analyzed
+        # plan — is exactly where grid_sum_parts measured ~2x faster
+        # (PERF_r12: the DECIMAL(p+10) Sum buffer pays a per-row
+        # BigDecimal round-trip). Filtered/JOIN-dominated money sums
+        # keep DECIMAL by measurement (q05 1.17 s DECIMAL vs 1.37 s
+        # grid), so join-bearing plans are exempt by shape; any
+        # remaining hit must be converted or allowlisted with an A/B
+        # measurement, keeping the round-12 discipline lint-closed.
+        wide = money_hits.get("WIDE_DECIMAL_SUM")
+        if wide:
+            has_join = any(
+                pnode.get("class", "").rsplit(".", 1)[-1]
+                in ("Join", "LateralJoin", "AsOfJoin")
+                for pnode in json.loads(analyzed_json)
+            )
+            if not has_join:
+                hits["GRID_SUM_FULLSCAN"] = len(wide)
         if hits:
             results[name] = hits
     violations = {
@@ -883,7 +1044,28 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
             "(q_winsorized_stats, q_mad_outliers) because the engines' "
             "interpolation arithmetic differs by 1 ULP exactly when a "
             "threshold lands ON the data grid, where every tied row flips "
-            "together. Generated "
+            "together. Round-13 rules: GRID_SUM_FULLSCAN — a wide-DECIMAL "
+            "(p≥9: Sum buffer p+10 exceeds the 18-digit compact-long "
+            "representation, paying a per-row java.math.BigDecimal "
+            "round-trip) money Sum on a JOIN-FREE plan, exactly the shape "
+            "where grid_sum_parts measured ~2x faster (PERF_r12); "
+            "join-bearing money sums keep DECIMAL by measurement (q05 "
+            "1.17 s DECIMAL vs 1.37 s grid). The round-13 sweep converted "
+            "the five hits (q06_forecast_revenue 1.25x, q_cube_status "
+            "2.3x, q_grouping_sets, q_cumulative_spend 1.4x, "
+            "q_range_frame_window — all measured at sf1, all bit-identical "
+            "by construction, oracles unchanged), so the registry is "
+            "clean with ZERO shape exemptions. MONEY_SUM_LONG_UNSPLIT — a "
+            "bare integral money Sum without the grid_sum_parts hi/lo "
+            "split (detected by its Pmod, alias-resolved through window "
+            "projections): a single LONG money sum is exact only absent "
+            "2^63 overflow, which non-ANSI Spark wraps silently; the "
+            "split form carries the ~8e13-rows/group headroom analysis. "
+            "CASEFOLD tightening (round-12 advisory closed): the guarded "
+            "portable_lower is sanctioned only when its contains-probes "
+            "reference the SAME input expression the fold transforms "
+            "(structural match) and unrecognized CASE branches are "
+            "scanned rather than skipped. Generated "
             "by `tools/plan_lint.py`; enforced by `tests/test_plan_lint.py`."
         )
         out.append("")
