@@ -87,25 +87,33 @@ def numeric_assert_enabled() -> bool:
     return os.environ.get(NUMERIC_ASSERT_ENV, "") not in ("", "0")
 
 
-def domain_checked(col: Column, digits: int, result: Column, where: str) -> Column:
+def domain_checked(
+    col: Column,
+    digits: int,
+    result: Column,
+    where: str,
+    bound: float = _SNAP_DOMAIN_BOUND,
+) -> Column:
     """Wrap ``result`` (a snap of ``col`` at ``digits``) in a per-row
     domain assertion when NUMERIC_ASSERT_ENV is set; identity otherwise.
 
     The guard accepts NULL (snaps pass NULL through) and any finite x
-    with |x|·10^digits < 2^53; NaN and ±inf fail the strict inequality
-    (NaN compares false, inf·10^d = inf), so one predicate covers the
-    whole out-of-contract surface. In-domain rows return ``result``
-    unchanged — assert_true yields NULL on pass, so the when-branch is
-    value-transparent and output hashes are identical with the flag on."""
+    with |x|·10^digits < ``bound`` (2^53 by default — the general snap
+    contract; grid_long passes its tighter 2^51 exact-recovery bound);
+    NaN and ±inf fail the strict inequality (NaN compares false,
+    inf·10^d = inf), so one predicate covers the whole out-of-contract
+    surface. In-domain rows return ``result`` unchanged — assert_true
+    yields NULL on pass, so the when-branch is value-transparent and
+    output hashes are identical with the flag on."""
     if not numeric_assert_enabled():
         return result
     p = float(10**digits)
-    ok = col.isNull() | (F.abs(col) * F.lit(p) < F.lit(_SNAP_DOMAIN_BOUND))
+    ok = col.isNull() | (F.abs(col) * F.lit(p) < F.lit(bound))
     msg = F.concat(
         F.lit(
             f"{where} domain violation (digits={digits}; contract: "
-            "|x|*10^digits < 2^53 and x finite — see the DOMAIN BOUND "
-            "docstring): x="
+            f"|x|*10^digits < {bound:.0f} and x finite — see the DOMAIN "
+            "BOUND docstring): x="
         ),
         col.cast("string"),
     )
@@ -169,16 +177,20 @@ def grid_long(col: Column | str, digits: int = 2) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     p = float(10**digits)
-    # same ASSERT-mode discipline as stable_round/quantize: with
-    # SPARK_GRAFT_NUMERIC_ASSERT set, out-of-domain per-row values
-    # (|x|·10^d ≥ 2^53, NaN, ±inf) RAISE instead of silently
-    # saturating. The exact-recovery contract is tighter (|k| < 2^51)
-    # and the grid_sum_parts product bound (|u| < 2^52) is the
-    # caller's documented contract — both sit ≥3 orders above any
-    # money column's 1e12-cent ceiling, so the 2^53 guard catches the
-    # realistic failure modes (non-finite or wildly out-of-grid rows).
+    # ASSERT-mode discipline as stable_round/quantize, but at the
+    # EXACT-RECOVERY bound this function documents: with
+    # SPARK_GRAFT_NUMERIC_ASSERT set, per-row values with
+    # |x|·10^d ≥ 2^51 (or NaN, ±inf) RAISE. 2^51 — not the generic
+    # 2^53 snap bound — because the floor form recovers the grid
+    # integer k exactly only for |k| < 2^51, and grid_sum_parts'
+    # split-division domain (|u| < 2^52) builds on it; a guard at
+    # 2^53 would admit rows in [2^51, 2^53) that can snap or split
+    # inexactly while claiming the contract holds (round-12
+    # advisory). Still ≥3 orders above any money column's 1e12-cent
+    # ceiling.
     return domain_checked(
-        c, digits, F.floor(c * F.lit(p) + F.lit(0.5)), "grid_long"
+        c, digits, F.floor(c * F.lit(p) + F.lit(0.5)), "grid_long",
+        bound=float(2**51),
     )
 
 
@@ -213,6 +225,24 @@ def grid_sum_parts(u: Column, name: str, scale: int) -> list[Column]:
     registry differential.
     """
     split = F.lit(10**scale)
+    if numeric_assert_enabled():
+        # ASSERT mode enforces the split-division domain this docstring
+        # states (round-12 advisory): |u| < 2^52 keeps u and hi·10^scale
+        # inside double-exact range for the (u - lo)/split division.
+        ok = u.isNull() | (F.abs(u) < F.lit(2**52))
+        u = F.when(
+            F.assert_true(
+                ok,
+                F.concat(
+                    F.lit(
+                        f"grid_sum_parts({name}) domain violation "
+                        "(contract: |u| < 2^52 per row): u="
+                    ),
+                    u.cast("string"),
+                ),
+            ).isNull(),
+            u,
+        )
     lo = F.pmod(u, split)
     hi = ((u - lo) / split).cast("long")
     return [

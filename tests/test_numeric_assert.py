@@ -81,3 +81,34 @@ def test_grid_long_guard(spark, assert_on):
     bad = spark.createDataFrame([(1e16,)], "x double")
     with pytest.raises(Exception, match="domain violation"):
         bad.select(grid_long("x").alias("c")).collect()
+    # Round-12 advisory closed: the guard enforces the EXACT-RECOVERY
+    # contract (|x|*10^d < 2^51), not the looser generic 2^53 snap
+    # bound — a value in [2^51, 2^53) can snap or split inexactly and
+    # must RAISE under ASSERT rather than pass while the docstring's
+    # contract is violated.
+    between = spark.createDataFrame([(float(2**51) / 100 * 1.01,)], "x double")
+    with pytest.raises(Exception, match="domain violation"):
+        between.select(grid_long("x").alias("c")).collect()
+    just_in = spark.createDataFrame([(float(2**50) / 100,)], "x double")
+    assert just_in.select(grid_long("x").alias("c")).collect()[0].c is not None
+
+
+def test_grid_sum_parts_product_domain_guard(spark, assert_on):
+    """grid_sum_parts asserts its split-division domain (|u| < 2^52 per
+    row) under ASSERT mode — the round-12 advisory's second half: the
+    (u - lo)/split double division is exact only inside that bound."""
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        grid_sum_parts,
+        grid_sum_value,
+    )
+
+    ok = spark.createDataFrame([(12345,), (-987,), (None,)], "u long")
+    row = ok.agg(*grid_sum_parts(F.col("u"), "s", 2)).select(
+        grid_sum_value("s", 2).alias("v")
+    ).collect()[0]
+    assert float(row.v) == 113.58
+    bad = spark.createDataFrame([(2**52 + 1,)], "u long")
+    with pytest.raises(Exception, match="grid_sum_parts.*domain violation"):
+        bad.agg(*grid_sum_parts(F.col("u"), "s", 2)).collect()
