@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from market_analyze_data_stream_processing_spark.calibration import (
     CALIB_REF_SEC,
+    SCAN_REF_SEC,
     calibration_probe,
+    scan_probe,
 )
 from market_analyze_data_stream_processing_spark.operators.similarity import (
     invalidate_ivf_index,
@@ -97,10 +99,18 @@ def main() -> None:
     # by the factor of the pass it was measured in.  `value_norm` is
     # what cross-round comparisons should use; `value` stays the raw
     # wall total for continuity with rounds 1-12.
+    # Two thermometers per station (calibration.py): `calib` is the
+    # pure-compute probe (CPU/steal dimension, used for normalization),
+    # `scan` is a fixed-parquet-scan probe (IO/decode/memory-bandwidth
+    # dimension, recorded for diagnosis — round 13 measured untouched
+    # queries 1.19x over the prior round's artifact while the compute
+    # probe sat on its pin, so a single CPU thermometer provably cannot
+    # explain every drift).
     times: dict[str, float] = {}
     from_pass: dict[str, int] = {}
     errored: list[str] = []
     calib: list[float] = [round(calibration_probe(spark), 3)]
+    scan: list[float] = [round(scan_probe(spark), 3)]
     for _pass in range(2):
         for name, q in QUERIES.items():
             if name in errored:
@@ -115,6 +125,7 @@ def main() -> None:
                 times.pop(name, None)
                 errored.append(name)
         calib.append(round(calibration_probe(spark), 3))
+        scan.append(round(scan_probe(spark), 3))
     pass_factor = [
         (calib[p] + calib[p + 1]) / 2.0 / CALIB_REF_SEC for p in range(2)
     ]
@@ -144,6 +155,10 @@ def main() -> None:
                     "post": calib[2],
                     "ref": CALIB_REF_SEC,
                     "pass_factor": [round(x, 4) for x in pass_factor],
+                    "scan_pre": scan[0],
+                    "scan_mid": scan[1],
+                    "scan_post": scan[2],
+                    "scan_ref": SCAN_REF_SEC,
                 },
                 "value_norm": total_norm,
                 "n_queries": len(times),
@@ -178,6 +193,8 @@ def main() -> None:
                     "mid": calib[1],
                     "post": calib[2],
                     "ref": CALIB_REF_SEC,
+                    "scan": scan,
+                    "scan_ref": SCAN_REF_SEC,
                 },
                 "ok": not errored,
                 # others_sec is computed from the ROUNDED kept values so

@@ -49,8 +49,23 @@ CALIB_ROWS = 80_000_000
 #: commit and say so in PERF notes.
 CALIB_REF_SEC = 0.59
 
+#: Fixed parquet input for the SCAN probe: constant bytes, read-only.
+SCAN_PATH = "/root/testdata/sf0.1/lineitem.parquet"
+
+#: Pinned reference seconds for one SCAN-probe rep (same convention as
+#: CALIB_REF_SEC, pinned round 13). The scan probe exists because the
+#: compute probe is pure in-JVM arithmetic: a host whose parquet/IO or
+#: memory-bandwidth path degrades while raw CPU stays nominal reads
+#: nominal on the compute probe yet slows every real query — round 13's
+#: local bench measured untouched queries 1.19x over the round-12
+#: driver artifact while the compute probe sat ON its pin, so one
+#: thermometer is provably not enough. Two stations bracket both
+#: dimensions.
+SCAN_REF_SEC = 0.48
+
 #: Sessions (SparkContext ids) whose probe codegen is already C2-hot.
 _WARMED: set[int] = set()
+_SCAN_WARMED: set[int] = set()
 
 
 def _calib_plan(spark, rows: int):
@@ -95,6 +110,34 @@ def calibration_probe(spark, rows: int = CALIB_ROWS, reps: int = 5) -> float:
     for _ in range(reps):
         t0 = time.perf_counter()
         _calib_plan(spark, rows).write.format("noop").mode("overwrite").save()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def _scan_plan(spark):
+    # Fixed parquet scan + wide projection + hash aggregate: exercises
+    # the IO/decode/memory-bandwidth path the compute probe cannot see.
+    df = spark.read.parquet(SCAN_PATH)
+    return df.groupBy((F.col("l_orderkey") % F.lit(97)).alias("k")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.xxhash64(*df.columns) % F.lit(1_000_000)).alias("h"),
+    )
+
+
+def scan_probe(spark, reps: int = 5) -> float:
+    """Median seconds of ``reps`` fixed-parquet-scan executions — the
+    IO/decode-dimension companion to :func:`calibration_probe` (see
+    SCAN_REF_SEC for why both exist). Same warm/median protocol."""
+    sess = id(spark.sparkContext)
+    if sess not in _SCAN_WARMED:
+        for _ in range(2):
+            _scan_plan(spark).write.format("noop").mode("overwrite").save()
+        _SCAN_WARMED.add(sess)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _scan_plan(spark).write.format("noop").mode("overwrite").save()
         ts.append(time.perf_counter() - t0)
     ts.sort()
     return ts[len(ts) // 2]
