@@ -333,3 +333,28 @@ def test_money_sum_long_and_wide_rules(spark):
     assert not hits(narrow).get("WIDE_DECIMAL_SUM"), (
         "DECIMAL(4,2) buffer (14 digits) stays on the compact-long path"
     )
+
+
+def test_grid_sum_fullscan_join_gate(spark):
+    """The GRID_SUM_FULLSCAN shape gate: a wide-DECIMAL money sum flags
+    only on JOIN-FREE plans (where grid_sum_parts measured ~2x);
+    join-bearing money sums keep DECIMAL by measurement and must stay
+    exempt by shape."""
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.functions.scalars import money2
+    from tools.plan_lint import lint_money_sums, plan_has_join
+
+    l = spark.createDataFrame([(1, 100.25)], ["k", "l_extendedprice"])
+    dim = spark.createDataFrame([(1, "x")], ["k", "name"])
+
+    def parts(df):
+        js = df._jdf.queryExecution().analyzed().toJSON()
+        return lint_money_sums(js).get("WIDE_DECIMAL_SUM"), plan_has_join(js)
+
+    wide, joined = parts(l.agg(F.sum(money2("l_extendedprice"))))
+    assert wide and not joined, "join-free wide sum must gate to FULLSCAN"
+    wide, joined = parts(
+        l.join(dim, "k").agg(F.sum(money2("l_extendedprice")))
+    )
+    assert wide and joined, "join-bearing wide sum must be exempt by shape"

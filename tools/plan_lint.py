@@ -890,6 +890,18 @@ def lint_money_sums(analyzed_json: str) -> list[str]:
     return hits
 
 
+def plan_has_join(analyzed_json: str) -> bool:
+    """True if the analyzed logical plan contains any join node — the
+    GRID_SUM_FULLSCAN shape gate: wide-DECIMAL money sums on join-free
+    plans must convert to grid_sum_parts (measured ~2x, PERF_r12/r13);
+    join-dominated ones keep DECIMAL by measurement."""
+    return any(
+        pnode.get("class", "").rsplit(".", 1)[-1]
+        in ("Join", "LateralJoin", "AsOfJoin")
+        for pnode in json.loads(analyzed_json)
+    )
+
+
 def lint_one(plan: str) -> dict[str, int]:
     hits: dict[str, int] = {}
     if "CartesianProduct" in plan:
@@ -963,14 +975,8 @@ def run(write_md: bool = True, spark=None, sf_dir: str = SF_DIR):
         # remaining hit must be converted or allowlisted with an A/B
         # measurement, keeping the round-12 discipline lint-closed.
         wide = money_hits.get("WIDE_DECIMAL_SUM")
-        if wide:
-            has_join = any(
-                pnode.get("class", "").rsplit(".", 1)[-1]
-                in ("Join", "LateralJoin", "AsOfJoin")
-                for pnode in json.loads(analyzed_json)
-            )
-            if not has_join:
-                hits["GRID_SUM_FULLSCAN"] = len(wide)
+        if wide and not plan_has_join(analyzed_json):
+            hits["GRID_SUM_FULLSCAN"] = len(wide)
         if hits:
             results[name] = hits
     violations = {
