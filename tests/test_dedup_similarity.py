@@ -954,3 +954,99 @@ def test_dedup_tail_bounds_sf1(spark):
         .collect()[0]["t"]
     )
     assert pairs1 * 20 <= label_pairs, (pairs1, label_pairs)
+
+
+def test_seed_cell_column_sentinels_and_k(spark):
+    """Direct contract of the round-13 coarse quantizer: K follows
+    max(1, min(max_cells, ceil(n_valid/target))); NULL vectors get cell
+    -1; zero-norm vectors get cell -1; a vector whose length matches no
+    seed gets cell -1-length (ragged rows co-group among themselves);
+    valid rows get the id of the argmax-cosine seed with ties to the
+    smallest seed id."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from market_analyze_data_stream_processing_spark.operators.similarity import (
+        seed_cell_column,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0]),    # seed 0 (first valid by id)
+        (1, [0.0, 1.0]),    # seed 1 (K=2: 5 valid rows / target 3)
+        (2, [0.9, 0.1]),    # nearest seed 0
+        (3, [0.1, 0.9]),    # nearest seed 1
+        (4, [1.0, 1.0]),    # exact tie in cosine -> smallest seed id (0)
+        (5, None),          # NULL -> -1
+        (6, [0.0, 0.0]),    # zero norm -> -1
+        (7, [1.0, 0.0, 0.0]),  # length 3, no 3-length seed -> -1-3
+    ]
+    df = spark.createDataFrame(rows, schema)
+    withc, k = seed_cell_column(
+        df, id_col="vec_id", vec_col="embedding", target_block=3, max_cells=4
+    )
+    assert k == 2  # ceil(5 valid / 3) = 2, under the max_cells cap
+    got = {r["vec_id"]: r["__cell"] for r in withc.collect()}
+    assert got[0] == 0 and got[1] == 1
+    assert got[2] == 0 and got[3] == 1
+    assert got[4] == 0, "exact cosine tie must break to the smallest seed id"
+    assert got[5] == -1 and got[6] == -1
+    assert got[7] == -4
+    # K cap binds: same data, max_cells=1 -> every valid row in seed 0's cell
+    one, k1 = seed_cell_column(
+        df, id_col="vec_id", vec_col="embedding", target_block=3, max_cells=1
+    )
+    assert k1 == 1
+    got1 = {r["vec_id"]: r["__cell"] for r in one.collect()}
+    assert {got1[i] for i in (0, 1, 2, 3, 4)} == {0}
+
+
+def test_embedding_near_dup_cells_split_blocks(spark):
+    """With cells forced small, identical vectors in the same LABEL but
+    different derived CELLS must not pair (SemDeDup semantics: the cell
+    is part of the block key), while same-cell near-dups still do — and
+    cells=None restores pure label blocking."""
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    v = [1.0, 0.0]
+    w = [0.0, 1.0]
+    rows = [
+        (0, v, 0), (2, v, 0),   # cell of seed 0
+        (1, w, 0), (3, w, 0),   # cell of seed 1 (orthogonal)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, target_cell=2, max_cells=4
+        ).collect()
+    )
+    assert got == [(0, 2), (1, 3)], got
+    # label-only blocking pairs across the orthogonality boundary too —
+    # but 0.9 filters those; drop threshold to prove the block shape
+    all_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=-1.0, target_cell=2, max_cells=4
+        ).collect()
+    )
+    assert all_pairs == [(0, 2), (1, 3)], (
+        "cross-cell pairs must not even be CANDIDATES under cell blocking"
+    )
+    legacy = sorted(
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=-1.0, cells=None).collect()
+    )
+    assert legacy == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
