@@ -227,6 +227,15 @@ def node_overlap_banded(
     Pair work is |candidates|·avg-postings instead of Σdf²; at 100 TB
     the band join shuffles short (band, h) keys, never postings.
     """
+    # bands must tile the signature exactly: bands > n_hashes would give
+    # rows_per_band == 0 (a zero-arg xxhash64 -> runtime error) and a
+    # non-dividing bands would silently drop the remainder hash slots,
+    # lowering recall below the documented S-curve.
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands must be >= 1 and divide n_hashes exactly; "
+            f"got n_hashes={n_hashes}, bands={bands}"
+        )
     rows_per_band = n_hashes // bands
     m = memberships.select(
         F.col(node).alias("a"), F.col(item).alias("i")

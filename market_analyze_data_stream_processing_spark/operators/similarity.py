@@ -106,10 +106,12 @@ def seed_cell_column(
     accumulation fold so the scores — and therefore the argmax — are
     bit-identical to a SQL engine's sequential ``list_inner_product``
     (the property the DuckDB oracle differential checks).  Rows that
-    cannot be assigned keep deterministic sentinel cells: NULL vector →
-    -1; a vector whose length matches no seed → -1 - length (ragged
-    rows still co-group among themselves, mirroring the near-dup
-    kernel's per-length pairing).
+    cannot be assigned keep deterministic sentinel cells: NULL or
+    zero-norm vector → -1 (a ZERO-LENGTH vector is zero-norm, so it
+    takes -1 too — explicitly, not via -1-0); a vector whose length
+    (≥ 1) matches no seed → -1 - length, which is ≤ -2 and therefore
+    never collides with the -1 class (ragged rows still co-group among
+    themselves, mirroring the near-dup kernel's per-length pairing).
 
     Returns ``(df_with_out_col, n_cells)``.
     """
@@ -152,6 +154,12 @@ def seed_cell_column(
         lens[notnull] = vs[notnull].map(len).to_numpy()
         for length in np.unique(lens[notnull]):
             sel = np.nonzero(lens == length)[0]
+            if length == 0:
+                # zero-length == zero-norm: same unassignable class as
+                # NULL, so the -1 sentinel — keeps -1-length (≤ -2)
+                # reserved for ragged lengths ≥ 1.
+                out[sel] = -1
+                continue
             if length not in seeds_by_len:
                 out[sel] = -1 - int(length)
                 continue

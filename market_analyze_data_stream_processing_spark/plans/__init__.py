@@ -18,62 +18,62 @@ from . import profiling  # noqa: E402,F401
 
 # cumulative driver coverage is 229/229 all-green; each round rotates
 # the 50 stalest-evidence names forward (tools/rotate_front.py derives
-# the order from CORRECTNESS_r*.json). Round 13: the r07/r08-evidence
+# the order from CORRECTNESS_r*.json). Round 14: the r08/r09-evidence
 # cohort. Semantics are unaffected --
 # `queries()`/`oracle_sql()`/bench all expose the same full set.
 _SWEEP_FRONT = [
-    # newest driver evidence: r07
-    "q_decontaminate",
-    "q_doc_chunks",
-    "q_doc_exact_dedup",
-    "q_doc_fingerprint",
-    "q_doc_source_stats",
-    "q_domain_mix_sample",
-    "q_dq_checks",
-    "q_embedding_centroids",
-    "q_ewma",
-    "q_funnel_conversion",
-    "q_gopher_filters",
-    "q_grouped_pandas_quantiles",
-    "q_grouping_sets",
-    "q_hash_split",
-    "q_histogram_buckets",
-    "q_humanize_fmt",
-    "q_null_semantics",
-    "q_parse_date_flexible",
-    "q_range_frame_window",
-    "q_rank_distribution_family",
-    "q_redact_tokens",
-    "q_sentence_explode",
-    "q_stratified_sample",
-    "q_string_agg",
-    "q_string_functions",
-    "q_tfidf_top_tokens",
-    "q_token_frequency",
-    "q_token_pack",
-    "q_unigram_logprob",
-    "q_unpivot_ohlc",
-    "q_window_lead_first",
-    "q_zorder_values",
     # newest driver evidence: r08
-    "q_ab_test",
-    "q_amihud",
-    "q_aroon",
-    "q_atr",
-    "q_autocorr",
-    "q_benford",
-    "q_beta_daily",
-    "q_bigram_logprob",
-    "q_bloom_decontaminate",
-    "q_bm25",
-    "q_bollinger",
-    "q_boolean_search",
-    "q_candlestick",
-    "q_capped_growth",
-    "q_cci",
-    "q_char_entropy",
-    "q_chi2_mix",
-    "q_cmf_adl",
+    "q_cohen_kappa",
+    "q_collocations",
+    "q_column_profile",
+    "q_cross_momentum",
+    "q_customer_deciles",
+    "q_cusum",
+    "q_donchian",
+    "q_drawdown",
+    "q_dup_rate_by_source",
+    "q_embedding_outliers",
+    "q_event_paths",
+    "q_event_study",
+    "q_forecast_eval",
+    "q_fuzzy_match",
+    "q_gapfill_daily",
+    "q_gini_pareto",
+    "q_group_mode",
+    "q_heavy_hitters",
+    "q_hhi",
+    "q_higher_moments",
+    "q_hurst",
+    "q_ichimoku",
+    "q_interarrival",
+    "q_intraday_profile",
+    "q_kaplan_meier",
+    "q_keltner",
+    "q_key_skew",
+    "q_kll_quantile_merge",
+    "q_ks_drift",
+    "q_kyle_lambda",
+    "q_lang_confusion",
+    # newest driver evidence: r09
+    "q_last_touch",
+    "q_lead_lag",
+    "q_ljung_box",
+    "q_macd",
+    "q_mad_outliers",
+    "q_market_basket",
+    "q_markov_transitions",
+    "q_multi_rollup",
+    "q_mutual_information",
+    "q_ngram_containment",
+    "q_ngram_novelty",
+    "q_obv",
+    "q_oov_rate",
+    "q_order_backlog",
+    "q_overnight_gaps",
+    "q_pagerank",
+    "q_pairs_spread",
+    "q_pivot_points",
+    "q_pq_ann",
 ]
 
 

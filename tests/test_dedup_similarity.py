@@ -990,6 +990,7 @@ def test_seed_cell_column_sentinels_and_k(spark):
         (5, None),          # NULL -> -1
         (6, [0.0, 0.0]),    # zero norm -> -1
         (7, [1.0, 0.0, 0.0]),  # length 3, no 3-length seed -> -1-3
+        (8, []),            # zero-LENGTH == zero norm -> -1 (not -1-0)
     ]
     df = spark.createDataFrame(rows, schema)
     withc, k = seed_cell_column(
@@ -1002,6 +1003,10 @@ def test_seed_cell_column_sentinels_and_k(spark):
     assert got[4] == 0, "exact cosine tie must break to the smallest seed id"
     assert got[5] == -1 and got[6] == -1
     assert got[7] == -4
+    assert got[8] == -1, (
+        "zero-length vectors are the zero-norm class: -1, so the "
+        "-1-length sentinels (<= -2) never collide with it"
+    )
     # K cap binds: same data, max_cells=1 -> every valid row in seed 0's cell
     one, k1 = seed_cell_column(
         df, id_col="vec_id", vec_col="embedding", target_block=3, max_cells=1

@@ -259,3 +259,28 @@ def test_node_overlap_banding_crossover_sf1(spark):
     }
     for r in out:
         assert truth[(r.a, r.b)] == (r.common, r.na, r.nb), r
+
+
+def test_node_overlap_banded_rejects_bad_band_geometry(spark):
+    """bands must be >= 1 and divide n_hashes exactly: bands > n_hashes
+    would hash zero slots per band (runtime error deep in the plan) and
+    a non-dividing bands would silently drop remainder slots, lowering
+    recall below the documented S-curve — both rejected at entry."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from market_analyze_data_stream_processing_spark.operators.graph import (
+        node_overlap_banded,
+    )
+
+    m = spark.createDataFrame([(1, 10), (2, 10)], ["node", "item"])
+    with pytest.raises(ValueError, match="divide n_hashes"):
+        node_overlap_banded(m, n_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="divide n_hashes"):
+        node_overlap_banded(m, n_hashes=8, bands=3)
+    with pytest.raises(ValueError, match="divide n_hashes"):
+        node_overlap_banded(m, n_hashes=8, bands=0)
+    # the valid geometries still build a plan
+    assert node_overlap_banded(m, n_hashes=8, bands=4).columns == [
+        "a", "b", "common", "na", "nb", "jaccard",
+    ]

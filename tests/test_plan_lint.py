@@ -358,3 +358,16 @@ def test_grid_sum_fullscan_join_gate(spark):
         l.join(dim, "k").agg(F.sum(money2("l_extendedprice")))
     )
     assert wide and joined, "join-bearing wide sum must be exempt by shape"
+    # A join NESTED inside a subquery expression's embedded plan must
+    # also count: plan_has_join walks nested dict/list values, not just
+    # the top-level node list, so a join-dominated plan whose only Join
+    # lives in an IN-subquery does not misfire as GRID_SUM_FULLSCAN.
+    l.createOrReplaceTempView("phj_l")
+    dim.createOrReplaceTempView("phj_dim")
+    sub = spark.sql(
+        "SELECT sum(CAST(l_extendedprice AS decimal(12,2))) AS s "
+        "FROM phj_l WHERE k IN "
+        "(SELECT a.k FROM phj_dim a JOIN phj_dim b ON a.k = b.k)"
+    )
+    _, joined_sub = parts(sub)
+    assert joined_sub, "join inside a subquery expression must be visible"

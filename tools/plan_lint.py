@@ -762,7 +762,7 @@ _MONEY_ATTRS = {
 }
 
 
-def lint_money_sums(analyzed_json: str) -> list[str]:
+def lint_money_sums(analyzed_json: str) -> dict[str, list[str]]:
     """MONEY_SUM_DOUBLE: a Sum whose input is DOUBLE-typed and whose
     lineage reaches a cent-grid money column. Summing millions of
     cent-grid doubles accumulates ~n·ulp(sum) (~6e-3 at 6M rows / 1e11),
@@ -894,12 +894,28 @@ def plan_has_join(analyzed_json: str) -> bool:
     """True if the analyzed logical plan contains any join node — the
     GRID_SUM_FULLSCAN shape gate: wide-DECIMAL money sums on join-free
     plans must convert to grid_sum_parts (measured ~2x, PERF_r12/r13);
-    join-dominated ones keep DECIMAL by measurement."""
-    return any(
-        pnode.get("class", "").rsplit(".", 1)[-1]
-        in ("Join", "LateralJoin", "AsOfJoin")
-        for pnode in json.loads(analyzed_json)
-    )
+    join-dominated ones keep DECIMAL by measurement.
+
+    Searches RECURSIVELY through every nested dict/list value, not just
+    the top-level node list: a join living inside a subquery
+    expression's embedded plan (e.g. a scalar subquery's ``plan`` field)
+    would otherwise be invisible and a wide-DECIMAL money sum on such a
+    join-dominated plan would misfire as GRID_SUM_FULLSCAN."""
+
+    def walk(obj) -> bool:
+        if isinstance(obj, dict):
+            if obj.get("class", "").rsplit(".", 1)[-1] in (
+                "Join",
+                "LateralJoin",
+                "AsOfJoin",
+            ):
+                return True
+            return any(walk(v) for v in obj.values())
+        if isinstance(obj, list):
+            return any(walk(v) for v in obj)
+        return False
+
+    return walk(json.loads(analyzed_json))
 
 
 def lint_one(plan: str) -> dict[str, int]:
