@@ -1894,42 +1894,22 @@ def q_rolling_distinct(spark, sf_dir):
     "|x - med| > 3 * 1.4826 * MAD (the normal-consistent robust "
     "z > 3). Two exact-percentile aggregates with the 5-row medians "
     "broadcast back between passes — three scans, no window. Exact "
-    "percentile concentrates each segment into one task; at 100 TB "
-    "the same plan swaps percentile() for approx_percentile / the "
-    "q_kll_quantile_merge sketch lifecycle (stated trade: exactness "
-    "here, sketch at scale).",
+    "percentile concentrates each segment into one task; the 100 TB "
+    "swap is WIRED (round 14, operators/quantiles.py): the same call "
+    "site runs strategy='auto', whose zero-job Catalyst size gate "
+    "keeps exact percentile at every oracle-checked SF and switches "
+    "to mergeable approx_percentile sketches (rank error ≤ n/10000, "
+    "tolerance contract + executed sf1 probe in "
+    "tests/test_quantile_strategies.py) above 8 GiB of input.",
 )
 def q_mad_outliers(spark, sf_dir):
+    from ..operators.quantiles import mad_outliers
+
     t = load_tables(spark, sf_dir)
     o = t.orders.join(
         t.customer, F.col("o_custkey") == F.col("c_custkey")
     ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("x"))
-    med = o.groupBy("segment").agg(
-        stable_round(F.expr("percentile(x, 0.5)"), 9).alias("med")
-    )
-    dev = o.join(F.broadcast(med), "segment").withColumn(
-        "adev", F.abs(F.col("x") - F.col("med"))
-    )
-    mad = dev.groupBy("segment").agg(
-        F.first("med").alias("med"),
-        stable_round(F.expr("percentile(adev, 0.5)"), 9).alias("mad"),
-    )
-    out_flag = F.col("adev") > F.lit(4.4478) * F.col("mad")
-    return (
-        dev.drop("med")
-        .join(F.broadcast(mad), "segment")
-        .groupBy("segment")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            stable_round(F.first("med"), 4).alias("med"),
-            stable_round(F.first("mad"), 4).alias("mad"),
-            F.sum(out_flag.cast("long")).alias("n_outliers"),
-            stable_round(
-                F.sum(out_flag.cast("long")).cast("double") / F.count(F.lit(1)), 6
-            ).alias("outlier_pct"),
-        )
-        .orderBy("segment")
-    )
+    return mad_outliers(o, group_col="segment", value_col="x", strategy="auto")
 
 # Registration order: the statistical/behavioral tier continues the
 # original contiguous advanced.py block (mechanical round-11 split).

@@ -901,45 +901,20 @@ def q_order_backlog(spark, sf_dir):
     "hash aggregate + three ntile windows over the O(customers) "
     "frame; the canonical champion/at-risk/new labels are a map-only "
     "CASE. Scale note: an unpartitioned ntile is a single-task sort — "
-    "fine while customers ≪ facts (the frame is post-aggregation), "
-    "but a billion-customer corpus swaps in quantile-boundary scoring "
-    "(the q_customer_deciles lowering: approx boundaries + map-side "
-    "CASE), trading ntile's exact equal-count split for parallelism.",
+    "fine while customers ≪ facts (the frame is post-aggregation) — "
+    "and the billion-customer swap is WIRED (round 14, "
+    "operators/quantiles.rfm): strategy='auto' keeps ntile at every "
+    "oracle-checked SF via the zero-job Catalyst size gate and "
+    "switches to quantile-boundary scoring (one approx-boundary "
+    "aggregate broadcast + map-side CASE, no global sort; tolerance "
+    "contract + executed sf1 probe in "
+    "tests/test_quantile_strategies.py) above 8 GiB of input.",
 )
 def q_rfm(spark, sf_dir):
+    from ..operators.quantiles import rfm
+
     orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("monetary"),
-    )
-    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
-    scored = (
-        per_cust.crossJoin(F.broadcast(anchor))
-        .withColumn("monetary", F.col("monetary").cast("double"))
-        .withColumn(
-            "recency_days", F.datediff(F.col("mx"), F.col("last_order"))
-        )
-        .withColumn("r", F.ntile(5).over(Window.orderBy("last_order", "custkey")))
-        .withColumn("f", F.ntile(5).over(Window.orderBy("frequency", "custkey")))
-        .withColumn("m", F.ntile(5).over(Window.orderBy("monetary", "custkey")))
-    )
-    seg = (
-        F.when((F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4), "champion")
-        .when((F.col("r") <= 2) & (F.col("f") >= 4), "at_risk")
-        .when((F.col("r") >= 4) & (F.col("f") <= 2), "new")
-        .otherwise("regular")
-    )
-    return scored.select(
-        "custkey",
-        F.col("recency_days").cast("long").alias("recency_days"),
-        F.col("frequency").cast("long").alias("frequency"),
-        stable_round(F.col("monetary"), 2).alias("monetary"),
-        "r",
-        "f",
-        "m",
-        seg.alias("segment"),
-    ).orderBy("custkey")
+    return rfm(orders, strategy="auto")
 
 
 @register(
