@@ -383,6 +383,8 @@ def embedding_near_dup_pairs(
     cells: str | None = "auto",
     target_cell: int = 256,
     max_cells: int = 128,
+    cell_index: dict | None = None,
+    cell_cache_key: object | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
     (SemDeDup-style: cluster/cell assignment first, exact cosine only
@@ -402,6 +404,14 @@ def embedding_near_dup_pairs(
     linear. Corpora smaller than ``target_cell`` derive K=1 (a single
     cell), so the refinement is the identity there. ``cells=None``
     restores pure label blocking (the pre-round-13 semantics).
+
+    Index reuse (round 14): pass ``cell_index`` (a prebuilt
+    ``build_seed_cell_index``/``load_seed_cell_index`` artifact) to run
+    with zero quantizer pre-pass jobs, or ``cell_cache_key`` to build
+    the quantizer once per key and reuse it across executions —
+    ``invalidate_ivf_index`` clears that cache. Fresh builds derive K
+    from a bounded take, never a full-corpus count (see
+    ``similarity.build_seed_cell_index``).
 
     Numeric contract: the kernel accumulates ``outer(A[:,k], B[:,k])``
     over k IN ELEMENT ORDER, so every pair's dot product is bitwise
@@ -522,6 +532,7 @@ def embedding_near_dup_pairs(
         src, _k = seed_cell_column(
             df, id_col=id_col, vec_col=vec_col,
             target_block=target_cell, max_cells=max_cells,
+            index=cell_index, cache_key=cell_cache_key,
         )
         base = src.select(
             F.col(block_col).alias("__b"),

@@ -77,6 +77,100 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+#: Build-once seed-cell index cache (same lifecycle contract as
+#: :data:`_IVF_INDEX_CACHE`): repeated ``seed_cell_column`` executions
+#: under one key skip the count/collect pre-pass entirely.
+_SEED_CELL_CACHE: dict[object, dict] = {}
+
+
+def build_seed_cell_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_block: int = 256,
+    max_cells: int = 128,
+) -> dict:
+    """Build the seed-cell coarse index: ``{"k", "target_block",
+    "max_cells", "seeds": [(id, [floats]), ...]}`` — picklable,
+    parquet-storable (:func:`save_seed_cell_index`), ≤ max_cells rows
+    of d floats.
+
+    Two BOUNDED jobs, neither a full corpus scan (round 14 — the
+    previous exact ``count()`` was itself a full scan at 100 TB):
+
+    - K derivation reads at most ``max_cells * target_block`` rows
+      (default 32,768) via the incremental ``take`` path: K only
+      depends on the count through ``min(max_cells, ceil(n/target))``,
+      so ``min(n_valid, cap)`` derives a PROVABLY identical K —
+      n ≥ cap ⇒ both sides hit the max_cells cap, n < cap ⇒ the
+      limited count IS n.  Bit-identical to the oracle's exact
+      ``count(*)`` formula at every size.  (Guard: if the cap exceeds
+      2^20 rows, fall back to the exact count rather than collect a
+      huge take.)
+    - the seed collect is a TakeOrderedAndProject: per-partition top-K
+      heaps, one K-row driver merge.
+    """
+    from ..functions.vectors import as_double as _as_double
+
+    emb = _as_double(F.col(vec_col))
+    sumsq = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    valid = F.col(vec_col).isNotNull() & (sumsq > F.lit(0.0))
+    cap_rows = max_cells * target_block
+    if cap_rows <= 1 << 20:
+        n_for_k = len(df.where(valid).select(id_col).take(cap_rows))
+    else:
+        n_for_k = df.where(valid).count()
+    k = max(1, min(max_cells, -(-n_for_k // target_block)))
+    seed_rows = (
+        df.where(valid)
+        .select(F.col(id_col).alias("i"), emb.alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    return {
+        "k": k,
+        "target_block": target_block,
+        "max_cells": max_cells,
+        "seeds": [(r["i"], [float(x) for x in r["v"]]) for r in seed_rows],
+    }
+
+
+def save_seed_cell_index(index: dict, spark, path: str) -> None:
+    """Persist a seed-cell index as a parquet artifact (mirror of
+    :func:`save_ivf_index`): at 100 TB the quantizer is built once by a
+    batch job and shipped with the table, not rebuilt per execution.
+    ``k`` rides on every row; an empty-seed index stores one null-seed
+    marker row so ``k`` survives the round trip."""
+    rows = [(int(index["k"]), int(i), v) for i, v in index["seeds"]]
+    if not rows:
+        rows = [(int(index["k"]), None, None)]
+    spark.createDataFrame(
+        rows, "k int, seed_id long, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_seed_cell_index(spark, path: str, cache_key: object | None = None) -> dict:
+    """Load a stored seed-cell index (inverse of
+    :func:`save_seed_cell_index`)."""
+    if cache_key is not None and cache_key in _SEED_CELL_CACHE:
+        return _SEED_CELL_CACHE[cache_key]
+    rows = spark.read.parquet(path).collect()
+    index = {
+        "k": int(rows[0]["k"]),
+        "target_block": None,
+        "max_cells": None,
+        "seeds": sorted(
+            (int(r["seed_id"]), [float(x) for x in r["vec"]])
+            for r in rows
+            if r["seed_id"] is not None
+        ),
+    }
+    if cache_key is not None:
+        _SEED_CELL_CACHE[cache_key] = index
+    return index
+
+
 def seed_cell_column(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -84,6 +178,8 @@ def seed_cell_column(
     target_block: int = 256,
     max_cells: int = 128,
     out_col: str = "__cell",
+    index: dict | None = None,
+    cache_key: object | None = None,
 ):
     """Attach a DATA-DRIVEN coarse-cell id to every row: an IVF coarse
     quantizer whose centroids are the first K valid rows by id (a
@@ -113,30 +209,36 @@ def seed_cell_column(
     never collides with the -1 class (ragged rows still co-group among
     themselves, mirroring the near-dup kernel's per-length pairing).
 
+    Index reuse (round 14): pass ``index`` (a
+    :func:`build_seed_cell_index` / :func:`load_seed_cell_index`
+    artifact) to run with ZERO pre-pass jobs, or ``cache_key`` to
+    build once per key and reuse across executions in the session —
+    the production IVF shape (quantizer built once, shipped with the
+    table).  Fresh builds themselves no longer full-scan: K derives
+    from a bounded incremental ``take`` that is provably identical to
+    the exact-count formula (see :func:`build_seed_cell_index`).
+    ``invalidate_ivf_index`` clears this cache too.
+
     Returns ``(df_with_out_col, n_cells)``.
     """
     from pyspark.sql.types import LongType
 
-    emb = as_double(F.col(vec_col))
-    # Valid = usable as a seed and scoreable: non-null, finite-sum
-    # positive squared norm. The fold's order doesn't matter for a
-    # `> 0` test; null elements poison the fold to null → invalid.
-    sumsq = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
-    valid = F.col(vec_col).isNotNull() & (sumsq > F.lit(0.0))
-    n_valid = df.where(valid).count()
-    k = max(1, min(max_cells, -(-n_valid // target_block)))
-    seed_rows = (
-        df.where(valid)
-        .select(F.col(id_col).alias("i"), emb.alias("v"))
-        .orderBy("i")
-        .limit(k)
-        .collect()
-    )
+    if index is None and cache_key is not None:
+        index = _SEED_CELL_CACHE.get(cache_key)
+    if index is None:
+        index = build_seed_cell_index(
+            df, id_col=id_col, vec_col=vec_col,
+            target_block=target_block, max_cells=max_cells,
+        )
+        if cache_key is not None:
+            _SEED_CELL_CACHE[cache_key] = index
+    k = index["k"]
+    seeds = index["seeds"]
     seeds_by_len: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    for length in {len(r["v"]) for r in seed_rows}:
-        grp = [r for r in seed_rows if len(r["v"]) == length]
-        ids = np.asarray([r["i"] for r in grp], dtype=np.int64)
-        C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in grp])
+    for length in {len(v) for _i, v in seeds}:
+        grp = [(i, v) for i, v in seeds if len(v) == length]
+        ids = np.asarray([i for i, _v in grp], dtype=np.int64)
+        C = np.stack([np.asarray(v, dtype=np.float64) for _i, v in grp])
         # k-ordered norm accumulation — matches sqrt(list_inner_product).
         nrm2 = np.zeros(len(grp))
         for j in range(length):
@@ -193,16 +295,21 @@ _IVF_INDEX_CACHE: dict[object, dict[int, "np.ndarray"]] = {}
 
 
 def invalidate_ivf_index(cache_key: object | None = None) -> None:
-    """Drop cached IVF centroids (one key, or everything when ``None``).
+    """Drop cached IVF centroids AND seed-cell indexes (one key, or
+    everything when ``None``) — the bench's per-query "full end-to-end
+    execution" reset clears both build-once caches through this single
+    entry point.
 
-    The cache has no automatic invalidation: callers that rebuild or
+    The caches have no automatic invalidation: callers that rebuild or
     mutate a corpus within a session must either call this or fold a
     table version (e.g. source-file mtime) into ``cache_key`` so a
     changed corpus maps to a fresh entry."""
     if cache_key is None:
         _IVF_INDEX_CACHE.clear()
+        _SEED_CELL_CACHE.clear()
     else:
         _IVF_INDEX_CACHE.pop(cache_key, None)
+        _SEED_CELL_CACHE.pop(cache_key, None)
 
 
 def ivf_index(

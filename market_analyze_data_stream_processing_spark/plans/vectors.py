@@ -302,9 +302,13 @@ def q_embedding_near_dup(spark, sf_dir):
     from ..operators.dedup import embedding_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.35).select(
-        "id_a", "id_b", "label", "sim"
-    ).orderBy("id_a", "id_b")
+    # cell_cache_key: quantizer built once per corpus per session
+    # (repeat executions skip the K-derivation/seed pre-pass jobs);
+    # bench resets it per query via invalidate_ivf_index so timed runs
+    # stay full end-to-end.
+    return embedding_near_dup_pairs(
+        e, threshold=0.35, cell_cache_key=("seed_cells", sf_dir)
+    ).select("id_a", "id_b", "label", "sim").orderBy("id_a", "id_b")
 
 
 @register(

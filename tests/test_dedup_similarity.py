@@ -1055,3 +1055,84 @@ def test_embedding_near_dup_cells_split_blocks(spark):
         for r in embedding_near_dup_pairs(df, threshold=-1.0, cells=None).collect()
     )
     assert legacy == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def test_seed_cell_index_reuse_skips_prepass_jobs(spark):
+    """Round-14 contract: the quantizer pre-pass (bounded K-derivation
+    take + seed collect) runs ONCE per cache key — repeated
+    seed_cell_column / embedding_near_dup_pairs executions under the
+    same key, or calls given a prebuilt index, launch ZERO jobs at
+    build time — and every path assigns identical cells."""
+    from market_analyze_data_stream_processing_spark.operators.similarity import (
+        build_seed_cell_index,
+        invalidate_ivf_index,
+        seed_cell_column,
+    )
+    from market_analyze_data_stream_processing_spark.stagemetrics import (
+        max_stage_id,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7) + 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    key = ("seed-cells-test", id(df))
+    invalidate_ivf_index(key)
+    floor0 = max_stage_id(spark)
+    fresh, k1 = seed_cell_column(df, target_block=8, max_cells=4, cache_key=key)
+    floor1 = max_stage_id(spark)
+    assert floor1 > floor0, "the first build must run the pre-pass jobs"
+    cached, k2 = seed_cell_column(df, target_block=8, max_cells=4, cache_key=key)
+    assert max_stage_id(spark) == floor1, (
+        "a cache hit must launch zero pre-pass jobs"
+    )
+    idx = build_seed_cell_index(df, target_block=8, max_cells=4)
+    floor2 = max_stage_id(spark)
+    prebuilt, k3 = seed_cell_column(df, index=idx)
+    assert max_stage_id(spark) == floor2, (
+        "a prebuilt index must launch zero pre-pass jobs"
+    )
+    assert k1 == k2 == k3 == 4
+    a = {r["vec_id"]: r["__cell"] for r in fresh.collect()}
+    b = {r["vec_id"]: r["__cell"] for r in cached.collect()}
+    c = {r["vec_id"]: r["__cell"] for r in prebuilt.collect()}
+    assert a == b == c
+    # invalidation forces a real rebuild
+    invalidate_ivf_index(key)
+    floor3 = max_stage_id(spark)
+    seed_cell_column(df, target_block=8, max_cells=4, cache_key=key)
+    assert max_stage_id(spark) > floor3
+    invalidate_ivf_index(key)
+
+
+def test_seed_cell_index_save_load_roundtrip(spark, tmp_path):
+    """The stored-index lifecycle (build → save → load → assign) is the
+    100 TB shape: k and the ordered seed list survive the parquet round
+    trip bit-for-bit, including the empty-corpus marker form."""
+    from market_analyze_data_stream_processing_spark.operators.similarity import (
+        build_seed_cell_index,
+        load_seed_cell_index,
+        save_seed_cell_index,
+        seed_cell_column,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0 + i, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = build_seed_cell_index(df, target_block=3, max_cells=4)
+    path = str(tmp_path / "seed_idx")
+    save_seed_cell_index(idx, spark, path)
+    loaded = load_seed_cell_index(spark, path)
+    assert loaded["k"] == idx["k"] == 4
+    assert loaded["seeds"] == idx["seeds"]
+    with_cells, k = seed_cell_column(df, index=loaded)
+    assert k == 4 and with_cells.where("__cell >= 0").count() == 10
+    # empty corpus: k=1 formula survives via the null-seed marker row
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    eidx = build_seed_cell_index(empty)
+    assert eidx["k"] == 1 and eidx["seeds"] == []
+    epath = str(tmp_path / "seed_idx_empty")
+    save_seed_cell_index(eidx, spark, epath)
+    eloaded = load_seed_cell_index(spark, epath)
+    assert eloaded["k"] == 1 and eloaded["seeds"] == []
