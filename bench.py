@@ -27,13 +27,26 @@ from market_analyze_data_stream_processing_spark.operators.similarity import (
 )
 from market_analyze_data_stream_processing_spark.plans import QUERIES
 from market_analyze_data_stream_processing_spark.session import get_spark
+from market_analyze_data_stream_processing_spark.stagemetrics import (
+    max_stage_id,
+    metrics_since,
+)
 
 
-def run_one(spark, q, sf_dir: str) -> float:
+def run_one(spark, q, sf_dir: str) -> tuple[float, dict | None]:
+    """One end-to-end execution: (wall seconds, executor stage metrics).
+
+    The metrics snapshot (stagemetrics.py) brackets exactly this
+    query's stages by stage-id floor and runs strictly OUTSIDE the
+    timed window; it returns None instead of raising, so the metric
+    read can never fail or skew the measurement.
+    """
+    floor = max_stage_id(spark)
     t0 = time.perf_counter()
     df = q.fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
+    exec_m = None if floor is None else metrics_since(spark, floor + 1)
     # The localCheckpoint-based queries (shingle base, CC iterations,
     # jaccard inverted index) pin blocks in the block manager; across a
     # 122-query session those accumulate into GC pressure that skews
@@ -47,7 +60,19 @@ def run_one(spark, q, sf_dir: str) -> float:
     # complete execution (build-once is the production serving shape,
     # but this bench promises full end-to-end plans).
     invalidate_ivf_index()
-    return elapsed
+    return elapsed, exec_m
+
+
+def probe_safe(fn, spark) -> float | None:
+    """Run a calibration station; a probe failure (missing corpus,
+    probe bug) must degrade the bench to raw-only numbers, never abort
+    it — per-query failures are deliberately non-fatal and the probes
+    hold themselves to the same bar."""
+    try:
+        return round(fn(spark), 3)
+    except Exception as e:
+        print(f"bench probe error: {e}", file=sys.stderr)
+        return None
 
 
 def main() -> None:
@@ -108,26 +133,38 @@ def main() -> None:
     # explain every drift).
     times: dict[str, float] = {}
     from_pass: dict[str, int] = {}
+    # Executor-side stage metrics (stagemetrics.py) for the SAME
+    # execution the kept minimum came from — so wall and CPU/bytes in
+    # BENCH_DETAIL always describe one execution, never a mix.
+    exec_detail: dict[str, dict | None] = {}
     errored: list[str] = []
-    calib: list[float] = [round(calibration_probe(spark), 3)]
-    scan: list[float] = [round(scan_probe(spark), 3)]
+    calib: list[float | None] = [probe_safe(calibration_probe, spark)]
+    scan: list[float | None] = [probe_safe(scan_probe, spark)]
     for _pass in range(2):
         for name, q in QUERIES.items():
             if name in errored:
                 continue
             try:
-                t = round(run_one(spark, q, sf_dir), 3)
+                t, exec_m = run_one(spark, q, sf_dir)
+                t = round(t, 3)
                 if name not in times or t < times[name]:
                     times[name] = t
                     from_pass[name] = _pass
+                    exec_detail[name] = exec_m
             except Exception as e:  # a failing query is listed, never kills bench
                 print(f"bench error {name}: {e}", file=sys.stderr)
                 times.pop(name, None)
+                exec_detail.pop(name, None)
                 errored.append(name)
-        calib.append(round(calibration_probe(spark), 3))
-        scan.append(round(scan_probe(spark), 3))
+        calib.append(probe_safe(calibration_probe, spark))
+        scan.append(probe_safe(scan_probe, spark))
+    # A pass whose bracketing stations are incomplete gets factor 1.0
+    # (raw-only): normalization silently degrades, never crashes.
     pass_factor = [
-        (calib[p] + calib[p + 1]) / 2.0 / CALIB_REF_SEC for p in range(2)
+        (calib[p] + calib[p + 1]) / 2.0 / CALIB_REF_SEC
+        if calib[p] is not None and calib[p + 1] is not None
+        else 1.0
+        for p in range(2)
     ]
     times_norm = {
         name: round(t / pass_factor[from_pass[name]], 3)
@@ -149,6 +186,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_norm": times_norm,
+                # Per-query executor totals (cpu_ms/run_ms/gc_ms/
+                # input/output/shuffle bytes/tasks/stages) for the kept
+                # execution: host steal reads as wall >> run/cpu with
+                # flat bytes; a plan regression moves cpu and/or bytes.
+                "exec": exec_detail,
                 "calib": {
                     "pre": calib[0],
                     "mid": calib[1],
