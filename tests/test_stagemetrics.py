@@ -82,3 +82,29 @@ def test_bench_probe_failure_degrades_to_raw_only():
         for p in range(2)
     ]
     assert factors[0] == 1.0 and abs(factors[1] - 1.0085) < 1e-3
+
+
+def test_bench_attrib_classification():
+    """tools/bench_attrib classifies wall moves from executor metrics:
+    flat cpu+bytes = HOST (the r11-13 drift class), cpu moving with
+    wall = PLAN, a gc-dominated move = GC."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.bench_attrib import classify
+
+    base = {
+        "cpu_ms": 1000.0, "run_ms": 1100, "gc_ms": 10,
+        "input_bytes": 10_000_000, "output_bytes": 0,
+        "shuffle_read_bytes": 2_000_000, "shuffle_write_bytes": 2_000_000,
+        "tasks": 8, "stages": 4,
+    }
+    host = dict(base)  # same work, wall 1.0 -> 1.6
+    assert classify(base, host, 1.0, 1.6) == "HOST"
+    plan = dict(base, cpu_ms=1600.0)
+    assert classify(base, plan, 1.0, 1.6) == "PLAN"
+    more_bytes = dict(base, input_bytes=20_000_000)
+    assert classify(base, more_bytes, 1.0, 1.6) == "PLAN"
+    gc = dict(base, gc_ms=500)
+    assert classify(base, gc, 1.0, 1.6) == "GC"
+    mixed = dict(base, cpu_ms=1600.0, input_bytes=20_000_000)
+    assert classify(base, mixed, 1.0, 1.6) == "MIXED"

@@ -1,0 +1,107 @@
+"""Attribute a cross-run bench delta from executor metrics — the
+round-13 VERDICT's ask ("host vs plan on a 20% move stays an inference
+from diff-audits rather than a measurement") made mechanical.
+
+Compares two BENCH_DETAIL.json artifacts (written by bench.py since
+round 14, with per-query `exec` metrics from stagemetrics.py) and
+classifies every query whose wall moved more than the threshold:
+
+- HOST    — wall moved but executor CPU-time and bytes are flat: the
+            plan did the same work and waited (CPU steal, scheduler
+            contention, IO-path degradation). The round-11..13 drift
+            class.
+- PLAN    — CPU-time moved with wall (and/or input/shuffle bytes
+            moved): the executed work itself changed. A real
+            regression/improvement to audit.
+- GC      — the wall move is concentrated in jvmGcTime: memory
+            pressure, not plan shape.
+- MIXED   — more than one signal moved.
+
+Usage:
+    python tools/bench_attrib.py OLD_BENCH_DETAIL.json NEW_BENCH_DETAIL.json [wall_thresh=0.25]
+
+Output: one line per classified query plus a suite summary with the
+count per class and the wall-delta mass each class carries. Queries
+missing exec metrics on either side fall back to `wall-only` (the
+pre-round-14 situation) and are listed, not classified.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def classify(old: dict, new: dict, wall_old: float, wall_new: float) -> str:
+    def rel(a, b):
+        return (b - a) / a if a else float("inf") if b else 0.0
+
+    cpu_d = rel(old["cpu_ms"], new["cpu_ms"])
+    bytes_old = old["input_bytes"] + old["shuffle_read_bytes"]
+    bytes_new = new["input_bytes"] + new["shuffle_read_bytes"]
+    bytes_d = rel(bytes_old, bytes_new)
+    gc_d_ms = new["gc_ms"] - old["gc_ms"]
+    wall_d_ms = (wall_new - wall_old) * 1000.0
+    signals = []
+    if abs(cpu_d) > 0.15:
+        signals.append("cpu")
+    if abs(bytes_d) > 0.10:
+        signals.append("bytes")
+    if abs(gc_d_ms) > 0.5 * abs(wall_d_ms) and abs(gc_d_ms) > 50:
+        signals.append("gc")
+    if not signals:
+        return "HOST"
+    if signals == ["gc"]:
+        return "GC"
+    if "cpu" in signals or "bytes" in signals:
+        return "PLAN" if len(signals) == 1 else "MIXED"
+    return "MIXED"
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        raise SystemExit(2)
+    old = json.load(open(sys.argv[1]))
+    new = json.load(open(sys.argv[2]))
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
+    qo, qn = old["queries"], new["queries"]
+    eo, en = old.get("exec") or {}, new.get("exec") or {}
+    common = sorted(set(qo) & set(qn))
+    classes: dict[str, list[tuple[str, float, float]]] = {}
+    wall_only = []
+    for name in common:
+        wo, wn = qo[name], qn[name]
+        if wo <= 0 or abs(wn - wo) / wo < thresh or abs(wn - wo) < 0.15:
+            continue
+        mo, mn = eo.get(name), en.get(name)
+        if not mo or not mn:
+            wall_only.append((name, wo, wn))
+            continue
+        cls = classify(mo, mn, wo, wn)
+        classes.setdefault(cls, []).append((name, wo, wn))
+        print(
+            f"{cls:5s} {name:28s} wall {wo:6.2f}->{wn:6.2f}  "
+            f"cpu_ms {mo['cpu_ms']:9.0f}->{mn['cpu_ms']:9.0f}  "
+            f"gc_ms {mo['gc_ms']:5d}->{mn['gc_ms']:5d}  "
+            f"in+shuf_mb {(mo['input_bytes'] + mo['shuffle_read_bytes']) / 1e6:8.1f}"
+            f"->{(mn['input_bytes'] + mn['shuffle_read_bytes']) / 1e6:8.1f}"
+        )
+    for name, wo, wn in wall_only:
+        print(f"wall-only {name:28s} {wo:6.2f}->{wn:6.2f} (no exec metrics on one side)")
+    tot_o = sum(qo[n] for n in common)
+    tot_n = sum(qn[n] for n in common)
+    print(
+        f"\nsuite (common {len(common)} queries): {tot_o:.1f}s -> {tot_n:.1f}s "
+        f"({tot_n / tot_o:.2f}x)"
+    )
+    for cls, rows in sorted(classes.items()):
+        mass = sum(wn - wo for _n, wo, wn in rows)
+        print(f"  {cls:5s}: {len(rows):3d} queries, {mass:+.1f}s of wall delta")
+    if wall_only:
+        mass = sum(wn - wo for _n, wo, wn in wall_only)
+        print(f"  wall-only: {len(wall_only)} queries, {mass:+.1f}s (unclassifiable)")
+
+
+if __name__ == "__main__":
+    main()
