@@ -175,7 +175,10 @@ def quintile_boundary_scores(
     broadcast; scores are map-side ``1 + Σ (x > b_q)`` — the
     q_customer_deciles lowering generalized.  All metric ties share a
     bucket (vs ntile's key-tiebroken equal split); see the module
-    tolerance contract.
+    tolerance contract.  NULL metric values score 1, matching the
+    ntile strategy this substitutes (Spark's default ascending sort
+    places NULLs first ⇒ tile 1) — without the guard, ``null > b``
+    would null-poison the whole score sum.
     """
     qs = [i / n_tiles for i in range(1, n_tiles)]
     bounds = df.agg(
@@ -192,7 +195,9 @@ def quintile_boundary_scores(
         score = F.lit(1)
         for i in range(len(qs)):
             score = score + (F.col(col) > F.col(f"__b_{out}_{i}")).cast("int")
-        scored = scored.withColumn(out, score)
+        scored = scored.withColumn(
+            out, F.when(F.col(col).isNull(), F.lit(1)).otherwise(score)
+        )
     return scored.drop(
         *[f"__b_{out}_{i}" for out in metrics for i in range(len(qs))]
     )

@@ -140,13 +140,16 @@ def save_seed_cell_index(index: dict, spark, path: str) -> None:
     """Persist a seed-cell index as a parquet artifact (mirror of
     :func:`save_ivf_index`): at 100 TB the quantizer is built once by a
     batch job and shipped with the table, not rebuilt per execution.
-    ``k`` rides on every row; an empty-seed index stores one null-seed
-    marker row so ``k`` survives the round trip."""
-    rows = [(int(index["k"]), int(i), v) for i, v in index["seeds"]]
+    ``k`` and the build parameters ride on every row (provenance — a
+    loaded artifact says what it was built as); an empty-seed index
+    stores one null-seed marker row so the metadata survives the round
+    trip."""
+    meta = (int(index["k"]), int(index["target_block"]), int(index["max_cells"]))
+    rows = [(*meta, int(i), v) for i, v in index["seeds"]]
     if not rows:
-        rows = [(int(index["k"]), None, None)]
+        rows = [(*meta, None, None)]
     spark.createDataFrame(
-        rows, "k int, seed_id long, vec array<double>"
+        rows, "k int, target_block int, max_cells int, seed_id long, vec array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -158,8 +161,8 @@ def load_seed_cell_index(spark, path: str, cache_key: object | None = None) -> d
     rows = spark.read.parquet(path).collect()
     index = {
         "k": int(rows[0]["k"]),
-        "target_block": None,
-        "max_cells": None,
+        "target_block": int(rows[0]["target_block"]),
+        "max_cells": int(rows[0]["max_cells"]),
         "seeds": sorted(
             (int(r["seed_id"]), [float(x) for x in r["vec"]])
             for r in rows
@@ -223,15 +226,23 @@ def seed_cell_column(
     """
     from pyspark.sql.types import LongType
 
-    if index is None and cache_key is not None:
-        index = _SEED_CELL_CACHE.get(cache_key)
+    # The cache key is namespaced by the build parameters: a caller
+    # that reuses a key with DIFFERENT target_block/max_cells gets a
+    # fresh build, never a silently-mismatched quantizer (a stale k=4
+    # index serving a target_block=256 request would blow per-cell
+    # quadratic work up by the depth ratio squared). An EXPLICIT
+    # ``index`` argument governs regardless of the params — it IS the
+    # quantizer (the stored-artifact contract).
+    qualified = (cache_key, target_block, max_cells) if cache_key is not None else None
+    if index is None and qualified is not None:
+        index = _SEED_CELL_CACHE.get(qualified)
     if index is None:
         index = build_seed_cell_index(
             df, id_col=id_col, vec_col=vec_col,
             target_block=target_block, max_cells=max_cells,
         )
-        if cache_key is not None:
-            _SEED_CELL_CACHE[cache_key] = index
+        if qualified is not None:
+            _SEED_CELL_CACHE[qualified] = index
     k = index["k"]
     seeds = index["seeds"]
     seeds_by_len: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
@@ -309,7 +320,15 @@ def invalidate_ivf_index(cache_key: object | None = None) -> None:
         _SEED_CELL_CACHE.clear()
     else:
         _IVF_INDEX_CACHE.pop(cache_key, None)
+        # seed-cell entries are namespaced (cache_key, target, max):
+        # drop every parameterization of the caller's key
         _SEED_CELL_CACHE.pop(cache_key, None)
+        for k in [
+            k
+            for k in _SEED_CELL_CACHE
+            if isinstance(k, tuple) and len(k) == 3 and k[0] == cache_key
+        ]:
+            _SEED_CELL_CACHE.pop(k, None)
 
 
 def ivf_index(

@@ -59,6 +59,28 @@ FIELDS = (
 )
 
 
+def _drain_listener_bus(spark: SparkSession) -> None:
+    """Block until the async listener queues have delivered all pending
+    events to the AppStatusStore.
+
+    Spark feeds the store through AsyncEventQueues; reading the store
+    immediately after an action returns can miss still-queued TaskEnd /
+    StageCompleted events — undercounted cpu/bytes, and a stage-id
+    floor that folds a query's late events into the NEXT bracket.
+    waitUntilEmpty() runs strictly outside the timed window, so the
+    drain costs measurement latency, never query wall time.  Failure-
+    isolated like everything here: on any Py4J surprise the snapshot
+    degrades to best-effort rather than raising."""
+    try:
+        bus = spark.sparkContext._jsc.sc().listenerBus()
+        try:
+            bus.waitUntilEmpty()
+        except Exception:
+            bus.waitUntilEmpty(10_000)
+    except Exception:
+        pass
+
+
 def _stage_seq(spark: SparkSession):
     """The JVM ``Seq[v1.StageData]`` of all retained stages, newest-first.
 
@@ -67,6 +89,7 @@ def _stage_seq(spark: SparkSession):
     taskStatus)`` — Scala default args are invisible to Py4J, so every
     parameter is passed explicitly (empty list = all statuses).
     """
+    _drain_listener_bus(spark)
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()
     jvm = sc._jvm

@@ -155,13 +155,20 @@ def test_rfm_boundaries_vs_ntile_sf1(spark):
 
 def test_quintile_boundary_scores_monotone(spark):
     """Direct contract of the boundary scorer on a known frame: scores
-    are monotone in the metric, span 1..5 on a spread-out metric, and
-    metric ties always share a bucket."""
+    are monotone in the metric, span 1..5 on a spread-out metric,
+    metric ties always share a bucket, and a NULL metric scores 1
+    (ntile parity: Spark's ascending sort places NULLs first)."""
     rows = [(i, float(i), 7.0 if i < 60 else 9.0) for i in range(100)]
-    df = spark.createDataFrame(rows, ["id", "spread", "tied"])
+    rows.append((100, None, None))
+    df = spark.createDataFrame(rows, "id long, spread double, tied double")
     out = quintile_boundary_scores(df, {"s": "spread", "t": "tied"}, accuracy=10000)
     got = out.select("id", "spread", "s", "t").orderBy("id").collect()
-    assert [r["s"] for r in got] == sorted(r["s"] for r in got)
-    assert {r["s"] for r in got} == {1, 2, 3, 4, 5}
-    tied_scores = {r["t"] for r in got if r["spread"] < 60}
+    nonnull = [r for r in got if r["spread"] is not None]
+    assert [r["s"] for r in nonnull] == sorted(r["s"] for r in nonnull)
+    assert {r["s"] for r in nonnull} == {1, 2, 3, 4, 5}
+    tied_scores = {r["t"] for r in nonnull if r["spread"] < 60}
     assert len(tied_scores) == 1, "metric ties must share one bucket"
+    null_row = [r for r in got if r["spread"] is None][0]
+    assert null_row["s"] == 1 and null_row["t"] == 1, (
+        "NULL metrics must score 1 like ntile's nulls-first, not null"
+    )

@@ -104,7 +104,15 @@ def test_bench_attrib_classification():
     assert classify(base, plan, 1.0, 1.6) == "PLAN"
     more_bytes = dict(base, input_bytes=20_000_000)
     assert classify(base, more_bytes, 1.0, 1.6) == "PLAN"
-    gc = dict(base, gc_ms=500)
+    # cpu+bytes co-moving IS the archetypal plan change -> PLAN
+    both = dict(base, cpu_ms=1600.0, input_bytes=20_000_000)
+    assert classify(base, both, 1.0, 1.6) == "PLAN"
+    # gc is judged vs the TASK-SUMMED run delta (both task-summed), so
+    # a gc-dominated run move classifies GC even when wall moved more
+    gc = dict(base, gc_ms=810, run_ms=2100)
     assert classify(base, gc, 1.0, 1.6) == "GC"
-    mixed = dict(base, cpu_ms=1600.0, input_bytes=20_000_000)
+    # a small gc blip during a host-steal wall move must NOT flip to GC
+    blip = dict(base, gc_ms=110)
+    assert classify(base, blip, 1.0, 1.6) == "HOST"
+    mixed = dict(base, cpu_ms=1600.0, gc_ms=810, run_ms=2100)
     assert classify(base, mixed, 1.0, 1.6) == "MIXED"

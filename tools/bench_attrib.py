@@ -13,9 +13,12 @@ classifies every query whose wall moved more than the threshold:
 - PLAN    — CPU-time moved with wall (and/or input/shuffle bytes
             moved): the executed work itself changed. A real
             regression/improvement to audit.
-- GC      — the wall move is concentrated in jvmGcTime: memory
+- GC      — the move is concentrated in jvmGcTime (judged against the
+            task-summed run time, since both are task-summed): memory
             pressure, not plan shape.
-- MIXED   — more than one signal moved.
+- MIXED   — a work signal (cpu/bytes) moved together with a GC signal;
+            cpu and bytes co-moving alone is PLAN (that is the
+            archetypal plan change).
 
 Usage:
     python tools/bench_attrib.py OLD_BENCH_DETAIL.json NEW_BENCH_DETAIL.json [wall_thresh=0.25]
@@ -40,21 +43,28 @@ def classify(old: dict, new: dict, wall_old: float, wall_new: float) -> str:
     bytes_old = old["input_bytes"] + old["shuffle_read_bytes"]
     bytes_new = new["input_bytes"] + new["shuffle_read_bytes"]
     bytes_d = rel(bytes_old, bytes_new)
+    # gc_ms and run_ms are both TASK-SUMMED (a 100 ms wall GC pause
+    # overlapping 32 running tasks reports ~3200 task-ms), so GC is
+    # judged against the task-summed run-time delta — comparing it to
+    # the WALL delta would over-trigger by up to the parallelism factor.
     gc_d_ms = new["gc_ms"] - old["gc_ms"]
-    wall_d_ms = (wall_new - wall_old) * 1000.0
+    run_d_ms = new["run_ms"] - old["run_ms"]
     signals = []
     if abs(cpu_d) > 0.15:
         signals.append("cpu")
     if abs(bytes_d) > 0.10:
         signals.append("bytes")
-    if abs(gc_d_ms) > 0.5 * abs(wall_d_ms) and abs(gc_d_ms) > 50:
+    if abs(gc_d_ms) > 0.5 * abs(run_d_ms) and abs(gc_d_ms) > 200:
         signals.append("gc")
     if not signals:
         return "HOST"
     if signals == ["gc"]:
         return "GC"
-    if "cpu" in signals or "bytes" in signals:
-        return "PLAN" if len(signals) == 1 else "MIXED"
+    # cpu and bytes co-moving IS the archetypal plan change (a plan
+    # that scans 2x the bytes burns 2x the CPU) — PLAN, not MIXED;
+    # MIXED is reserved for work signals combined with a gc signal.
+    if "gc" not in signals:
+        return "PLAN"
     return "MIXED"
 
 
@@ -91,6 +101,9 @@ def main() -> None:
         print(f"wall-only {name:28s} {wo:6.2f}->{wn:6.2f} (no exec metrics on one side)")
     tot_o = sum(qo[n] for n in common)
     tot_n = sum(qn[n] for n in common)
+    if not common or tot_o == 0:
+        print("\nno common queries between the two artifacts — nothing to attribute")
+        return
     print(
         f"\nsuite (common {len(common)} queries): {tot_o:.1f}s -> {tot_n:.1f}s "
         f"({tot_n / tot_o:.2f}x)"
