@@ -175,6 +175,19 @@ def main() -> None:
     # or cross-round comparisons); failures are the separate `errored`
     # list plus `n_errored`, so the JSON is self-describing.
     total = round(sum(times.values()), 3)
+    # Suite-level executor totals ride the stdout line too (a few dozen
+    # chars): even when only the driver's truncated artifact survives a
+    # round, the CPU/GC/bytes aggregates let bench_attrib-style host-vs-
+    # plan reasoning start without BENCH_DETAIL.
+    with_exec = [m for m in exec_detail.values() if m]
+    exec_totals = {
+        "cpu_s": round(sum(m["cpu_ms"] for m in with_exec) / 1e3, 1),
+        "run_s": round(sum(m["run_ms"] for m in with_exec) / 1e3, 1),
+        "gc_s": round(sum(m["gc_ms"] for m in with_exec) / 1e3, 1),
+        "in_gb": round(sum(m["input_bytes"] for m in with_exec) / 1e9, 2),
+        "sr_gb": round(sum(m["shuffle_read_bytes"] for m in with_exec) / 1e9, 2),
+        "n": len(with_exec),
+    }
     # Full-precision detail goes to a side file; the stdout line must stay
     # SHORT (driver captures only a bounded tail of stdout — round 1's
     # 3.7k-char line was truncated mid-line and failed to parse).
@@ -191,6 +204,7 @@ def main() -> None:
                 # execution: host steal reads as wall >> run/cpu with
                 # flat bytes; a plan regression moves cpu and/or bytes.
                 "exec": exec_detail,
+                "exec_totals": exec_totals,
                 "calib": {
                     "pre": calib[0],
                     "mid": calib[1],
@@ -239,6 +253,7 @@ def main() -> None:
                     "scan_ref": SCAN_REF_SEC,
                 },
                 "ok": not errored,
+                "exec_totals": exec_totals,
                 # others_sec is computed from the ROUNDED kept values so
                 # the advertised identity value == sum(queries) +
                 # others_sec holds exactly on the printed line.
