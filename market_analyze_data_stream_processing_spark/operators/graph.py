@@ -147,9 +147,20 @@ def node_overlap(
     postings. Output is the global top_k by (jaccard, a, b): a
     deterministic total order, taken with one TakeOrderedAndProject
     (no full sort materialization)."""
-    m = memberships.select(
-        F.col(node).alias("a"), F.col(item).alias("i")
-    ).distinct()
+    # The distinct postings feed THREE consumers (sizes, df_ok, the
+    # pair expansion). AQE materializes independent query stages
+    # concurrently, so the identical distinct subtree executes once per
+    # consumer instead of being exchange-reused (measured: 3 identical
+    # scan+partial-distinct stages per execution at sf0.1). The lazy
+    # localCheckpoint pins it into whichever job runs first — the
+    # standard multi-consumer discipline of pagerank/triangle_count
+    # above; at 100 TB one materialized postings set beats three full
+    # scans+distincts of the fact table.
+    m = (
+        memberships.select(F.col(node).alias("a"), F.col(item).alias("i"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sizes = m.groupBy("a").agg(F.count(F.lit(1)).alias("n_items"))
     df_ok = (
         m.groupBy("i")
@@ -157,7 +168,19 @@ def node_overlap(
         .where(F.col("df") <= max_item_df)
         .select("i")
     )
-    pruned = m.join(df_ok, "i")
+    # The per-item self-join FANS OUT: Σdf² pair rows from |postings|
+    # input rows. AQE sizes the post-shuffle stage by its INPUT bytes
+    # (a few MB here → it coalesced the expansion to 5 partitions and
+    # serialized ~10 s of CPU onto 5 cores at sf0.1). The optimizer
+    # cannot know the fan-out; we do (guide §8) — an explicit
+    # hash-repartition on the join key at the shuffle-partition count
+    # keeps the expansion stage at full parallelism, and both join
+    # branches read the SAME exchange (hash(i) satisfies the join's
+    # distribution on each side), so this adds zero extra shuffles.
+    fanout = int(
+        memberships.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    pruned = m.join(df_ok, "i").repartition(fanout, "i")
     left = pruned.select(F.col("i"), F.col("a"))
     right = pruned.select(F.col("i"), F.col("a").alias("b"))
     pairs = (
