@@ -31,7 +31,7 @@ from ..operators.analytics import (
     with_moving_averages,
     with_trend,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, plan_memo
 from .registry import register
 
 from .market_series import _BARS_CTE, _bars  # noqa: F401
@@ -65,6 +65,7 @@ WITH __db_ranked AS (
 """
 
 
+@plan_memo
 def _vbars(spark, sf_dir):
     """Tick bars with a deterministic integral volume column: the events
     table carries no volume, so ``(user_id % 997) + 1`` stands in — an
@@ -78,6 +79,7 @@ def _vbars(spark, sf_dir):
     )
 
 
+@plan_memo
 def _daily_bars(spark, sf_dir):
     """Daily H/L/C bars per ticker (resample_ohlc at day grain)."""
     from ..operators.timeseries import resample_ohlc
@@ -410,6 +412,7 @@ WITH __dv_ranked AS (
 """
 
 
+@plan_memo
 def _daily_ohlc(spark, sf_dir):
     """Daily O/H/L/C bars per ticker (resample_ohlc at day grain)."""
     from ..operators.timeseries import resample_ohlc
@@ -421,6 +424,7 @@ def _daily_ohlc(spark, sf_dir):
     )
 
 
+@plan_memo
 def _daily_vol_bars(spark, sf_dir):
     """Daily H/L/C bars plus summed volume (from the _vbars derivation)."""
     v = _vbars(spark, sf_dir)
@@ -1001,6 +1005,7 @@ def q_amihud(spark, sf_dir):
     ).orderBy("ticker")
 
 
+@plan_memo
 def _daily_dollar_bars(spark, sf_dir):
     """Daily (close, decimal-exact dollar volume) bars from _vbars."""
     v = _vbars(spark, sf_dir)

@@ -37,7 +37,7 @@ from ..operators.analytics import (
     with_moving_averages,
     with_trend,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_table, plan_memo
 from .registry import register
 
 #: DuckDB CTE mirroring _bars() below.
@@ -49,6 +49,7 @@ WITH bars AS (
 """
 
 
+@plan_memo
 def _bars(spark, sf_dir):
     return load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("ticker"),

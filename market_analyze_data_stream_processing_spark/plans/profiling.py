@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import stable_round
 from ..operators.profiling import chi2_mix, column_profile, ks_statistic, psi_drift
-from ..sources.tables import load_table
+from ..sources.tables import load_table, plan_memo
 from .registry import register
 
 _SPLIT = "2024-01-16"
@@ -29,6 +29,7 @@ WITH tagged AS (
 """
 
 
+@plan_memo
 def _tagged(spark, sf_dir):
     return load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"),

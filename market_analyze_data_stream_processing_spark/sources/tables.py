@@ -97,6 +97,35 @@ def _load_events_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
+def plan_memo(fn):
+    """Memoize a DataFrame-PLAN builder ``fn(spark, sf_dir, ...)`` per
+    session (round-14). Same contract as the load_table cache above: the
+    cached object is an unexecuted logical plan, so every execution
+    still computes from the parquet inputs — this removes only the
+    repeated Py4J/analysis cost of rebuilding an identical plan prefix
+    (~40-150 ms per builder call) that dozens of queries share. Keyed by
+    applicationId (restart-safe) + sf_dir + extra args."""
+    import functools
+
+    cache: dict[tuple, DataFrame] = {}
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str, *args, **kwargs):
+        key = (
+            spark.sparkContext.applicationId,
+            sf_dir.rstrip("/"),
+            args,
+            tuple(sorted(kwargs.items())),
+        )
+        df = cache.get(key)
+        if df is None:
+            df = fn(spark, sf_dir, *args, **kwargs)
+            cache[key] = df
+        return df
+
+    return wrapper
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition for expression-heavy per-row stages.
 
