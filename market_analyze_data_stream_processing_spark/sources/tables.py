@@ -9,6 +9,8 @@ partitioned/bucketed tables behind a catalog — the query code in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -34,21 +36,48 @@ TABLE_NAMES = (
 # table's metastore schema would at production scale (guide §6 — file
 # listing/planning cost), never data or results. Keyed by
 # applicationId so a restarted SparkContext can never serve a stale
-# JVM handle (object ids can be reused; applicationIds are unique).
-_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# JVM handle (object ids can be reused; applicationIds are unique),
+# and GUARDED by a staleness token (mtime_ns + size of the table
+# path): a test/operator that overwrites a parquet path and re-queries
+# must get a fresh file index, not a scan plan listing deleted files —
+# the metastore analogue is REFRESH TABLE after an external rewrite.
+_DF_CACHE: dict[tuple[str, str, str], tuple[tuple | None, DataFrame]] = {}
+
+
+def _path_token(path: str) -> tuple | None:
+    """Cheap change-detector for a parquet file or directory: Spark's
+    overwrite recreates the file/dir, so (mtime_ns, size) moves on every
+    rewrite. None = path absent (the read will raise its own error). An
+    in-place byte edit that preserves mtime and size is invisible — the
+    same contract as a metastore's cached file index."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _sf_token(sf_dir: str) -> tuple:
+    """Staleness token for every table under ``sf_dir`` (10 stat calls,
+    ~µs) — used by plan_memo, whose builders may read several tables."""
+    return tuple(
+        _path_token(f"{sf_dir}/{n}.parquet") for n in TABLE_NAMES
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
     key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
-    df = _DF_CACHE.get(key)
-    if df is None:
-        if name == "events":
-            df = _load_events_uncached(spark, sf_dir)
-        else:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _DF_CACHE[key] = df
+    token = _path_token(f"{sf_dir}/{name}.parquet")
+    hit = _DF_CACHE.get(key)
+    if hit is not None and hit[0] == token:
+        return hit[1]
+    if name == "events":
+        df = _load_events_uncached(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _DF_CACHE[key] = (token, df)
     return df
 
 
@@ -104,10 +133,13 @@ def plan_memo(fn):
     still computes from the parquet inputs — this removes only the
     repeated Py4J/analysis cost of rebuilding an identical plan prefix
     (~40-150 ms per builder call) that dozens of queries share. Keyed by
-    applicationId (restart-safe) + sf_dir + extra args."""
+    applicationId (restart-safe) + sf_dir + extra args, and guarded by
+    the sf_dir staleness token (builders may read several tables, so the
+    token covers all of them): rewriting any input invalidates the
+    memoized plan, same contract as load_table's cache."""
     import functools
 
-    cache: dict[tuple, DataFrame] = {}
+    cache: dict[tuple, tuple[tuple, DataFrame]] = {}
 
     @functools.wraps(fn)
     def wrapper(spark: SparkSession, sf_dir: str, *args, **kwargs):
@@ -117,10 +149,12 @@ def plan_memo(fn):
             args,
             tuple(sorted(kwargs.items())),
         )
-        df = cache.get(key)
-        if df is None:
-            df = fn(spark, sf_dir, *args, **kwargs)
-            cache[key] = df
+        token = _sf_token(sf_dir)
+        hit = cache.get(key)
+        if hit is not None and hit[0] == token:
+            return hit[1]
+        df = fn(spark, sf_dir, *args, **kwargs)
+        cache[key] = (token, df)
         return df
 
     return wrapper

@@ -107,3 +107,26 @@ def test_all_tables_load_with_expected_columns(spark):
         df = load_table(spark, "/root/testdata/sf0.001", name)
         missing = expected - set(df.columns)
         assert not missing, f"{name}: missing columns {missing}"
+
+
+def test_load_table_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The session plan cache must never serve a scan plan whose file
+    index lists deleted files: overwriting a table path and re-loading
+    has to produce the NEW rows (regression: round-14 plan cache +
+    tests that rewrite tmp_path parquet between queries)."""
+    from market_analyze_data_stream_processing_spark.sources.tables import (
+        load_table,
+    )
+
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, "one", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(p)
+    assert load_table(spark, str(tmp_path), "documents").count() == 1
+    # Overwrite with different contents; the cached plan is now stale.
+    spark.createDataFrame(
+        [(1, "one", "en", "s", 3), (2, "two", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(p)
+    assert load_table(spark, str(tmp_path), "documents").count() == 2
