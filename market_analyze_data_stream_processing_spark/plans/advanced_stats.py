@@ -358,9 +358,15 @@ def q_customer_deciles(spark, sf_dir):
 )
 def q_market_basket(spark, sf_dir):
     t = load_tables(spark, sf_dir)
+    # The distinct basket-item set feeds FIVE consumers (both self-join
+    # sides, both marginal joins, the order total) and the plan showed
+    # zero exchange reuse — scan + distinct executed per consumer. Lazy
+    # localCheckpoint pins it once (the triangle_count / node_overlap
+    # discipline); at 100 TB one materialization of the deduped pair
+    # set beats five scan+shuffle+dedup passes over the fact table.
     items = t.lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     a = items.select("ok", F.col("pk").alias("part_a"))
     b = items.select("ok", F.col("pk").alias("part_b"))
     pairs = (
@@ -426,9 +432,12 @@ def q_triangles(spark, sf_dir):
     from ..operators.graph import triangle_count
 
     t = load_tables(spark, sf_dir)
+    # Both sides of the edge-derivation self-join read this distinct
+    # set; pin it so scan + dedup run once (triangle_count already pins
+    # the canonical edge set it derives from this).
     items = t.lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     a = items.select("ok", F.col("pk").alias("pa"))
     b = items.select("ok", F.col("pk").alias("pb"))
     edges = (

@@ -1563,14 +1563,23 @@ def q_bigram_logprob(spark, sf_dir):
     import market_analyze_data_stream_processing_spark.functions.text as T
     from ..functions.scalars import stable_round
 
-    d = load_table(spark, sf_dir, "documents")
+    # The exploded bigram stream feeds FOUR consumers (c2, c1, vocab,
+    # probe side) and the plan showed zero exchange reuse: tokenize +
+    # explode executed four times per run, serialized on the single
+    # input split. spread() parallelizes the tokenize across cores and
+    # a lazy localCheckpoint pins the stream so it tokenizes ONCE (the
+    # q_decontaminate / node_overlap discipline). At 100 TB this is the
+    # staged token table every n-gram LM build materializes anyway.
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", T.tokens(T.portable_lower(F.col("text"))).alias("toks")
     ).where(F.size("toks") >= 2)
     ctx = toks.select(
         "doc_id",
         F.explode(T.shingles_from_tokens(F.col("toks"), n=2)).alias("bigram"),
-    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    ).withColumn(
+        "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    ).localCheckpoint(eager=False)
     c2 = ctx.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt2"))
     c1 = ctx.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
     vocab = ctx.select(
