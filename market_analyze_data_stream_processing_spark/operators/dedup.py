@@ -674,7 +674,14 @@ def _shingle_pair_stats(
             F.col("__df") <= max_shingle_df
         ).drop("__df")
     # Small branch over the same exchange: per-doc surviving-shingle
-    # counts, map-side combined before the shuffle.
+    # counts, map-side combined before the shuffle. Deliberately NOT
+    # localCheckpoint-pinned even though it joins the pair stream
+    # twice: within ONE query ReuseExchange dedupes the full-stream
+    # shuffle write and the three branch reads run concurrently,
+    # whereas a checkpoint materializes in its own job that cannot
+    # share the exchange with the main query — measured 1.4× SLOWER
+    # end-to-end at sf0.1 (2.02→2.92 s normalized) with a second
+    # full-stream shuffle write in the stage metrics.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # lists are capped at max_shingle_df elements by the filter above;
     # sort_array orders the ids so pair expansion emits id_a < id_b

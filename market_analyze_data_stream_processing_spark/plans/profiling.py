@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import stable_round
 from ..operators.profiling import chi2_mix, column_profile, ks_statistic, psi_drift
-from ..sources.tables import load_table, plan_memo
+from ..sources.tables import load_table, plan_memo, spread
 from .registry import register
 
 _SPLIT = "2024-01-16"
@@ -71,8 +71,18 @@ def _profile_col_sql(c: str) -> str:
     "before the one double division.",
 )
 def q_column_profile(spark, sf_dir):
+    # The single-file local scan serialized the stack-unpivot fan-out
+    # (|cols|x rows) plus its value-level partial aggregate onto ONE
+    # task — thread dumps showed one straggler in hashAgg while 31
+    # cores idled (guide §2.5 input skew). Project to the profiled
+    # columns FIRST (guide §2.3: shuffle 4 numeric columns, not the
+    # row), then spread across cores; on a many-split production scan
+    # the repartition cost is the narrow projection, and the unpivot
+    # parallelism comes for free either way.
     li = load_table(spark, sf_dir, "lineitem")
-    return column_profile(li, _PROFILE_COLS, round_digits=6)
+    return column_profile(
+        spread(li.select(*_PROFILE_COLS)), _PROFILE_COLS, round_digits=6
+    )
 
 
 @register(

@@ -2147,7 +2147,13 @@ def q_ngram_novelty(spark, sf_dir):
     import market_analyze_data_stream_processing_spark.functions.text as T
     from ..functions.scalars import stable_round
 
-    d = load_table(spark, sf_dir, "documents")
+    # The distinct posting set feeds TWO consumers (the df aggregate
+    # and the probe side of the join) with zero exchange reuse —
+    # tokenize + explode + dedup executed twice, serialized on the
+    # single local input split. spread() parallelizes the tokenize and
+    # a lazy localCheckpoint pins the postings so they materialize ONCE
+    # (the q_bigram_logprob / node_overlap discipline).
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", T.tokens(T.portable_lower(F.col("text"))).alias("toks"))
     sh = (
         toks.where(F.size("toks") >= 3)
@@ -2156,6 +2162,7 @@ def q_ngram_novelty(spark, sf_dir):
             F.explode(T.shingles_from_tokens(F.col("toks"), n=3)).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))

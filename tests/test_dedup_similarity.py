@@ -1136,3 +1136,33 @@ def test_seed_cell_index_save_load_roundtrip(spark, tmp_path):
     save_seed_cell_index(eidx, spark, epath)
     eloaded = load_seed_cell_index(spark, epath)
     assert eloaded["k"] == 1 and eloaded["seeds"] == []
+
+
+def test_shingle_pair_stats_single_fullstream_exchange(spark):
+    """Pin the round-14 exchange discipline of _shingle_pair_stats
+    (guide §2.4): the exploded shingle stream crosses the network
+    exactly ONCE — the df-prune window's hashpartitioning(sh) exchange,
+    which the groupBy(sh) collect reuses. The per-doc set sizes come
+    from a map-side-combined groupBy(id) branch joined onto the
+    AGGREGATED pair stream, NOT from a second full-stream window over
+    partitionBy(id) (the pre-round-14 form, which cost two more
+    full-stream exchanges). A regression re-introducing the id-window
+    shows up here as a Window whose partition spec is the doc id.
+    (The sh-window subtree legitimately appears once per branch in the
+    physical tree — ReuseExchange dedupes the underlying shuffle write
+    at runtime — so the pin is on the window PARTITION KEY, not the
+    node count.)"""
+    rows = [(i, f"tok{i} alpha beta gamma delta tok{i + 1}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plan = (
+        jaccard_pairs(df, threshold=0.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows, plan  # the df-prune window must exist
+    for w in windows:
+        # every window partitions by the shingle, never the doc id
+        assert "windowspecdefinition(sh#" in w, w
+        assert "windowspecdefinition(doc_id#" not in w, w
