@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions.scalars import domain_checked
+from ..functions.scalars import domain_checked, numeric_assert_enabled
 
 #: default input grid: 1e-12 quantization. DOMAIN BOUND: cross-engine
 #: exact only for |x| < 2^53/10^12 ≈ 9006 (see quantize); sized for
@@ -116,6 +116,53 @@ def corr_moment_aggs(
         F.sum(prod(xd, xd)).alias(f"{prefix}_sxx"),
         F.sum(prod(yd, yd)).alias(f"{prefix}_syy"),
     ]
+
+
+# Session-lifetime memo for the moment-kernel EXPRESSION LISTS
+# (round-14, guide §1.2 per-task→per-build analogue): one
+# corr_moment_aggs call costs ~90 Py4J roundtrips of pure expression
+# construction, and the corr family (q_autocorr, q_ljung_box,
+# q_risk_report, q_lead_lag, q_stats_agg, ...) rebuilds the identical
+# unresolved trees on every plan build. Unresolved Columns are
+# immutable, input-independent descriptors — the same objects are
+# valid in any number of plans — so builders keyed purely by STRINGS
+# (column names / prefixes / grids) memoize them per process. The
+# assert flag participates in the key because domain_checked bakes it
+# into the tree at construction. Expressions only — never plans tied
+# to a DataFrame, never data.
+_KERNEL_MEMO: dict[tuple, object] = {}
+
+
+def corr_moment_aggs_named(
+    x_name: str,
+    y_name: str,
+    prefix: str,
+    prod_grid: str = PROD_GRID,
+    prod_digits: int = 12,
+) -> list[Column]:
+    """Name-keyed, memoized :func:`corr_moment_aggs` — identical
+    expression trees, built once per process per argument tuple."""
+    key = (
+        "aggs", x_name, y_name, prefix, prod_grid, prod_digits,
+        numeric_assert_enabled(),
+    )
+    hit = _KERNEL_MEMO.get(key)
+    if hit is None:
+        hit = corr_moment_aggs(
+            F.col(x_name), F.col(y_name), prefix, prod_grid, prod_digits
+        )
+        _KERNEL_MEMO[key] = hit
+    return hit
+
+
+def corr_from_moments_named(prefix: str) -> Column:
+    """Memoized :func:`corr_from_moments` (pure function of the
+    prefix; no domain checks in this tree)."""
+    key = ("corr", prefix)
+    hit = _KERNEL_MEMO.get(key)
+    if hit is None:
+        hit = _KERNEL_MEMO[key] = corr_from_moments(prefix)
+    return hit
 
 
 def corr_from_moments(prefix: str) -> Column:

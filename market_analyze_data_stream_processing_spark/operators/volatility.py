@@ -95,34 +95,50 @@ def return_autocorr(
     on every engine. Pairs where either side is null (series head,
     zero-close gaps) drop out of that lag's correlation only.
     """
-    from .stats import corr_from_moments, corr_moment_aggs, quantize
-
-    base = Window.partitionBy(key).orderBy(day)
-    prev = F.lag(close).over(base)
-    r = F.when(
-        (F.col(close) > 0) & (prev > 0), quantize(F.log(F.col(close) / prev))
+    from ..functions.scalars import numeric_assert_enabled
+    from .stats import (
+        _KERNEL_MEMO,
+        corr_from_moments_named,
+        corr_moment_aggs_named,
+        quantize,
     )
+
+    # Expression-set memo (round-14): every tree below is a pure
+    # function of (lags, key, day, close) column NAMES — build it once
+    # per process per argument tuple; only the four DataFrame calls
+    # (withColumn/withColumns/agg/select) run per plan build.
+    mkey = (
+        "return_autocorr", tuple(lags), key, day, close,
+        numeric_assert_enabled(),
+    )
+    exprs = _KERNEL_MEMO.get(mkey)
+    if exprs is None:
+        base = Window.partitionBy(key).orderBy(day)
+        prev = F.lag(close).over(base)
+        r = F.when(
+            (F.col(close) > 0) & (prev > 0),
+            quantize(F.log(F.col(close) / prev)),
+        )
+        lag_cols = {f"__r_{k}": F.lag("__r", k).over(base) for k in lags}
+        agg_cols = [
+            F.count("__r").alias("n_returns"),
+            *[
+                c
+                for k in lags
+                for c in corr_moment_aggs_named("__r", f"__r_{k}", f"l{k}")
+            ],
+        ]
+        out_cols = [
+            corr_from_moments_named(f"l{k}").alias(f"acf_{k}") for k in lags
+        ]
+        exprs = _KERNEL_MEMO[mkey] = (r, lag_cols, agg_cols, out_cols)
+    r, lag_cols, agg_cols, out_cols = exprs
     with_r = daily.withColumn("__r", r)
     # the moments are aggregates, not window fns: materialize the
     # lagged columns first, then aggregate — one window pass + one agg.
-    lagged = with_r.withColumns(
-        {f"__r_{k}": F.lag("__r", k).over(base) for k in lags}
-    )
-    m = lagged.groupBy(key).agg(
-        F.count("__r").alias("n_returns"),
-        *[
-            c
-            for k in lags
-            for c in corr_moment_aggs(
-                F.col("__r"), F.col(f"__r_{k}"), f"l{k}"
-            )
-        ],
-    )
-    return m.select(
-        key,
-        "n_returns",
-        *[corr_from_moments(f"l{k}").alias(f"acf_{k}") for k in lags],
-    )
+    lagged = with_r.withColumns(lag_cols)
+    m = lagged.groupBy(key).agg(*agg_cols)
+    return m.select(key, "n_returns", *out_cols)
 
 
 ANNUALIZE_DAILY = 15.874507866387544  # sqrt(252), shared literal

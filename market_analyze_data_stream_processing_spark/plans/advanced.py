@@ -353,7 +353,11 @@ def q_percentiles(spark, sf_dir):
     "zero variance (e.g. a single-event key).",
 )
 def q_stats_agg(spark, sf_dir):
-    from ..operators.stats import corr_from_moments, corr_moment_aggs, quantize
+    from ..operators.stats import (
+        corr_from_moments_named,
+        corr_moment_aggs_named,
+        quantize,
+    )
 
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
@@ -371,15 +375,13 @@ def q_stats_agg(spark, sf_dir):
         # 6-digit product grid: uq is a RAW id, so the 12-digit default
         # would cross the |x·y|·10^d < 2^53 quantize domain bound at
         # user_id ≈ 3e3; digits=6 holds exactness to user_id ≈ 9.5e4.
-        *corr_moment_aggs(
-            F.col("__vq"), F.col("__uq"), "cu", "decimal(38,6)", 6
-        ),
+        *corr_moment_aggs_named("__vq", "__uq", "cu", "decimal(38,6)", 6),
     )
     return m.select(
         "event_type",
         "sd",
         "var",
-        stable_round(corr_from_moments("cu"), 4).alias("corr_uid"),
+        stable_round(corr_from_moments_named("cu"), 4).alias("corr_uid"),
         "vmin",
         "vmax",
     ).orderBy("event_type")

@@ -1067,7 +1067,11 @@ def _daily_dollar_bars(spark, sf_dir):
     "series yield NULLs on every engine).",
 )
 def q_lead_lag(spark, sf_dir):
-    from ..operators.stats import corr_from_moments, corr_moment_aggs, quantize
+    from ..operators.stats import (
+        corr_from_moments_named,
+        corr_moment_aggs_named,
+        quantize,
+    )
 
     base = Window.partitionBy("ticker").orderBy("day")
     d = _daily_bars(spark, sf_dir)
@@ -1093,17 +1097,17 @@ def q_lead_lag(spark, sf_dir):
         .where(F.col("ticker_a") < F.col("ticker_b"))
         .groupBy("ticker_a", "ticker_b")
         .agg(
-            *corr_moment_aggs(F.col("ra"), F.col("rb"), "c"),
-            *corr_moment_aggs(F.col("ra"), F.col("rb_prev"), "ba"),
-            *corr_moment_aggs(F.col("rb"), F.col("ra_prev"), "ab"),
+            *corr_moment_aggs_named("ra", "rb", "c"),
+            *corr_moment_aggs_named("ra", "rb_prev", "ba"),
+            *corr_moment_aggs_named("rb", "ra_prev", "ab"),
         )
     )
     return m.select(
         "ticker_a",
         "ticker_b",
-        stable_round(corr_from_moments("c"), 6).alias("contemp"),
-        stable_round(corr_from_moments("ba"), 6).alias("b_leads_a"),
-        stable_round(corr_from_moments("ab"), 6).alias("a_leads_b"),
+        stable_round(corr_from_moments_named("c"), 6).alias("contemp"),
+        stable_round(corr_from_moments_named("ba"), 6).alias("b_leads_a"),
+        stable_round(corr_from_moments_named("ab"), 6).alias("a_leads_b"),
     ).orderBy("ticker_a", "ticker_b")
 
 

@@ -201,3 +201,54 @@ def test_var_cvar_zero_close_gate_and_ties(spark):
     assert row2["tail_k"] == 2
     assert row2["var_loss"] == -0.5
     assert row2["cvar_loss"] == -0.5
+
+
+def test_corr_kernel_memo_identity_and_assert_key(spark, monkeypatch):
+    """Round-14 expression memo: the name-keyed corr kernels return the
+    SAME Column objects on repeated calls (the whole point — zero
+    rebuild cost), the memoized trees stay usable across plans, and the
+    numeric-assert flag participates in the key (domain_checked bakes
+    the flag into the tree at construction, so assert-on and assert-off
+    builds must never share a cache line)."""
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        NUMERIC_ASSERT_ENV,
+    )
+    from market_analyze_data_stream_processing_spark.operators.stats import (
+        corr_from_moments_named,
+        corr_moment_aggs_named,
+    )
+
+    a1 = corr_moment_aggs_named("x", "y", "t1")
+    a2 = corr_moment_aggs_named("x", "y", "t1")
+    assert a1 is a2  # memo hit: identical objects
+    assert corr_from_moments_named("t1") is corr_from_moments_named("t1")
+
+    # flip the assert flag to the OPPOSITE of whatever the suite runs
+    # under (conftest defaults it on) — the flipped mode must get its
+    # own tree
+    from market_analyze_data_stream_processing_spark.functions.scalars import (
+        numeric_assert_enabled,
+    )
+    flipped = "0" if numeric_assert_enabled() else "1"
+    monkeypatch.setenv(NUMERIC_ASSERT_ENV, flipped)
+    a3 = corr_moment_aggs_named("x", "y", "t1")
+    assert a3 is not a1  # flipped mode gets its own tree
+
+    # the memoized expressions work in two independent plans and agree
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 5.0)], ["x", "y"]
+    )
+    from pyspark.sql import functions as F
+
+    q = df.select(
+        F.col("x").cast("decimal(28,12)").alias("x"),
+        F.col("y").cast("decimal(28,12)").alias("y"),
+    )
+    r1 = q.agg(*corr_moment_aggs_named("x", "y", "t1")).select(
+        corr_from_moments_named("t1").alias("c")
+    ).collect()[0]["c"]
+    r2 = q.agg(*corr_moment_aggs_named("x", "y", "t1")).select(
+        corr_from_moments_named("t1").alias("c")
+    ).collect()[0]["c"]
+    assert r1 == r2
+    assert abs(r1 - 0.981980506) < 1e-6
