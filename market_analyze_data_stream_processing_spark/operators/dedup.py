@@ -627,7 +627,7 @@ def _shingle_pair_stats(
     max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Shared-shingle pair statistics ``(id_a, id_b, n_common, n_a,
-    n_b)`` for every candidate pair sharing ≥1 surviving shingle, via a
+    n_b)`` for every candidate pair sharing ≥ 1 surviving shingle, via a
     GROUPED inverted index: explode shingles once, prune by document
     frequency, collect the ≤``max_shingle_df`` doc ids per surviving
     shingle, and expand pairs map-side from each sorted list — no
@@ -643,21 +643,31 @@ def _shingle_pair_stats(
     run — rows, never an in-memory corpus-sized list — so the guard
     itself cannot OOM on the skew it exists to cut.
 
-    Exchange discipline (round-14, guide §2.4): the ``groupBy(sh)``
-    collect sits DIRECTLY on the window's hashpartitioning(sh) output,
-    so it reuses that exchange — the exploded shingle stream crosses
-    the network ONCE. Per-doc surviving-set sizes come from a partial-
-    aggregated ``groupBy(id).count`` branch over the same exchange
-    (map-side combined: |docs| rows shuffle, not the stream) and join
-    onto the AGGREGATED candidate-pair stream. The previous form
-    instead rode ``n_sh`` inside the index via a second window over
-    ``partitionBy(id)``, which cost two more full-stream exchanges
-    (W(id) + re-shuffle for groupBy(sh)): 3 full-data shuffles → 1,
-    measured 1.34× end-to-end at sf0.1 with bit-identical output. The
-    trade: the aggregated pair stream (≤ ΣC(df_cap,2) per shingle,
-    post n_common-collapse) now shuffles for its two size joins — at
-    corpus scale those are pair-count-sized exchanges against the two
-    full token-stream exchanges removed."""
+    Per-doc set sizes ride INSIDE the inverted index: a window count
+    over ``partitionBy(id)`` attaches ``n_sh`` before grouping, so each
+    expanded pair already carries both sizes and the downstream ratio
+    (Jaccard or containment) needs NO join after pair aggregation.
+
+    ROUND-14 A/B, measured both ways and settled at sf1: an alternative
+    form derived the sizes from a map-side-combined ``groupBy(id)``
+    branch joined onto the aggregated pair stream, cutting the three
+    full-stream exchanges here (W(sh), W(id), groupBy(sh)) to ONE
+    reused exchange — and it measured ~1.2× faster at sf0.1 (shuffle
+    write 412→202 MB at sf1, exactly as designed). But at sf1 it was
+    2–6× SLOWER wall with up to 3.4× the executor CPU (4.3–4.5 s /
+    ~82 s CPU here vs 9.3–26.3 s / 87–290 s CPU there): the branch form
+    evaluates the full-stream window subtree once per consumer (pair
+    branch + two size-join sides — ReuseExchange dedupes only the
+    shuffle WRITE), so the 10× stream pays three window sorts and
+    erratic memory pressure where this linear chain pays two, and a
+    checkpoint pin of the branch is worse still (its job cannot share
+    the main query's exchange — the stream shuffles twice). This
+    joinless rider form is the measured at-scale optimum; the bytes it
+    spends on the extra full-stream exchange buy single-evaluation of
+    every subtree. Pinned by
+    tests/test_dedup_similarity.py::test_shingle_pair_stats_single_fullstream_exchange.
+    The whole plan is one linear chain (explode → df-prune → size →
+    group → expand → aggregate), so nothing needs checkpointing."""
     from pyspark.sql import Window
 
     sh = df.select(
@@ -673,21 +683,18 @@ def _shingle_pair_stats(
         sh = sh.withColumn("__df", df_cnt).where(
             F.col("__df") <= max_shingle_df
         ).drop("__df")
-    # Small branch over the same exchange: per-doc surviving-shingle
-    # counts, map-side combined before the shuffle. Deliberately NOT
-    # localCheckpoint-pinned even though it joins the pair stream
-    # twice: within ONE query ReuseExchange dedupes the full-stream
-    # shuffle write and the three branch reads run concurrently,
-    # whereas a checkpoint materializes in its own job that cannot
-    # share the exchange with the main query — measured 1.4× SLOWER
-    # end-to-end at sf0.1 (2.02→2.92 s normalized) with a second
-    # full-stream shuffle write in the stage metrics.
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sized = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
     # lists are capped at max_shingle_df elements by the filter above;
-    # sort_array orders the ids so pair expansion emits id_a < id_b
+    # sort_array on (i, n) structs orders by doc id (the first field)
     grouped = (
-        sh.groupBy("sh")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        sized.groupBy("sh")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("n_sh").alias("n")))
+            ).alias("ids")
+        )
         .where(F.size("ids") >= 2)
     )
     common = (
@@ -699,28 +706,25 @@ def _shingle_pair_stats(
                         lambda x, i: F.transform(
                             F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
                             lambda y: F.struct(
-                                x.alias("id_a"), y.alias("id_b")
+                                x["i"].alias("id_a"),
+                                x["n"].alias("n_a"),
+                                y["i"].alias("id_b"),
+                                y["n"].alias("n_b"),
                             ),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b")
+        .select("p.id_a", "p.n_a", "p.id_b", "p.n_b")
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        common.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("n_a").alias("n_a"),  # constant within the group
+            F.max("n_b").alias("n_b"),
         )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .select("id_a", "id_b", "n_common", "n_a", "n_b")
     )
+    return common
 
 
 def connected_components(

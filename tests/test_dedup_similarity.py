@@ -1138,31 +1138,37 @@ def test_seed_cell_index_save_load_roundtrip(spark, tmp_path):
     assert eloaded["k"] == 1 and eloaded["seeds"] == []
 
 
-def test_shingle_pair_stats_single_fullstream_exchange(spark):
-    """Pin the round-14 exchange discipline of _shingle_pair_stats
-    (guide §2.4): the exploded shingle stream crosses the network
-    exactly ONCE — the df-prune window's hashpartitioning(sh) exchange,
-    which the groupBy(sh) collect reuses. The per-doc set sizes come
-    from a map-side-combined groupBy(id) branch joined onto the
-    AGGREGATED pair stream, NOT from a second full-stream window over
-    partitionBy(id) (the pre-round-14 form, which cost two more
-    full-stream exchanges). A regression re-introducing the id-window
-    shows up here as a Window whose partition spec is the doc id.
-    (The sh-window subtree legitimately appears once per branch in the
-    physical tree — ReuseExchange dedupes the underlying shuffle write
-    at runtime — so the pin is on the window PARTITION KEY, not the
-    node count.)"""
+def test_shingle_pair_stats_joinless_rider_form(spark):
+    """Pin the round-14 sf1 A/B winner for _shingle_pair_stats: per-doc
+    set sizes RIDE the inverted index via the W(id) window (the linear
+    explode → df-prune → size → group → expand → aggregate chain), and
+    the pair stream needs NO join after aggregation. The alternative
+    single-exchange form (sizes from a groupBy(id) branch joined onto
+    the aggregated pairs) measured ~1.2× faster at sf0.1 but 2–6×
+    slower at sf1 with up to 3.4× the executor CPU — the branch form
+    evaluates the full-stream window subtree once per consumer, so the
+    decade-scale corpus pays three window sorts where this chain pays
+    two. See the operator docstring for the measured numbers. A
+    regression back to the branch form shows up here as a
+    SortMergeJoin/BroadcastHashJoin ABOVE the pair aggregate, or as the
+    disappearance of the id-partitioned rider window."""
     rows = [(i, f"tok{i} alpha beta gamma delta tok{i + 1}") for i in range(8)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from market_analyze_data_stream_processing_spark.operators.dedup import (
+        _shingle_pair_stats,
+    )
+
     plan = (
-        jaccard_pairs(df, threshold=0.0)
+        _shingle_pair_stats(df)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
-    assert windows, plan  # the df-prune window must exist
-    for w in windows:
-        # every window partitions by the shingle, never the doc id
-        assert "windowspecdefinition(sh#" in w, w
-        assert "windowspecdefinition(doc_id#" not in w, w
+    specs = " ".join(windows)
+    # both rider windows present: the sh df-prune and the id size count
+    assert "windowspecdefinition(sh#" in specs, plan
+    assert "windowspecdefinition(doc_id#" in specs, plan
+    # and the pair stream is joinless: no join operator anywhere in the
+    # stats plan (sizes ride the index; consumers ratio in a projection)
+    assert "Join" not in plan, plan
