@@ -161,15 +161,29 @@ def plan_memo(fn):
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition for expression-heavy per-row stages.
+    """Round-robin repartition for expression-heavy per-row stages —
+    GATED on the input's actual scan parallelism (round-14).
 
-    The synthetic tables are single parquet files (1 input split), which
-    serializes CPU-bound per-row work onto one core. On a real cluster
-    the input would already be many files; this restores that shape. Use
-    only ahead of expensive per-row compute — it is a full shuffle of the
-    rows."""
+    The synthetic tables are single parquet files with one row group
+    (1 effective input split), which serializes CPU-bound per-row work
+    onto one core; the round-robin shuffle restores the many-split
+    shape a production table already has. But when the scan is ALREADY
+    parallel, the same repartition is a pure full-table shuffle tax:
+    the round-14 sf1 A/B on q_column_profile measured 1.42 s / 18.8 s
+    CPU / 17 MB shuffled without it vs 6.83 s / 144 s CPU / 255 MB
+    with it, on a 32-split input. So: spread only when the planned
+    scan has fewer than max(2, target/2) partitions — single-file
+    local inputs fan out, multi-split production scans pass through
+    untouched, and the row values are identical either way (the gate
+    only decides WHERE rows are computed)."""
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_in = df.rdd.getNumPartitions()
+    except Exception:
+        n_in = 1  # un-plannable input: assume narrow, keep the fan-out
+    if n_in >= max(2, partitions // 2):
+        return df
     return df.repartition(partitions)
 
 

@@ -130,3 +130,23 @@ def test_load_table_cache_invalidates_on_rewrite(spark, tmp_path):
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.mode("overwrite").parquet(p)
     assert load_table(spark, str(tmp_path), "documents").count() == 2
+
+
+def test_spread_gates_on_input_parallelism(spark):
+    """Round-14 spread() gate: a narrow input fans out to
+    defaultParallelism; an already-parallel input passes through with
+    NO added exchange (the sf1 A/B measured the ungated repartition as
+    a pure 255 MB shuffle tax on a 32-split scan). Row values are
+    identical either way."""
+    from market_analyze_data_stream_processing_spark.sources.tables import spread
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(max(2, par))
+
+    s_narrow = spread(narrow)
+    s_wide = spread(wide)
+    assert s_narrow.rdd.getNumPartitions() == par
+    # pass-through: same object, no repartition wrapped on top
+    assert s_wide is wide
+    assert sorted(r["id"] for r in s_narrow.collect()) == list(range(1000))
