@@ -304,20 +304,29 @@ def simhash_fingerprints(
         *keys,
         F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("s"),
     ).select(*keys, F.xxhash64("s").alias("h"))
+    # Branch-free vote kernel (round-14, guide §1.2 per-task work):
+    # sum the raw BIT per slot plus one shared row count instead of a
+    # conditional ±1 per slot — the signed vote is recovered exactly as
+    # 2·s_b − n (integers), so "vote > 0" becomes "2·s_b > n" with
+    # identical tie behavior (vote 0 ⟺ 2·s_b = n ⟺ bit stays 0). Same
+    # fingerprints bit-for-bit (pinned in test_dedup_similarity);
+    # measured 2.74 → 2.49 s normalized end-to-end on q_simhash at
+    # sf0.1 — 64 when-branches per shingle row become 64
+    # shift+mask+adds.
     votes = hashed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
             for b in range(bits)
-        ]
+        ],
     )
     fp = F.lit(0).cast("long")
     for b in range(bits):
         fp = fp.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"b{b}") * 2 > F.col("__n"),
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
         )
     return votes.select(*keys, fp.alias("fingerprint"))
 
