@@ -75,9 +75,44 @@ def probe_safe(fn, spark) -> float | None:
         return None
 
 
+def select_queries(argv: list[str]) -> dict:
+    """Round-15: an OPT-IN subset mode for decade benching — the r14
+    scaling block proved sf0.1 suite walls are ~80% driver stage-floor
+    (8-core total ≈ 32-core total), so at-scale optimization decisions
+    need the same harness pointed at a bigger corpus. ``--top N`` times
+    the N most expensive queries of the last committed full-suite run
+    (BENCH_DETAIL.json, normalized seconds) with the IDENTICAL protocol:
+    sf0.001 whole-suite-subset JIT warmup, two timed passes, per-query
+    min, noop sink, per-query unpersist + IVF invalidation, calibration
+    stations. ``--queries a,b,c`` names them explicitly. With no args —
+    the driver's invocation — behavior is byte-identical to round 14:
+    every registered query, detail to BENCH_DETAIL.json."""
+    if "--queries" in argv:
+        names = argv[argv.index("--queries") + 1].split(",")
+        missing = [n for n in names if n not in QUERIES]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        return {n: QUERIES[n] for n in names}
+    if "--top" in argv:
+        n = int(argv[argv.index("--top") + 1])
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path) as f:
+            detail = json.load(f)
+        ranked = sorted(
+            (detail.get("queries_norm") or detail["queries"]).items(),
+            key=lambda kv: -kv[1],
+        )
+        return {name: QUERIES[name] for name, _ in ranked[:n] if name in QUERIES}
+    return dict(QUERIES)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    queries = select_queries(sys.argv[1:])
+    subset = len(queries) < len(QUERIES)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -99,7 +134,7 @@ def main() -> None:
     # Measured run-to-run variance on this host (Firecracker guest,
     # invisible CPU steal) is larger than most queries' true cost; warm
     # plans also shrink that attribution noise.
-    for _wname, _wq in QUERIES.items():
+    for _wname, _wq in queries.items():
         try:
             _wq.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         except Exception:
@@ -141,7 +176,7 @@ def main() -> None:
     calib: list[float | None] = [probe_safe(calibration_probe, spark)]
     scan: list[float | None] = [probe_safe(scan_probe, spark)]
     for _pass in range(2):
-        for name, q in QUERIES.items():
+        for name, q in queries.items():
             if name in errored:
                 continue
             try:
@@ -191,7 +226,10 @@ def main() -> None:
     # Full-precision detail goes to a side file; the stdout line must stay
     # SHORT (driver captures only a bounded tail of stdout — round 1's
     # 3.7k-char line was truncated mid-line and failed to parse).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+    # Subset runs (--top/--queries) write a SEPARATE detail file so the
+    # committed full-suite artifact is never clobbered by a decade probe.
+    detail_name = "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name), "w") as f:
         json.dump(
             {
                 "metric": "suite_seconds",
@@ -221,6 +259,7 @@ def main() -> None:
                 "n_errored": len(errored),
                 "errored": errored,
                 "sf": sf,
+                **({"subset_of": len(QUERIES)} if subset else {}),
             },
             f,
             indent=1,
@@ -263,6 +302,7 @@ def main() -> None:
                 "n_errored": len(errored),
                 "errored": errored,
                 "sf": sf,
+                **({"subset_of": len(QUERIES)} if subset else {}),
             },
             separators=(",", ":"),
         )
