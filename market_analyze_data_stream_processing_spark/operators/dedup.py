@@ -674,7 +674,7 @@ def _shingle_pair_stats(
     joinless rider form is the measured at-scale optimum; the bytes it
     spends on the extra full-stream exchange buy single-evaluation of
     every subtree. Pinned by
-    tests/test_dedup_similarity.py::test_shingle_pair_stats_single_fullstream_exchange.
+    tests/test_dedup_similarity.py::test_shingle_pair_stats_joinless_rider_form.
     The whole plan is one linear chain (explode → df-prune → size →
     group → expand → aggregate), so nothing needs checkpointing."""
     from pyspark.sql import Window

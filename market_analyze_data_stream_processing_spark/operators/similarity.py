@@ -95,44 +95,46 @@ def build_seed_cell_index(
     parquet-storable (:func:`save_seed_cell_index`), ≤ max_cells rows
     of d floats.
 
-    Two BOUNDED jobs, neither a full corpus scan (round 14 — the
-    previous exact ``count()`` was itself a full scan at 100 TB):
+    ONE job, no standalone corpus scan for K (round 15; round 14 ran a
+    bounded ``take`` for K plus a TakeOrderedAndProject for the seeds —
+    two sequential driver actions; the r14 walldecomp put the ANN
+    family's wall in exactly these build-phase pre-pass jobs):
 
-    - K derivation reads at most ``max_cells * target_block`` rows
-      (default 32,768) via the incremental ``take`` path: K only
-      depends on the count through ``min(max_cells, ceil(n/target))``,
-      so ``min(n_valid, cap)`` derives a PROVABLY identical K —
-      n ≥ cap ⇒ both sides hit the max_cells cap, n < cap ⇒ the
-      limited count IS n.  Bit-identical to the oracle's exact
-      ``count(*)`` formula at every size.  (Guard: if the cap exceeds
-      2^20 rows, fall back to the exact count rather than collect a
-      huge take.)
-    - the seed collect is a TakeOrderedAndProject: per-partition top-K
-      heaps, one K-row driver merge.
+    - the seed collect is a TakeOrderedAndProject over the ``max_cells``
+      smallest-id valid rows: per-partition top-K heaps, one bounded
+      driver merge. Collecting ``max_cells`` (not K) rows is sound
+      because K ≤ max_cells always — the K seeds are a prefix of the
+      collected rows, sliced locally;
+    - ``n_valid`` rides the SAME job as an observed metric
+      (``CollectMetrics`` below the top-k): every valid row flows
+      through the heap pass anyway, so the exact count is free — and
+      exactly-once (result-stage accumulator updates apply only to the
+      first completion of each partition). The K formula on the exact
+      count is the oracle's ``count(*)`` formula verbatim.
     """
+    from pyspark.sql import Observation
+
     from ..functions.vectors import as_double as _as_double
 
     emb = _as_double(F.col(vec_col))
     sumsq = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
     valid = F.col(vec_col).isNotNull() & (sumsq > F.lit(0.0))
-    cap_rows = max_cells * target_block
-    if cap_rows <= 1 << 20:
-        n_for_k = len(df.where(valid).select(id_col).take(cap_rows))
-    else:
-        n_for_k = df.where(valid).count()
-    k = max(1, min(max_cells, -(-n_for_k // target_block)))
+    obs = Observation()
     seed_rows = (
         df.where(valid)
         .select(F.col(id_col).alias("i"), emb.alias("v"))
+        .observe(obs, F.count(F.lit(1)).alias("n_valid"))
         .orderBy("i")
-        .limit(k)
+        .limit(max_cells)
         .collect()
     )
+    n_valid = int(obs.get["n_valid"])
+    k = max(1, min(max_cells, -(-n_valid // target_block)))
     return {
         "k": k,
         "target_block": target_block,
         "max_cells": max_cells,
-        "seeds": [(r["i"], [float(x) for x in r["v"]]) for r in seed_rows],
+        "seeds": [(r["i"], [float(x) for x in r["v"]]) for r in seed_rows[:k]],
     }
 
 

@@ -129,8 +129,22 @@ def corr_moment_aggs(
 # (column names / prefixes / grids) memoize them per process. The
 # assert flag participates in the key because domain_checked bakes it
 # into the tree at construction. Expressions only — never plans tied
-# to a DataFrame, never data.
+# to a DataFrame, never data. The GATEWAY IDENTITY participates in
+# every key (round-15): an unresolved Column still holds a Py4J
+# JavaObject, so if the SparkContext/JVM gateway is stopped and
+# restarted in the same Python process, cached trees would hold dead
+# Java references and every corr-family build would fail with opaque
+# Py4J errors. applicationId is unique per context (object ids can be
+# reused; applicationIds are not) — the same restart-safety contract
+# as the load_table plan cache.
 _KERNEL_MEMO: dict[tuple, object] = {}
+
+
+def _gateway_id() -> str | None:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return sc.applicationId if sc is not None else None
 
 
 def corr_moment_aggs_named(
@@ -143,8 +157,8 @@ def corr_moment_aggs_named(
     """Name-keyed, memoized :func:`corr_moment_aggs` — identical
     expression trees, built once per process per argument tuple."""
     key = (
-        "aggs", x_name, y_name, prefix, prod_grid, prod_digits,
-        numeric_assert_enabled(),
+        "aggs", _gateway_id(), x_name, y_name, prefix, prod_grid,
+        prod_digits, numeric_assert_enabled(),
     )
     hit = _KERNEL_MEMO.get(key)
     if hit is None:
@@ -158,7 +172,7 @@ def corr_moment_aggs_named(
 def corr_from_moments_named(prefix: str) -> Column:
     """Memoized :func:`corr_from_moments` (pure function of the
     prefix; no domain checks in this tree)."""
-    key = ("corr", prefix)
+    key = ("corr", _gateway_id(), prefix)
     hit = _KERNEL_MEMO.get(key)
     if hit is None:
         hit = _KERNEL_MEMO[key] = corr_from_moments(prefix)

@@ -98,6 +98,7 @@ def return_autocorr(
     from ..functions.scalars import numeric_assert_enabled
     from .stats import (
         _KERNEL_MEMO,
+        _gateway_id,
         corr_from_moments_named,
         corr_moment_aggs_named,
         quantize,
@@ -106,9 +107,10 @@ def return_autocorr(
     # Expression-set memo (round-14): every tree below is a pure
     # function of (lags, key, day, close) column NAMES — build it once
     # per process per argument tuple; only the four DataFrame calls
-    # (withColumn/withColumns/agg/select) run per plan build.
+    # (withColumn/withColumns/agg/select) run per plan build. Gateway
+    # id in the key (round-15): see _KERNEL_MEMO in operators/stats.py.
     mkey = (
-        "return_autocorr", tuple(lags), key, day, close,
+        "return_autocorr", _gateway_id(), tuple(lags), key, day, close,
         numeric_assert_enabled(),
     )
     exprs = _KERNEL_MEMO.get(mkey)

@@ -2164,15 +2164,34 @@ def q_ngram_novelty(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=False)
     )
-    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    # Round-15 joinless lowering (guide §2.4): the round-14 form joined
+    # the full posting stream back onto its own df aggregate — the 10×
+    # corpus paid two SMJ sorts of the whole stream plus the join, and
+    # it was the worst kept per-decade ratio of round 14 (4.2×/decade
+    # at sf1). df(s) = 1 means the shingle has exactly ONE posting, so
+    # its owning doc is recoverable from the SAME per-shingle aggregate
+    # that computes df (min(doc_id) == the only doc). n_novel per doc
+    # then falls out of a tiny second aggregate over the df=1 rows, and
+    # the full-stream join disappears: per-doc gram counts and per-doc
+    # novel counts meet in a |docs|-row co-partitioned join instead.
+    # Bit-exact: same counts, same rounding, same rows.
+    per_sh = sh.groupBy("s").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
+    )
+    novel = (
+        per_sh.where(F.col("df") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    grams = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    nn = F.coalesce(F.col("n_novel"), F.lit(0))
     return (
-        sh.join(df, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.cast("long").alias("n_novel"),
-            stable_round(novel / F.count(F.lit(1)).cast("double"), 6).alias(
+        grams.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            nn.cast("long").alias("n_novel"),
+            stable_round(nn / F.col("n_grams").cast("double"), 6).alias(
                 "novelty"
             ),
         )

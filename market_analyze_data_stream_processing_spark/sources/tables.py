@@ -160,9 +160,86 @@ def plan_memo(fn):
     return wrapper
 
 
+#: (path, mtime_ns, size) -> parquet row-group count. Footers are read
+#: once per file per process, not once per plan build.
+_ROW_GROUP_MEMO: dict[tuple[str, int, int], int] = {}
+
+
+def _scan_splits(df: DataFrame) -> int | None:
+    """Effective scan parallelism of a plan's parquet leaves, from FILE
+    METADATA only — no DataFrame→RDD conversion, no physical planning
+    (round-15; the round-14 gate's ``df.rdd.getNumPartitions()`` paid a
+    full physical-planning pass per spread call site per build, the
+    same driver build-cost class the plan caches remove).
+
+    Two bounds, take the min:
+
+    - planned byte-range splits, replicating FilePartition.maxSplitBytes:
+      ``min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum))``
+      over the open-cost-charged total — what Spark will actually plan;
+    - total parquet row groups — a row group is consumed by exactly one
+      split (the one holding its midpoint), so a large single-row-group
+      file plans many byte splits but only ONE produces rows. The old
+      RDD-count gate missed exactly this case (it skipped the fan-out in
+      the single-split skew case it exists to fix).
+
+    Returns None when the plan has no parquet file leaves (in-memory /
+    test frames) or a footer is unreadable — the caller falls back to
+    the planned partition count."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    paths = []
+    for f in files:
+        if f.startswith("file://"):
+            f = f[7:]
+        elif f.startswith("file:"):
+            f = f[5:]
+        if not f.endswith(".parquet") or not os.path.isabs(f):
+            return None
+        paths.append(f)
+    spark = df.sparkSession
+    try:
+        jconf = spark._jsparkSession.sessionState().conf()
+        max_pb = int(jconf.filesMaxPartitionBytes())
+        open_cost = int(jconf.filesOpenCostInBytes())
+    except Exception:
+        max_pb, open_cost = 128 * 1024 * 1024, 4 * 1024 * 1024
+    min_pn = int(
+        spark.conf.get("spark.sql.files.minPartitionNum", None)
+        or spark.sparkContext.defaultParallelism
+    )
+    total_row_groups = 0
+    total_bytes = 0
+    for p in paths:
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        key = (p, st.st_mtime_ns, st.st_size)
+        n_rg = _ROW_GROUP_MEMO.get(key)
+        if n_rg is None:
+            try:
+                import pyarrow.parquet as pq
+
+                n_rg = pq.ParquetFile(p).metadata.num_row_groups
+            except Exception:
+                return None
+            _ROW_GROUP_MEMO[key] = n_rg
+        total_row_groups += n_rg
+        total_bytes += st.st_size + open_cost
+    max_split = min(max_pb, max(open_cost, total_bytes // max(1, min_pn)))
+    byte_splits = max(1, -(-total_bytes // max(1, max_split)))  # ceil div
+    return min(byte_splits, total_row_groups)
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition for expression-heavy per-row stages —
-    GATED on the input's actual scan parallelism (round-14).
+    GATED on the input's actual scan parallelism (round-14; gate
+    cheapened + row-group-aware in round-15).
 
     The synthetic tables are single parquet files with one row group
     (1 effective input split), which serializes CPU-bound per-row work
@@ -171,17 +248,21 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     parallel, the same repartition is a pure full-table shuffle tax:
     the round-14 sf1 A/B on q_column_profile measured 1.42 s / 18.8 s
     CPU / 17 MB shuffled without it vs 6.83 s / 144 s CPU / 255 MB
-    with it, on a 32-split input. So: spread only when the planned
-    scan has fewer than max(2, target/2) partitions — single-file
-    local inputs fan out, multi-split production scans pass through
+    with it, on a 32-split input. So: spread only when the effective
+    scan parallelism (:func:`_scan_splits` — file metadata only, no
+    planning pass) is under max(2, target/2) — single-file local
+    inputs fan out, multi-split production scans pass through
     untouched, and the row values are identical either way (the gate
-    only decides WHERE rows are computed)."""
+    only decides WHERE rows are computed). Non-file inputs (tests,
+    in-memory frames) fall back to the planned partition count."""
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_in = df.rdd.getNumPartitions()
-    except Exception:
-        n_in = 1  # un-plannable input: assume narrow, keep the fan-out
+    n_in = _scan_splits(df)
+    if n_in is None:
+        try:
+            n_in = df.rdd.getNumPartitions()
+        except Exception:
+            n_in = 1  # un-plannable input: assume narrow, keep the fan-out
     if n_in >= max(2, partitions // 2):
         return df
     return df.repartition(partitions)

@@ -150,3 +150,49 @@ def test_spread_gates_on_input_parallelism(spark):
     # pass-through: same object, no repartition wrapped on top
     assert s_wide is wide
     assert sorted(r["id"] for r in s_narrow.collect()) == list(range(1000))
+
+
+def test_spread_gate_reads_scan_metadata(spark, tmp_path):
+    """Round-15 spread() gate: for parquet scans the gate is decided
+    from FILE METADATA (byte-range splits bounded by row-group count),
+    with no DataFrame→RDD physical-planning pass. The row-group bound
+    is the behavioral fix over the round-14 RDD-count gate: a file that
+    byte-splits many ways but holds ONE row group produces rows in one
+    task — it must fan out; a genuinely multi-row-group file must pass
+    through untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from market_analyze_data_stream_processing_spark.sources.tables import (
+        _scan_splits,
+        spread,
+    )
+
+    tbl = pa.table({"v": pa.array(range(100_000), type=pa.int64())})
+    one_rg = str(tmp_path / "one_rg.parquet")
+    many_rg = str(tmp_path / "many_rg.parquet")
+    pq.write_table(tbl, one_rg, row_group_size=100_000)
+    pq.write_table(tbl, many_rg, row_group_size=4_000)
+
+    par = spark.sparkContext.defaultParallelism
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # tiny splits + zero open cost: both files byte-split many ways,
+        # so only the row-group bound separates them
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        df_one = spark.read.parquet(one_rg)
+        df_many = spark.read.parquet(many_rg)
+        assert _scan_splits(df_one) == 1
+        assert _scan_splits(df_many) >= max(2, par // 2)
+        s_one = spread(df_one)
+        s_many = spread(df_many)
+        assert s_many is df_many  # already parallel: no added exchange
+        assert s_one is not df_one
+        assert s_one.rdd.getNumPartitions() == par
+        # values identical either way (the gate only moves computation)
+        assert s_one.count() == df_many.count() == 100_000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)

@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for queries to plans/r14/<name>_<tag>.txt.
+"""Dump .explain('formatted') for queries to plans/r15/<name>_<tag>.txt.
 
 Usage: python tools/dump_plan.py before q_supplier_overlap [q_x ...]
        python tools/dump_plan.py after  q_supplier_overlap
@@ -20,7 +20,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plan")
