@@ -763,8 +763,9 @@ def connected_components(
     answers). The INITIAL labels are already the closed-neighborhood
     minimum — the same groupBy shuffle a plain ``distinct()`` init
     would pay, but productive — so pairs, stars and cliques (the
-    overwhelming near-dup shapes) converge in ONE loop round;
-    ``max_iter=25`` covers diameters up to ~2^25. The per-iteration
+    overwhelming near-dup shapes) converge in ONE loop round (which,
+    since round 15, also skips the pointer-jump — see ``_cc_iterate``);
+    ``max_iter=25`` covers diameters up to ~2^24. The per-iteration
     ``localCheckpoint`` truncates lineage so the plan stays flat, and
     each round's single aggregate compares ``sum(comp)`` against the
     carried previous label sum — labels only ever decrease, so equal
@@ -868,7 +869,7 @@ def connected_components(
 
 
 def _cc_iterate(sym, labels, max_iter, track):
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # Carry each node's PREVIOUS label through the round as ``old``
         # (null on neighbor rows, so min() recovers it per node): the
         # round's one aggregate then yields both sum(comp) and sum(old),
@@ -890,21 +891,38 @@ def _cc_iterate(sym, labels, max_iter, track):
         # chain's min reaches twice as far per round. Every comp value
         # is itself a node id, so the lookup is a self-join; labels only
         # decrease, making min(old, jumped) safe and monotone.
-        lut = propagated.select(
-            F.col("node").alias("__jn"), F.col("comp").alias("__jc")
-        )
-        labels, round_ids = track(
-            lambda: propagated.join(
-                lut, propagated["comp"] == F.col("__jn"), "left"
+        #
+        # ROUND 1 SKIPS THE JUMP (round 15): the initial labels are
+        # already the closed-neighborhood minimum, so pairs, stars and
+        # cliques — the overwhelming near-dup shapes — arrive at round 1
+        # CONVERGED, and the round is pure confirmation. For them the
+        # jump is a no-op that still costs its plan: one more exchange
+        # plus (under AQE, which broadcasts the tiny lut side without
+        # exchange-reuse) a full second evaluation of the propagated
+        # subtree per round. Correctness is untouched — neighbor-min
+        # alone has the same unique fixed point (stable ⇒ equal labels
+        # across every edge ⇒ per-component constant = component min),
+        # and the sum-convergence test is sound for either round shape;
+        # only deep-chain graphs pay one extra round (the jump resumes
+        # from round 2, so reach still doubles per round: max_iter=25
+        # covers diameters ~2^24).
+        if rnd == 0:
+            new_labels = propagated
+        else:
+            lut = propagated.select(
+                F.col("node").alias("__jn"), F.col("comp").alias("__jc")
             )
-            .select(
+            new_labels = propagated.join(
+                lut, propagated["comp"] == F.col("__jn"), "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("__jc"), F.col("comp"))
                 ).alias("comp"),
                 "old",
             )
-            .localCheckpoint(eager=False)
+        labels, round_ids = track(
+            lambda: new_labels.localCheckpoint(eager=False)
         )
         # This aggregate is the ONLY action this round: it computes the
         # new labels, persists them via the lazy checkpoint, and returns

@@ -51,41 +51,84 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .localCheckpoint(eager=False)
     )
+    # The node set is consumed by BOTH n_row evaluations (weighted's and
+    # the final projection's) and the final join — unpinned, each
+    # consumer re-runs the full 2|E| union+distinct over the edge pin
+    # (measured at sf1: 3 distinct evaluations ≈ 3 edge-pin passes per
+    # execution). One |V|-row pin serves all of them.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    base = nodes.crossJoin(F.broadcast(n_row)).localCheckpoint(
-        eager=False
-    )  # (node, n): contract scalar
+    # (node, n) contract-scalar frame: since round 15 the rank loop no
+    # longer consumes it (contribs carry the recurrence), so its only
+    # reader is the final projection — derived cheaply from the nodes
+    # pin, no checkpoint of its own.
+    base = nodes.crossJoin(F.broadcast(n_row))
     deg = e.groupBy("src").agg((F.lit(1.0) / F.count(F.lit(1))).alias("inv"))
-    weighted = e.join(deg, "src").localCheckpoint(eager=False)  # reused per iter
-    ranks = base.select("node", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
+    # n rides the weighted pin (one broadcast at build): the
+    # per-iteration rank expression teleport/n + d·contrib is then
+    # computable EDGE-SIDE, so the loop never materializes a full rank
+    # table — round-15 restructure, see below.
+    weighted = (
+        e.join(deg, "src")
+        .crossJoin(F.broadcast(n_row))
+        .localCheckpoint(eager=False)
+    )  # (src, dst, inv, n): reused per iter
     # broadcast_ranks: when the caller knows |nodes| ≪ |edges| (bipartite
-    # order graphs, web-domain graphs), shipping the O(nodes) rank frame
-    # to the pinned edge partitions skips re-shuffling O(edges) rows
-    # every iteration. Off by default: on a graph where nodes rival
+    # order graphs, web-domain graphs), shipping the O(nodes) contrib
+    # frame to the pinned edge partitions skips re-shuffling O(edges)
+    # rows every iteration. Off by default: on a graph where nodes rival
     # edges (social follower graphs) the broadcast would not fit.
     maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
+    # Round-15 iteration shape (guide §2.4 — remove per-round work the
+    # fixpoint doesn't need): rank_k(u) = teleport/n + d·contrib_k(u)
+    # is a pure row-local expression of the previous round's contrib
+    # aggregate, so materializing the |V|-row rank table every round
+    # (base ⋈ contribs left join + a broadcast build of the result) buys
+    # nothing — the loop now carries ONLY the contrib aggregate
+    # (dst-keyed, ≤ |nodes-with-in-edges| rows, strictly smaller than
+    # the rank table) and evaluates the rank expression edge-side in
+    # the next round's sum. One shuffle (the dst aggregate) and one
+    # broadcast per iteration instead of one shuffle + two broadcasts +
+    # an extra |V|-row join. The base join runs ONCE, on the final
+    # contribs. Arithmetic is unchanged: the same double expression
+    # teleport/n + d·coalesce(contrib, 0.0) evaluated on the same
+    # (n, contrib) doubles, multiplied by the same precomputed inv —
+    # identical per-row products, identical aggregates.
+    if iterations <= 0:
+        return base.select(
+            "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        )
+    rank0 = F.lit(1.0) / F.col("n")  # uniform start, per edge row
+    contribs = None
     for _ in range(iterations):
+        if contribs is None:
+            j, rank = weighted, rank0
+        else:
+            j = weighted.join(
+                maybe_b(contribs), weighted["src"] == contribs["c_dst"], "left"
+            )
+            rank = F.lit(teleport) / F.col("n") + F.lit(damping) * F.coalesce(
+                F.col("contrib"), F.lit(0.0)
+            )
         contribs = (
-            weighted.join(maybe_b(ranks), weighted["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("inv")).alias("contrib"))
+            j.groupBy(weighted["dst"])
+            .agg(F.sum(rank * F.col("inv")).alias("contrib"))
+            .select(F.col("dst").alias("c_dst"), "contrib")
         )
-        ranks = base.join(
-            maybe_b(contribs), base["node"] == contribs["dst"], "left"
-        ).select(
-            base["node"],
-            base["n"],
-            (
-                F.lit(teleport) / F.col("n")
-                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("rank"),
-        )
-    return ranks.select("node", "rank")
+    return base.join(
+        maybe_b(contribs), base["node"] == contribs["c_dst"], "left"
+    ).select(
+        base["node"],
+        (
+            F.lit(teleport) / F.col("n")
+            + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+        ).alias("rank"),
+    )
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -183,9 +226,24 @@ def node_overlap(
     pruned = m.join(df_ok, "i").repartition(fanout, "i")
     left = pruned.select(F.col("i"), F.col("a"))
     right = pruned.select(F.col("i"), F.col("a").alias("b"))
+    # Repartition the RAW pair stream by (a, b) before counting
+    # (round 15). Hash(i)-partitioned expansion output scatters a
+    # pair's copies across partitions (a pair sharing k items lands in
+    # up to k partitions), so the map-side partial count barely
+    # reduced — measured at sf1: 87.2M pair rows → 67.2M partial rows
+    # for 175 s of aggTime + the GC of 2M-entry per-task hash maps;
+    # the partial pass cost 40% of the query's executor CPU to save
+    # 23% of the shuffle. Clustering the raw pairs by (a, b) first
+    # makes the partial aggregate fully reductive (each partition
+    # holds every copy of its pairs: 87.2M → 5.0M locally, ~160k-entry
+    # maps) and the final aggregate a pass-through — trading ~20M
+    # extra shuffled rows for the whole wasted probe. The explicit
+    # partition count pins the fan-in at full parallelism (same AQE
+    # fan-out argument as above).
     pairs = (
         left.join(right, "i")
         .where(F.col("a") < F.col("b"))
+        .repartition(fanout, "a", "b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
