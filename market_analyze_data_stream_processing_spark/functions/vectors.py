@@ -19,8 +19,30 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+# Literal-vector expression memo (round 15, the operators/stats.py
+# _KERNEL_MEMO discipline): one 64-dim lit_vector costs ~65 Py4J
+# roundtrips, and the kNN/ANN/retrieval family rebuilds the SAME query
+# vector / hyperplane literals on every plan build (cProfile put ~60%
+# of a warm q_ann_lsh build in expression-construction roundtrips).
+# Unresolved Columns are immutable, input-independent descriptors;
+# keyed by the float tuple + the gateway applicationId so a restarted
+# JVM can never be served dead Py4J references.
+_LIT_MEMO: dict[tuple, Column] = {}
+
+
+def _gateway_id() -> str | None:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return sc.applicationId if sc is not None else None
+
+
 def lit_vector(values: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in values])
+    key = (_gateway_id(), tuple(float(v) for v in values))
+    hit = _LIT_MEMO.get(key)
+    if hit is None:
+        hit = _LIT_MEMO[key] = F.array(*[F.lit(v) for v in key[1]])
+    return hit
 
 
 def dot(a: Column, b: Column) -> Column:

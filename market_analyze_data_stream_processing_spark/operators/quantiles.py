@@ -126,18 +126,72 @@ def mad_outliers(
     :func:`estimated_input_bytes`.
     """
     strategy = _resolve(strategy, grouped, "exact", "sketch")
-    if strategy == "exact":
-        med_expr = "percentile({c}, 0.5)"
-    else:
-        med_expr = f"approx_percentile({{c}}, 0.5, {int(accuracy)})"
     g = F.col(group_col)
     o = grouped.select(g.alias("__g"), F.col(value_col).alias("__x"))
+    med_expr = (
+        "percentile({c}, 0.5)"
+        if strategy == "exact"
+        else f"approx_percentile({{c}}, 0.5, {int(accuracy)})"
+    )
     med = o.groupBy("__g").agg(
         stable_round(F.expr(med_expr.format(c="__x")), 9).alias("med")
     )
     dev = o.join(F.broadcast(med), "__g").withColumn(
         "adev", F.abs(F.col("__x") - F.col("med"))
     )
+    if strategy == "exact":
+        # Round-15 pass fusion, EXACT strategy only (guide §2.4 — drop a
+        # whole scan+exchange): the former third pass re-scanned the
+        # joined input just to count adev > k·mad after the MAD pass.
+        # Exact percentile already concentrates each group's values into
+        # one task (an ObjectHashAggregate buffer), so collecting the
+        # group's sorted adev array costs the same class of memory — and
+        # the array yields BOTH the MAD and the outlier count in one
+        # aggregate. Two scans instead of three, ~10 stages instead of
+        # 15. The sketch strategy keeps the three-scan shape: at 100 TB
+        # per-group arrays are exactly what it exists to avoid.
+        arr = dev.groupBy("__g").agg(
+            F.first("med").alias("med"),
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(F.collect_list("adev")).alias("__arr"),
+        )
+        # Spark Percentile interpolation at q=0.5, verbatim: position =
+        # 0.5·(size−1) has fraction exactly 0 or 0.5, so the result is
+        # arr[k0] (odd size) or lower·0.5 + upper·0.5 (even size) — the
+        # same multiply-then-add tree as Percentile.getPercentile's
+        # lower·(higher−pos) + higher·(pos−lower); bit-identical.
+        sz = F.size("__arr")
+        k0 = F.greatest(
+            F.floor((sz - F.lit(1)) / F.lit(2)).cast("int"), F.lit(0)
+        )
+        lower = F.try_element_at("__arr", k0 + F.lit(1))
+        upper = F.try_element_at("__arr", F.least(k0 + F.lit(2), sz))
+        raw_mad = F.when(sz % 2 == 1, lower).otherwise(
+            lower * F.lit(0.5) + upper * F.lit(0.5)
+        )
+        withmad = arr.withColumn("mad", stable_round(raw_mad, 9))
+        # null-mad groups (no non-null deviations) keep the join form's
+        # NULL counts: there the flag column was null for every row, so
+        # sum() returned NULL, never 0.
+        n_out = F.when(
+            F.col("mad").isNotNull(),
+            F.size(
+                F.filter("__arr", lambda v: v > F.lit(k) * F.col("mad"))
+            ).cast("long"),
+        )
+        return (
+            withmad.select(
+                F.col("__g").alias(group_col),
+                F.col("n"),
+                stable_round(F.col("med"), 4).alias("med"),
+                stable_round(F.col("mad"), 4).alias("mad"),
+                n_out.alias("n_outliers"),
+                stable_round(n_out.cast("double") / F.col("n"), 6).alias(
+                    "outlier_pct"
+                ),
+            )
+            .orderBy(group_col)
+        )
     mad = dev.groupBy("__g").agg(
         F.first("med").alias("med"),
         stable_round(F.expr(med_expr.format(c="adev")), 9).alias("mad"),

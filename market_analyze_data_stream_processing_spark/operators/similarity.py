@@ -358,12 +358,31 @@ def ivf_index(
     # Per-slot avg aggregates instead of posexplode: no |rows|·dim row
     # explosion, map-side combined, one row per cluster per partition on
     # the shuffle — the cheapest possible full-corpus centroid pass.
-    cents = df.groupBy(F.col(cluster_col).alias("c")).agg(
-        *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}") for i in range(dim)]
-    ).collect()
+    # The dim-wide expression list is memoized per process (round 15,
+    # the operators/stats.py _KERNEL_MEMO discipline): building it costs
+    # ~5 Py4J roundtrips per slot (~0.4 s at dim=64, measured by
+    # cProfile as the single largest build item of a fresh q_ann_ivf
+    # execution), and the list is a pure function of the column names
+    # and dim. Gateway id in the key — restart safety, see stats.py.
+    from .stats import _KERNEL_MEMO, _gateway_id
+
+    mkey = ("ivf_aggs", _gateway_id(), vec_col, cluster_col, dim)
+    exprs = _KERNEL_MEMO.get(mkey)
+    if exprs is None:
+        exprs = _KERNEL_MEMO[mkey] = (
+            F.col(cluster_col).alias("c"),
+            [
+                F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                for i in range(dim)
+            ],
+        )
+    cents = df.groupBy(exprs[0]).agg(*exprs[1]).collect()
+    # positional slice, not per-field name lookup: cProfile (round 15)
+    # put 0.4 s of every fresh q_ann_ivf build in the by-name Row access
+    # loop (dim × k string-keyed getitems); the agg's output order is
+    # (c, m0..m{dim-1}) by construction.
     centroids = {
-        int(r["c"]): np.asarray([r[f"m{i}"] for i in range(dim)], dtype=np.float64)
-        for r in cents
+        int(r[0]): np.asarray(r[1:], dtype=np.float64) for r in cents
     }
     if cache_key is not None and centroids:
         # An EMPTY index is never cached (mirrors the dim-probe early

@@ -1588,16 +1588,34 @@ def q_bigram_logprob(spark, sf_dir):
     term = F.log(
         (F.col("cnt2") + F.lit(0.5)) / (F.col("cnt1") + F.lit(0.5) * F.col("v"))
     ).cast("decimal(18,8)")
-    return (
-        ctx.join(c2, "bigram")
+    # Round-15 lowering: score at the BIGRAM level, not the occurrence
+    # level. The term is a pure function of the bigram (cnt2, cnt1 of
+    # its w1, v), so the former plan's two full-occurrence-stream joins
+    # (ctx ⋈ c2 by bigram, then ⋈ c1 by w1 — two exchanges + two sorts
+    # of every occurrence) collapse to one DISTINCT-BIGRAM-level join
+    # chain (c2 ⋈ c1 ⋈ vocab) probed by per-(doc, bigram)
+    # multiplicities. Σ_occurrences term ≡ Σ_distinct mult·term exactly:
+    # term is a DECIMAL(18,8) grid value and mult an integer, so the
+    # product is the same repeated addition, order-free — bit-identical
+    # avg_logprob, same n_bigrams = Σ mult.
+    occ = ctx.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("mult"))
+    bterm = (
+        c2.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn("__t", term)
+        .select("bigram", term.alias("__t"))
+    )
+    return (
+        occ.join(bterm, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("mult").alias("n_bigrams"),
             stable_round(
-                F.sum("__t").cast("double") / F.count(F.lit(1)), 6
+                F.sum(F.col("mult").cast("decimal(10,0)") * F.col("__t")).cast(
+                    "double"
+                )
+                / F.sum("mult"),
+                6,
             ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
