@@ -1615,19 +1615,21 @@ def q_hhi(spark, sf_dir):
 def q_sla_compliance(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = (
-        o.join(li, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            "o_orderkey",
-            F.col("o_orderpriority").alias("priority"),
-            "o_orderdate",
-        )
-        .agg(
-            F.datediff(
-                F.max(F.col("l_shipdate").cast("date")),
-                F.col("o_orderdate").cast("date"),
-            ).alias("days_to_ship")
-        )
+    # Aggregate BEFORE the join (round 15, guide §2.3): max(l_shipdate)
+    # per order needs only lineitem, so the per-orderkey reduction runs
+    # on the bare fact scan (map-side combined — lineitem files are
+    # clustered by orderkey, so the partial aggregate collapses most
+    # groups before the exchange) and the join then carries one row per
+    # order instead of every line item. max commutes with the join
+    # (orders is unique per orderkey): identical days_to_ship values.
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("__last_ship")
+    )
+    per_order = o.join(last_ship, last_ship.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("__last_ship"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_ship"),
     )
     within = lambda d: F.sum(
         F.when(F.col("days_to_ship") <= d, 1).otherwise(0)
