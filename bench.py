@@ -87,14 +87,20 @@ def select_queries(argv: list[str]) -> dict:
     stations. ``--queries a,b,c`` names them explicitly. With no args —
     the driver's invocation — behavior is byte-identical to round 14:
     every registered query, detail to BENCH_DETAIL.json."""
+    def flag_value(flag: str) -> str:
+        i = argv.index(flag)
+        if i + 1 >= len(argv):
+            raise SystemExit(f"usage: bench.py [{flag} <value>]")
+        return argv[i + 1]
+
     if "--queries" in argv:
-        names = argv[argv.index("--queries") + 1].split(",")
+        names = flag_value("--queries").split(",")
         missing = [n for n in names if n not in QUERIES]
         if missing:
             raise SystemExit(f"unknown queries: {missing}")
         return {n: QUERIES[n] for n in names}
     if "--top" in argv:
-        n = int(argv[argv.index("--top") + 1])
+        n = int(flag_value("--top"))
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
@@ -104,7 +110,10 @@ def select_queries(argv: list[str]) -> dict:
             (detail.get("queries_norm") or detail["queries"]).items(),
             key=lambda kv: -kv[1],
         )
-        return {name: QUERIES[name] for name, _ in ranked[:n] if name in QUERIES}
+        # filter stale names BEFORE slicing so --top N times exactly N
+        # live queries even when the committed detail predates a rename
+        live = [name for name, _ in ranked if name in QUERIES]
+        return {name: QUERIES[name] for name in live[:n]}
     return dict(QUERIES)
 
 

@@ -26,21 +26,25 @@ def as_double(vec: Column) -> Column:
 # of a warm q_ann_lsh build in expression-construction roundtrips).
 # Unresolved Columns are immutable, input-independent descriptors;
 # keyed by the float tuple + the gateway applicationId so a restarted
-# JVM can never be served dead Py4J references.
+# JVM can never be served dead Py4J references. BOUNDED: lit_vector is
+# also called with data-dependent vectors (fresh k-means centroids
+# every run), so an unbounded dict would accumulate never-hit entries
+# (each holding JVM Literal refs) for the process lifetime — on
+# overflow the memo drops its oldest half (dict preserves insertion
+# order), which also sheds dead-gateway entries over time.
 _LIT_MEMO: dict[tuple, Column] = {}
-
-
-def _gateway_id() -> str | None:
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    return sc.applicationId if sc is not None else None
+_LIT_MEMO_MAX = 512
 
 
 def lit_vector(values: Sequence[float]) -> Column:
-    key = (_gateway_id(), tuple(float(v) for v in values))
+    from .scalars import gateway_id
+
+    key = (gateway_id(), tuple(float(v) for v in values))
     hit = _LIT_MEMO.get(key)
     if hit is None:
+        if len(_LIT_MEMO) >= _LIT_MEMO_MAX:
+            for stale in list(_LIT_MEMO)[: _LIT_MEMO_MAX // 2]:
+                del _LIT_MEMO[stale]
         hit = _LIT_MEMO[key] = F.array(*[F.lit(v) for v in key[1]])
     return hit
 

@@ -165,7 +165,15 @@ def mad_outliers(
             F.floor((sz - F.lit(1)) / F.lit(2)).cast("int"), F.lit(0)
         )
         lower = F.try_element_at("__arr", k0 + F.lit(1))
-        upper = F.try_element_at("__arr", F.least(k0 + F.lit(2), sz))
+        # greatest(..., 1): for an all-NULL group the array is EMPTY and
+        # least(k0+2, sz) evaluates to 0 — try_element_at still raises
+        # INVALID_INDEX_OF_ZERO for index 0 (only out-of-bounds is
+        # forgiven), and without the guard the crash is masked only by
+        # the null short-circuit of lower*0.5 + upper*0.5. Index 1 on an
+        # empty array is a clean NULL; sz >= 1 values are unchanged.
+        upper = F.try_element_at(
+            "__arr", F.greatest(F.least(k0 + F.lit(2), sz), F.lit(1))
+        )
         raw_mad = F.when(sz % 2 == 1, lower).otherwise(
             lower * F.lit(0.5) + upper * F.lit(0.5)
         )

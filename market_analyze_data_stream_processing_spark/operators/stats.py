@@ -139,12 +139,9 @@ def corr_moment_aggs(
 # as the load_table plan cache.
 _KERNEL_MEMO: dict[tuple, object] = {}
 
-
-def _gateway_id() -> str | None:
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    return sc.applicationId if sc is not None else None
+# shared helper (functions/scalars.py); kept under the old name because
+# volatility.py / similarity.py import it from here
+from ..functions.scalars import gateway_id as _gateway_id  # noqa: E402
 
 
 def corr_moment_aggs_named(

@@ -185,7 +185,15 @@ def _scan_splits(df: DataFrame) -> int | None:
 
     Returns None when the plan has no parquet file leaves (in-memory /
     test frames) or a footer is unreadable — the caller falls back to
-    the planned partition count."""
+    the planned partition count.
+
+    Contract: meant for BARE SCANS and projections of them (every
+    current spread() call site). ``inputFiles`` merges the leaf file
+    lists of every relation in the plan and reflects no partition
+    pruning, so a filtered-partitioned or multi-relation input can read
+    HIGHER than its true post-pruning parallelism; such frames should
+    not be spread() directly (pre-project/filter into a bare frame
+    first, as q_column_profile does)."""
     try:
         files = df.inputFiles()
     except Exception:

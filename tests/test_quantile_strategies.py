@@ -172,3 +172,37 @@ def test_quintile_boundary_scores_monotone(spark):
     assert null_row["s"] == 1 and null_row["t"] == 1, (
         "NULL metrics must score 1 like ntile's nulls-first, not null"
     )
+
+
+def test_mad_exact_fused_edge_groups(spark):
+    """Round-15 fused exact path, edge groups: an all-NULL-value group
+    must yield NULL med/mad/n_outliers/outlier_pct (the pre-fusion join
+    form's semantics, where every flag was null so sum() returned NULL)
+    and must NOT crash on the empty sorted-deviation array — index 0 on
+    an empty array raises INVALID_INDEX_OF_ZERO even under
+    try_element_at, guarded by greatest(..., 1). Singleton and even/odd
+    groups pin the Percentile-at-0.5 interpolation replica."""
+    from market_analyze_data_stream_processing_spark.operators.quantiles import (
+        mad_outliers,
+    )
+
+    rows = (
+        [("allnull", None)] * 3
+        + [("single", 5.0)]
+        + [("odd", 1.0), ("odd", 2.0), ("odd", 9.0)]
+        + [("even", 1.0), ("even", 2.0), ("even", 3.0), ("even", 10.0)]
+    )
+    df = spark.createDataFrame(rows, "segment string, x double")
+    got = {
+        r["segment"]: r
+        for r in mad_outliers(df, "segment", "x", strategy="exact").collect()
+    }
+    an = got["allnull"]
+    assert an["n"] == 3
+    assert an["med"] is None and an["mad"] is None
+    assert an["n_outliers"] is None and an["outlier_pct"] is None
+    assert got["single"]["med"] == 5.0 and got["single"]["mad"] == 0.0
+    assert got["odd"]["med"] == 2.0  # exact middle, no interpolation
+    assert got["even"]["med"] == 2.5  # 0.5*2.0 + 0.5*3.0
+    # even group's deviations are [0.5, 0.5, 1.5, 7.5] -> mad 1.0
+    assert got["even"]["mad"] == 1.0
